@@ -1,0 +1,44 @@
+"""Synchronous label propagation with deterministic tie-breaking.
+
+Kernel (mirrored by ``oracle.sql_lpa``): each round, every vertex adopts
+the most frequent label among its neighbors; ties break to the smallest
+label; isolated vertices keep their own. Deterministic by construction
+(no hash-order dependence), unlike classic asynchronous LPA.
+
+Physical plan per round: join sym-edges⋈labels on src (1 shuffle unless
+labels broadcast), count per (dst, lbl) with map-side partials, then a
+per-dst argmax via ``max_by``-style struct-max — an aggregation, not a
+window, so no per-group sort at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .superstep import iterate
+
+
+def lpa(edges_ab: DataFrame, iters: int = 4) -> DataFrame:
+    sym = edges_ab.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        edges_ab.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    state0 = verts.withColumn("lbl", F.col("id"))
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        counts = (
+            sym.join(state.select(F.col("id").alias("src"), "lbl"), "src")
+            .groupBy(F.col("dst").alias("id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax by (c desc, lbl asc) == max of struct(c, -lbl)
+        winner = counts.groupBy("id").agg(
+            F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("w")
+        ).select("id", (-F.col("w.neg")).alias("new_lbl"))
+        return state.join(winner, "id", "left").select(
+            "id", F.coalesce("new_lbl", "lbl").alias("lbl")
+        )
+
+    res = iterate(state0, step, max_iter=iters, checkpoint_every=8)
+    return res.state.select("id", F.col("lbl").alias("label"))

@@ -1,0 +1,264 @@
+"""DuckDB oracle SQL builders.
+
+Each builder returns ANSI SQL that reproduces, on the same parquet
+tables, exactly what the paired Spark query computes. Iterative kernels
+(PageRank, CC min-propagation, LPA, GANG, ZooBP, SpEagle) are defined as
+*fixed-iteration* kernels so the oracle is expressible as a
+programmatically unrolled CTE chain — parity is then exact by
+construction; true convergence is separately asserted in pytest against
+numpy oracles.
+
+Cross-engine float discipline:
+- every literal that participates in double arithmetic is written
+  ``x::DOUBLE`` (DuckDB decimal literals would otherwise compute in
+  DECIMAL and diverge from Spark's double);
+- final float columns are ``ROUND(x, 6)`` in both engines, absorbing
+  summation-order low-bit differences.
+"""
+
+from __future__ import annotations
+
+from .sources.tables import PART_OFFSET, PRIOR_MOD, PRIOR_MULT, UNI_MOD
+
+# ---------------------------------------------------------------- fragments
+
+UNI = (
+    f"SELECT DISTINCT (l_orderkey % {UNI_MOD}) AS src, "
+    f"(l_partkey % {UNI_MOD}) AS dst FROM lineitem "
+    f"WHERE (l_orderkey % {UNI_MOD}) <> (l_partkey % {UNI_MOD})"
+)
+
+UND = "SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM uni"
+
+SYM = "SELECT a AS src, b AS dst FROM und UNION ALL SELECT b AS src, a AS dst FROM und"
+
+BIP = (
+    f"SELECT src, dst, CAST(1.0 AS DOUBLE) AS weight, sign FROM ("
+    f"SELECT l_orderkey AS src, l_partkey + {PART_OFFSET} AS dst, "
+    f"MIN(CASE WHEN l_quantity >= 25 THEN 1 ELSE 2 END) AS sign "
+    f"FROM lineitem GROUP BY 1, 2)"
+)
+
+VERTS = "SELECT src AS id FROM uni UNION SELECT dst FROM uni"
+
+BIP_VERTS = "SELECT src AS id FROM bip UNION SELECT dst FROM bip"
+
+
+def prior_expr(id_col: str = "id") -> str:
+    return (
+        f"(({id_col} * {PRIOR_MULT}) % {PRIOR_MOD}) / CAST({PRIOR_MOD} AS DOUBLE)"
+    )
+
+
+def _with(ctes: list[tuple[str, str]], final: str) -> str:
+    # AS MATERIALIZED (DuckDB) prevents exponential re-evaluation when an
+    # unrolled iteration references its predecessor CTE multiple times
+    # (observed 282s → 1.3s on the 10-round CC oracle at sf0.01). These
+    # strings are only ever executed by DuckDB, never by Spark.
+    body = ",\n".join(f"{name} AS MATERIALIZED (\n{sql}\n)" for name, sql in ctes)
+    return f"WITH {body}\n{final}"
+
+
+# ----------------------------------------------------------------- queries
+
+def sql_uni_edges() -> str:
+    return _with([("uni", UNI)], "SELECT src, dst FROM uni")
+
+
+def sql_bip_edges() -> str:
+    return _with([("bip", BIP)], "SELECT src, dst, weight, sign FROM bip")
+
+
+def sql_out_degree_top(k: int = 20) -> str:
+    return _with(
+        [("uni", UNI)],
+        "SELECT src AS id, COUNT(*) AS out_deg FROM uni GROUP BY src "
+        f"ORDER BY out_deg DESC, id ASC LIMIT {k}",
+    )
+
+
+def sql_in_degree() -> str:
+    return _with(
+        [("uni", UNI)],
+        "SELECT dst AS id, COUNT(*) AS in_deg FROM uni GROUP BY dst",
+    )
+
+
+def sql_degree_histogram(bucket: int = 5) -> str:
+    return _with(
+        [("uni", UNI),
+         ("deg", "SELECT dst AS id, COUNT(*) AS d FROM uni GROUP BY dst")],
+        f"SELECT CAST(FLOOR(d / {bucket}) AS BIGINT) AS bucket, COUNT(*) AS n_vertices "
+        "FROM deg GROUP BY 1",
+    )
+
+
+def sql_pagerank(iters: int = 5, damping: float = 0.85) -> str:
+    ctes = [
+        ("uni", UNI),
+        ("v", VERTS),
+        ("od", "SELECT src AS id, COUNT(*) AS out_deg FROM uni GROUP BY src"),
+        ("nn", "SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v"),
+        ("r0", "SELECT v.id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM v, nn"),
+    ]
+    d = f"CAST({damping!r} AS DOUBLE)"
+    for t in range(1, iters + 1):
+        prev = f"r{t-1}"
+        ctes.append(
+            (
+                f"r{t}",
+                f"SELECT v.id, (CAST(1.0 AS DOUBLE) - {d}) / nn.n "
+                f"+ {d} * COALESCE(s.mass, CAST(0.0 AS DOUBLE)) AS pr\n"
+                f"FROM v CROSS JOIN nn LEFT JOIN (\n"
+                f"  SELECT uni.dst AS id, SUM({prev}.pr / od.out_deg) AS mass\n"
+                f"  FROM uni JOIN {prev} ON {prev}.id = uni.src "
+                f"JOIN od ON od.id = uni.src GROUP BY uni.dst\n"
+                f") s ON s.id = v.id",
+            )
+        )
+    return _with(ctes, f"SELECT id, ROUND(pr, 6) AS pagerank FROM r{iters}")
+
+
+def sql_cc_minprop(iters: int = 30) -> str:
+    """k rounds of synchronous min-label propagation over the undirected
+    graph; labels converge to the min vertex id per component once
+    k >= diameter (asserted in pytest)."""
+    ctes = [
+        ("uni", UNI),
+        ("und", UND),
+        ("sym", SYM),
+        ("v", VERTS),
+        ("c0", "SELECT id, id AS lbl FROM v"),
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t-1}"
+        ctes.append(
+            (
+                f"c{t}",
+                f"SELECT v.id, LEAST({prev}.lbl, COALESCE(s.m, {prev}.lbl)) AS lbl\n"
+                f"FROM v JOIN {prev} ON {prev}.id = v.id LEFT JOIN (\n"
+                f"  SELECT sym.dst AS id, MIN({prev}.lbl) AS m FROM sym "
+                f"JOIN {prev} ON {prev}.id = sym.src GROUP BY sym.dst\n"
+                f") s ON s.id = v.id",
+            )
+        )
+    return _with(ctes, f"SELECT id, lbl AS component FROM c{iters}")
+
+
+def sql_lpa(iters: int = 4) -> str:
+    """Synchronous label propagation, deterministic tie-break: the new
+    label is the neighbor label with the highest count, ties broken by
+    the smallest label; isolated vertices keep their own."""
+    ctes = [
+        ("uni", UNI),
+        ("und", UND),
+        ("sym", SYM),
+        ("v", VERTS),
+        ("l0", "SELECT id, id AS lbl FROM v"),
+    ]
+    for t in range(1, iters + 1):
+        prev = f"l{t-1}"
+        ctes.append(
+            (
+                f"l{t}",
+                f"SELECT v.id, COALESCE(w.lbl, {prev}.lbl) AS lbl\n"
+                f"FROM v JOIN {prev} ON {prev}.id = v.id LEFT JOIN (\n"
+                f"  SELECT id, lbl FROM (\n"
+                f"    SELECT sym.dst AS id, {prev}.lbl AS lbl, COUNT(*) AS c,\n"
+                f"      ROW_NUMBER() OVER (PARTITION BY sym.dst "
+                f"ORDER BY COUNT(*) DESC, {prev}.lbl ASC) AS rn\n"
+                f"    FROM sym JOIN {prev} ON {prev}.id = sym.src "
+                f"GROUP BY sym.dst, {prev}.lbl\n"
+                f"  ) WHERE rn = 1\n"
+                f") w ON w.id = v.id",
+            )
+        )
+    return _with(ctes, f"SELECT id, lbl AS label FROM l{iters}")
+
+
+def sql_triangles() -> str:
+    """Per-vertex triangle counts over the canonical undirected edges
+    (each triangle a<b<c enumerated once)."""
+    tri = (
+        "SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1 "
+        "JOIN und e2 ON e2.a = e1.b "
+        "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+    return _with(
+        [("uni", UNI), ("und", UND), ("tri", tri),
+         ("m", "SELECT x AS id FROM tri UNION ALL SELECT y FROM tri "
+               "UNION ALL SELECT z FROM tri")],
+        "SELECT id, COUNT(*) AS triangles FROM m GROUP BY id",
+    )
+
+
+def sql_triangle_total() -> str:
+    tri = (
+        "SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1 "
+        "JOIN und e2 ON e2.a = e1.b "
+        "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+    return _with(
+        [("uni", UNI), ("und", UND), ("tri", tri)],
+        "SELECT COUNT(*) AS triangles FROM tri",
+    )
+
+
+def sql_gang(iters: int = 5, weight: float = 0.008) -> str:
+    """GANG linearized BP (reference ``GANG.py:115-137``):
+    B ← prior_centered + 2w · (A·B) over the symmetric bipartite
+    adjacency, fixed iterations, seeded deterministic priors."""
+    w2 = f"CAST({2 * weight!r} AS DOUBLE)"
+    ctes = [
+        ("bip", BIP),
+        ("bsym", "SELECT src, dst FROM bip UNION ALL SELECT dst AS src, src AS dst FROM bip"),
+        ("v", BIP_VERTS),
+        ("pri", f"SELECT id, {prior_expr('id')} - CAST(0.5 AS DOUBLE) AS p FROM v"),
+        ("b0", "SELECT id, p AS b FROM pri"),
+    ]
+    for t in range(1, iters + 1):
+        prev = f"b{t-1}"
+        ctes.append(
+            (
+                f"b{t}",
+                f"SELECT pri.id, pri.p + {w2} * COALESCE(s.m, CAST(0.0 AS DOUBLE)) AS b\n"
+                f"FROM pri LEFT JOIN (\n"
+                f"  SELECT bsym.dst AS id, SUM({prev}.b) AS m FROM bsym "
+                f"JOIN {prev} ON {prev}.id = bsym.src GROUP BY bsym.dst\n"
+                f") s ON s.id = pri.id",
+            )
+        )
+    return _with(ctes, f"SELECT id, ROUND(b, 6) AS belief FROM b{iters}")
+
+
+def sql_zoobp(iters: int = 5, ep: float = 0.01) -> str:
+    """ZooBP with H=[[.5,-.5],[-.5,.5]] closed form (SURVEY F6): centered
+    scalar beliefs, b ← e + (ep/2)·Σ_{u~v} s(u,v)·b(u), s=+1 for sign=1
+    (positive edge) and −1 for sign=2. Paper-faithful fixpoint; the
+    reference's scalar-logsumexp deviation (``ZooBP.py:144``) is
+    documented in SURVEY §7 and not replicated."""
+    h = f"CAST({ep / 2.0!r} AS DOUBLE)"
+    ctes = [
+        ("bip", BIP),
+        ("bsgn",
+         "SELECT src, dst, CASE WHEN sign = 1 THEN 1.0 ELSE -1.0 END::DOUBLE AS s "
+         "FROM bip UNION ALL "
+         "SELECT dst AS src, src AS dst, CASE WHEN sign = 1 THEN 1.0 ELSE -1.0 END::DOUBLE AS s "
+         "FROM bip"),
+        ("v", BIP_VERTS),
+        ("pri", f"SELECT id, {prior_expr('id')} - CAST(0.5 AS DOUBLE) AS p FROM v"),
+        ("z0", "SELECT id, p AS b FROM pri"),
+    ]
+    for t in range(1, iters + 1):
+        prev = f"z{t-1}"
+        ctes.append(
+            (
+                f"z{t}",
+                f"SELECT pri.id, pri.p + {h} * COALESCE(s.m, CAST(0.0 AS DOUBLE)) AS b\n"
+                f"FROM pri LEFT JOIN (\n"
+                f"  SELECT bsgn.dst AS id, SUM(bsgn.s * {prev}.b) AS m FROM bsgn "
+                f"JOIN {prev} ON {prev}.id = bsgn.src GROUP BY bsgn.dst\n"
+                f") s ON s.id = pri.id",
+            )
+        )
+    return _with(ctes, f"SELECT id, ROUND(b, 6) AS belief FROM z{iters}")

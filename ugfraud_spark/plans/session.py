@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-aware defaults.
+
+Configuration rationale (tuned for correctness parity with the DuckDB
+oracle and for a 100 TB / 1000-executor deployment):
+
+- ``spark.sql.session.timeZone=UTC``: Spark timestamps are session-TZ;
+  DuckDB's are UTC-naive. Pinning UTC makes timestamp-derived results
+  byte-comparable.
+- ``spark.sql.adaptive.enabled`` + skew-join: runtime re-planning; web
+  graphs are Zipfian, so shuffle partitions for hub vertices get split
+  at runtime even before our explicit salting kicks in.
+- ``spark.sql.shuffle.partitions``: ~#cores locally. On a real cluster
+  this is overridden by AQE coalescing (initialPartitionNum high, AQE
+  shrinks), so we set initialPartitionNum too.
+- Arrow enabled for all pandas UDF / toPandas paths (input_hint:
+  vectorized UDFs only, no per-row Python).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ugfraud_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            inner = master[len("local[") : -1]
+            shuffle_partitions = cpus if inner == "*" else int(inner)
+        else:
+            shuffle_partitions = 2 * cpus
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,128 @@
+"""Central registry: query name → (Spark builder, DuckDB oracle SQL).
+
+Consumed by ``__spark_entry__.py`` (the driver contract) and by
+``tests/test_oracle_parity.py`` (which pre-validates the driver's
+cross-engine comparison at sf0.001).
+
+Every Spark builder takes ``(spark, sf_dir)`` and returns a DataFrame
+whose column names and (rounded) values match the paired SQL run by
+DuckDB on the same parquet files. Builders for genuinely
+non-SQL-expressible operators (SVD, greedy peeling, streaming) register
+``None`` as the oracle → the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import oracle
+from .operators import components, degrees, gang, labelprop, pagerank, triangles, zoobp
+from .sources import tables
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+PR_ITERS = 5
+CC_ITERS = 10
+LPA_ITERS = 4
+GANG_ITERS = 5
+ZOOBP_ITERS = 5
+
+
+def _round6(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df
+
+
+# ------------------------------------------------------------ graph model
+
+def q_uni_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.uni_edges_directed(spark, sf_dir).select("src", "dst")
+
+
+def q_bip_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.bipartite_edges(spark, sf_dir)
+
+
+def q_out_degree_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.uni_edges_directed(spark, sf_dir)
+    return (
+        degrees.out_degree(e)
+        .orderBy(F.desc("out_deg"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def q_in_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degrees.in_degree(tables.uni_edges_directed(spark, sf_dir))
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.uni_edges_directed(spark, sf_dir)
+    d = degrees.in_degree(e)
+    return (
+        d.select(F.floor(F.col("in_deg") / 5).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+# --------------------------------------------------------- graph kernels
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.uni_edges_directed(spark, sf_dir)
+    res = pagerank.pagerank(e, max_iter=PR_ITERS)
+    return _round6(res.state.withColumnRenamed("value", "pagerank"), "pagerank")
+
+
+def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.uni_edges_undirected(spark, sf_dir)
+    return components.cc_minprop(e, iters=CC_ITERS)
+
+
+def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.uni_edges_undirected(spark, sf_dir)
+    return labelprop.lpa(e, iters=LPA_ITERS)
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.uni_edges_undirected(spark, sf_dir)
+    return triangles.triangles_per_vertex(e)
+
+
+def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.uni_edges_undirected(spark, sf_dir)
+    return triangles.triangle_total(e)
+
+
+def q_gang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.bipartite_edges(spark, sf_dir)
+    pri = tables.vertex_priors(tables.vertices_of(e))
+    res = gang.gang(e, pri, max_iter=GANG_ITERS)
+    return _round6(res.state, "belief")
+
+
+def q_zoobp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.bipartite_edges(spark, sf_dir)
+    pri = tables.vertex_priors(tables.vertices_of(e))
+    res = zoobp.zoobp(e, pri, max_iter=ZOOBP_ITERS)
+    return _round6(res.state, "belief")
+
+
+REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
+    "uni_edges": (q_uni_edges, oracle.sql_uni_edges()),
+    "bip_edges": (q_bip_edges, oracle.sql_bip_edges()),
+    "out_degree_top": (q_out_degree_top, oracle.sql_out_degree_top(20)),
+    "in_degree": (q_in_degree, oracle.sql_in_degree()),
+    "degree_histogram": (q_degree_histogram, oracle.sql_degree_histogram(5)),
+    "pagerank": (q_pagerank, oracle.sql_pagerank(PR_ITERS)),
+    "connected_components": (q_cc, oracle.sql_cc_minprop(CC_ITERS)),
+    "label_propagation": (q_lpa, oracle.sql_lpa(LPA_ITERS)),
+    "triangles_per_vertex": (q_triangles, oracle.sql_triangles()),
+    "triangle_total": (q_triangle_total, oracle.sql_triangle_total()),
+    "gang_lbp": (q_gang, oracle.sql_gang(GANG_ITERS)),
+    "zoobp": (q_zoobp, oracle.sql_zoobp(ZOOBP_ITERS)),
+}

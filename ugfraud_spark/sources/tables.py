@@ -1,0 +1,124 @@
+"""Deterministic graph derivation from the driver-provided parquet tables.
+
+The engine's core abstraction (mirroring the reference's adjacency dicts,
+``/root/reference/UGFraud/Utils/helper.py:123-202``) is an edge DataFrame
+``edges(src: long, dst: long, weight: double[, sign: int])`` plus a
+``vertices(id: long)`` dim. Because this sandbox forbids external data,
+edges are derived *deterministically* from the read-only TPC-H-ish tables
+in ``/root/testdata/sf*`` — the same derivation is expressed in ANSI SQL
+for the DuckDB oracle (``ugfraud_spark/oracle.py``), so every downstream
+operator is cross-checked end to end.
+
+Two graphs:
+
+- **bipartite**: order-vertices link to part-vertices (one edge per
+  distinct (l_orderkey, l_partkey) pair, like the reference's dedup of
+  multi-edges at ``Fraudar.py:19`` ``M > 0``). Part ids are offset by
+  ``PART_OFFSET`` into their own namespace — the typed-long replacement
+  for the reference's string-prefix namespacing (``SpEagle.py:250-263``).
+  ``sign`` quantizes l_quantity like the reference quantizes ratings
+  (``helper.py:192-196``: stars>=4 → 1 positive else 2 negative).
+- **unipartite**: ids folded into ``[0, UNI_MOD)`` so src/dst ranges
+  overlap; this produces a skewed (partkey popularity) directed web-ish
+  graph with cycles and triangles, used by PageRank / CC / LPA /
+  triangle counting.
+
+At 100 TB these builders are replaced by the pages→links extraction in
+``ugfraud_spark/sources/pages.py``; everything downstream only sees the
+``edges``/``vertices`` schema, so the swap is a one-liner.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PART_OFFSET = 1_000_000_000  # part-vertex id namespace offset
+UNI_MOD = 1000  # unipartite graph vertex-id modulus
+PRIOR_MULT = 2654435761  # Knuth multiplicative hash constant
+PRIOR_MOD = 1_000_003  # prime modulus for deterministic priors
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan; Catalyst pushes filters/pruning into it."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edges(src, dst, weight, sign) — order→part bipartite, deduped.
+
+    sign = min over duplicate raws so the result is a function of the
+    (src, dst) key (deterministic under any row order).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.col("l_orderkey").alias("src"),
+            (F.col("l_partkey") + F.lit(PART_OFFSET)).alias("dst"),
+            F.when(F.col("l_quantity") >= 25, F.lit(1)).otherwise(F.lit(2)).alias("s"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("s").alias("sign"))
+        .select("src", "dst", F.lit(1.0).alias("weight"), "sign")
+    )
+
+
+def uni_edges_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed unipartite edges(src, dst, weight): ids mod UNI_MOD, no
+    self-loops, distinct. Skewed in-degree (part popularity) — the hub
+    shape our salting/AQE handling is exercised against."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            (F.col("l_orderkey") % UNI_MOD).alias("src"),
+            (F.col("l_partkey") % UNI_MOD).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
+def uni_edges_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical undirected edge set: (a, b) with a < b, distinct."""
+    d = uni_edges_directed(spark, sf_dir)
+    return (
+        d.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
+def symmetrize(edges_ab: DataFrame) -> DataFrame:
+    """Undirected (a,b) → both directed rows (src,dst)."""
+    fwd = edges_ab.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    rev = edges_ab.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    return fwd.unionAll(rev).withColumn("weight", F.lit(1.0))
+
+
+def vertices_of(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """vertices(id) — distinct endpoint set of an edge DataFrame."""
+    return (
+        edges.select(F.col(src).alias("id"))
+        .unionAll(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+
+
+def vertex_priors(vertices: DataFrame) -> DataFrame:
+    """Deterministic per-vertex prior in [0,1): multiplicative-hash of the
+    id — the stand-in for the reference's priors.pkl (S5, broadcast-join
+    sized in the YelpChi demo: 201 products)."""
+    return vertices.select(
+        "id",
+        (((F.col("id") * PRIOR_MULT) % PRIOR_MOD) / F.lit(float(PRIOR_MOD))).alias(
+            "prior"
+        ),
+    )
