@@ -19,8 +19,27 @@ oracle and for a 100 TB / 1000-executor deployment):
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def _package_zip() -> str:
+    """Zip the ugfraud_spark package for executor shipping — the same
+    artifact ``spark-submit --py-files`` would take; ensures Arrow UDF
+    closures referencing this package unpickle inside executor Python
+    workers regardless of the driver's cwd."""
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(pkg_dir)
+    out = os.path.join(tempfile.gettempdir(), "ugfraud_spark_pyfiles.zip")
+    with zipfile.ZipFile(out, "w") as z:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, root))
+    return out
 
 
 def get_spark(
@@ -56,4 +75,8 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:
+        pass  # session reuse: file may already be registered
     return spark
