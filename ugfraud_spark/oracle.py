@@ -204,6 +204,131 @@ def sql_triangle_total() -> str:
     )
 
 
+def _d(v: float) -> str:
+    """Emit a float as a DuckDB DOUBLE literal (exact repr roundtrip)."""
+    return f"CAST({v!r} AS DOUBLE)"
+
+
+def _lse(a: str, b: str) -> str:
+    return (
+        f"(GREATEST({a}, {b}) + LN(EXP(({a}) - GREATEST({a}, {b})) "
+        f"+ EXP(({b}) - GREATEST({a}, {b}))))"
+    )
+
+
+def _logp_cte(key_sql: str, prior: str, eps: float = 1e-5) -> str:
+    """(key, lp0, lp1): clamped log prior like ``SpEagle.py:58-64``."""
+    p = (
+        f"CASE WHEN ({prior}) = 1.0 THEN {_d(1.0 - eps)} "
+        f"WHEN ({prior}) = 0.0 THEN {_d(eps)} ELSE ({prior}) END"
+    )
+    return f"SELECT {key_sql}, LN(1.0::DOUBLE - {p}) AS lp0, LN({p}) AS lp1"
+
+
+def review_prior_expr(src: str = "src", dst: str = "dst") -> str:
+    return prior_expr(f"({src} * 131 + {dst})")
+
+
+def sql_speagle(iters: int = 2, numerical_eps: float = 1e-5,
+                eps: float = 0.1, output: str = "review") -> str:
+    """Synchronous SpEagle BP unrolled; ``output`` ∈ review|user|prod."""
+    import math
+
+    hs_ur, hd_ur = math.log(1 - numerical_eps), math.log(numerical_eps)
+    hs_rp, hd_rp = math.log(1 - eps), math.log(eps)
+
+    ctes: list[tuple[str, str]] = [
+        ("bip", BIP),
+        ("upri", _logp_cte("id", prior_expr("id"))
+         + " FROM (SELECT DISTINCT src AS id FROM bip)"),
+        ("ppri", _logp_cte("id", prior_expr("id"))
+         + " FROM (SELECT DISTINCT dst AS id FROM bip)"),
+        ("rpri", _logp_cte("src, dst", review_prior_expr()) + " FROM bip"),
+        ("base",
+         "SELECT b.src, b.dst, r.lp0 AS r0, r.lp1 AS r1, "
+         "u.lp0 AS u0, u.lp1 AS u1, p.lp0 AS p0, p.lp1 AS p1 "
+         "FROM bip b JOIN rpri r ON r.src = b.src AND r.dst = b.dst "
+         "JOIN upri u ON u.id = b.src JOIN ppri p ON p.id = b.dst"),
+        ("m0",
+         "SELECT src, dst, " + ", ".join(
+             f"CAST(0.0 AS DOUBLE) AS {c}"
+             for c in ["ur0", "ur1", "ru0", "ru1", "rp0", "rp1", "pr0", "pr1"]
+         ) + " FROM bip"),
+    ]
+
+    def msg_sql(hs: float, hd: float, v0: str, v1: str, name: str) -> list[str]:
+        t0 = _lse(f"{_d(hs)} + ({v0})", f"{_d(hd)} + ({v1})")
+        t1 = _lse(f"{_d(hd)} + ({v0})", f"{_d(hs)} + ({v1})")
+        return [f"{t0} AS {name}_t0", f"{t1} AS {name}_t1"]
+
+    for t in range(1, iters + 1):
+        prev = f"m{t-1}"
+        ctes.append((
+            f"ub{t}",
+            f"SELECT src, SUM(ru0) AS sru0, SUM(ru1) AS sru1 FROM {prev} GROUP BY src",
+        ))
+        ctes.append((
+            f"pb{t}",
+            f"SELECT dst, SUM(rp0) AS srp0, SUM(rp1) AS srp1 FROM {prev} GROUP BY dst",
+        ))
+        # v-columns: belief minus the reverse message (SpEagle.py:193)
+        inner = (
+            "SELECT b.src, b.dst,\n"
+            "  b.u0 + ub.sru0 - m.ru0 AS vur0, b.u1 + ub.sru1 - m.ru1 AS vur1,\n"
+            "  b.r0 + m.ur0 + m.pr0 - m.ur0 AS vru0, "
+            "b.r1 + m.ur1 + m.pr1 - m.ur1 AS vru1,\n"
+            "  b.r0 + m.ur0 + m.pr0 - m.pr0 AS vrp0, "
+            "b.r1 + m.ur1 + m.pr1 - m.pr1 AS vrp1,\n"
+            "  b.p0 + pb.srp0 - m.rp0 AS vpr0, b.p1 + pb.srp1 - m.rp1 AS vpr1\n"
+            f"FROM base b JOIN {prev} m ON m.src = b.src AND m.dst = b.dst "
+            f"JOIN ub{t} ub ON ub.src = b.src JOIN pb{t} pb ON pb.dst = b.dst"
+        )
+        mids = []
+        mids += msg_sql(hs_ur, hd_ur, "vur0", "vur1", "ur")
+        mids += msg_sql(hs_ur, hd_ur, "vru0", "vru1", "ru")
+        mids += msg_sql(hs_rp, hd_rp, "vrp0", "vrp1", "rp")
+        mids += msg_sql(hs_rp, hd_rp, "vpr0", "vpr1", "pr")
+        mid = "SELECT src, dst, " + ", ".join(mids) + f" FROM (\n{inner}\n)"
+        outs = []
+        for name in ["ur", "ru", "rp", "pr"]:
+            z = _lse(f"{name}_t0", f"{name}_t1")
+            outs.append(f"{name}_t0 - {z} AS {name}0")
+            outs.append(f"{name}_t1 - {z} AS {name}1")
+        ctes.append((f"m{t}", "SELECT src, dst, " + ", ".join(outs)
+                     + f" FROM (\n{mid}\n)"))
+
+    last = f"m{iters}"
+    sm = lambda b0, b1: f"EXP(({b1}) - {_lse(b0, b1)})"  # noqa: E731
+    if output == "review":
+        final = (
+            f"SELECT b.src, b.dst, ROUND("
+            + sm("b.r0 + m.ur0 + m.pr0", "b.r1 + m.ur1 + m.pr1")
+            + f", 6) AS belief FROM base b JOIN {last} m "
+            "ON m.src = b.src AND m.dst = b.dst"
+        )
+    elif output == "user":
+        ctes.append(
+            ("fb",
+             f"SELECT src, SUM(ru0) AS s0, SUM(ru1) AS s1 FROM {last} GROUP BY src")
+        )
+        final = (
+            "SELECT u.id, ROUND("
+            + sm("u.lp0 + fb.s0", "u.lp1 + fb.s1")
+            + ", 6) AS belief FROM upri u JOIN fb ON fb.src = u.id"
+        )
+    else:
+        ctes.append(
+            ("fb",
+             f"SELECT dst, SUM(rp0) AS s0, SUM(rp1) AS s1 FROM {last} GROUP BY dst")
+        )
+        final = (
+            "SELECT p.id, ROUND("
+            + sm("p.lp0 + fb.s0", "p.lp1 + fb.s1")
+            + ", 6) AS belief FROM ppri p JOIN fb ON fb.dst = p.id"
+        )
+    return _with(ctes, final)
+
+
 def sql_gang(iters: int = 5, weight: float = 0.008) -> str:
     """GANG linearized BP (reference ``GANG.py:115-137``):
     B ← prior_centered + 2w · (A·B) over the symmetric bipartite
@@ -229,6 +354,15 @@ def sql_gang(iters: int = 5, weight: float = 0.008) -> str:
             )
         )
     return _with(ctes, f"SELECT id, ROUND(b, 6) AS belief FROM b{iters}")
+
+
+def sql_fraudar_colweights() -> str:
+    """L7 column reweighting: 1/log(colDegree + 5) (``Fraudar.py:165-172``)."""
+    return _with(
+        [("bip", BIP)],
+        "SELECT dst AS id, ROUND(CAST(1.0 AS DOUBLE) / LN(COUNT(*) + 5.0::DOUBLE), 6) "
+        "AS col_weight FROM bip GROUP BY dst",
+    )
 
 
 def sql_zoobp(iters: int = 5, ep: float = 0.01) -> str:

@@ -19,7 +19,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import oracle
-from .operators import components, degrees, gang, labelprop, pagerank, triangles, zoobp
+from .operators import (
+    components,
+    degrees,
+    fraudar,
+    gang,
+    labelprop,
+    pagerank,
+    speagle,
+    triangles,
+    zoobp,
+)
 from .sources import tables
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -112,6 +122,42 @@ def q_zoobp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(res.state, "belief")
 
 
+SPEAGLE_ITERS = 2
+
+
+def _speagle(spark: SparkSession, sf_dir: str):
+    e = tables.bipartite_edges(spark, sf_dir)
+    up = tables.vertex_priors(e.select(F.col("src").alias("id")).distinct())
+    pp = tables.vertex_priors(e.select(F.col("dst").alias("id")).distinct())
+    rp = tables.edge_priors(e)
+    return speagle.speagle(e, up, pp, rp, max_iter=SPEAGLE_ITERS)
+
+
+def q_speagle_review(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _res, _ub, _pb, rb = _speagle(spark, sf_dir)
+    return _round6(rb, "belief")
+
+
+def q_speagle_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _res, ub, _pb, _rb = _speagle(spark, sf_dir)
+    return _round6(ub, "belief")
+
+
+def q_speagle_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _res, _ub, pb, _rb = _speagle(spark, sf_dir)
+    return _round6(pb, "belief")
+
+
+def q_fraudar_colweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.bipartite_edges(spark, sf_dir)
+    return _round6(fraudar.fraudar_col_weights(e), "col_weight")
+
+
+def q_fraudar_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.bipartite_edges(spark, sf_dir)
+    return _round6(fraudar.fraudar_scores(e), "score")
+
+
 REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "uni_edges": (q_uni_edges, oracle.sql_uni_edges()),
     "bip_edges": (q_bip_edges, oracle.sql_bip_edges()),
@@ -125,4 +171,14 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "triangle_total": (q_triangle_total, oracle.sql_triangle_total()),
     "gang_lbp": (q_gang, oracle.sql_gang(GANG_ITERS)),
     "zoobp": (q_zoobp, oracle.sql_zoobp(ZOOBP_ITERS)),
+    "speagle_review": (q_speagle_review,
+                       oracle.sql_speagle(SPEAGLE_ITERS, output="review")),
+    "speagle_user": (q_speagle_user,
+                     oracle.sql_speagle(SPEAGLE_ITERS, output="user")),
+    "speagle_prod": (q_speagle_prod,
+                     oracle.sql_speagle(SPEAGLE_ITERS, output="prod")),
+    "fraudar_col_weights": (q_fraudar_colweights, oracle.sql_fraudar_colweights()),
+    # greedy peel is inherently sequential → no SQL oracle (rows-only check);
+    # exactness is asserted vs a brute-force spec in tests/test_fraudar.py
+    "fraudar_scores": (q_fraudar_scores, None),
 }

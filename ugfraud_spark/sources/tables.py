@@ -122,3 +122,16 @@ def vertex_priors(vertices: DataFrame) -> DataFrame:
             "prior"
         ),
     )
+
+
+def edge_priors(edges: DataFrame) -> DataFrame:
+    """Deterministic per-edge (review) prior keyed by (src, dst) — the
+    stand-in for the reference's review-prior dict (priors.pkl[1])."""
+    return edges.select(
+        "src",
+        "dst",
+        (
+            ((F.col("src") * 131 + F.col("dst")) * PRIOR_MULT) % PRIOR_MOD
+            / F.lit(float(PRIOR_MOD))
+        ).alias("prior"),
+    )
