@@ -1,0 +1,142 @@
+"""fBox/SVD spectral path vs dense numpy SVD (sign/rotation-invariant
+comparisons: reconstructed-degree row norms), and AUC/AP vs direct hand
+computation per the sklearn definitions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ugfraud_spark.operators import evalmetrics, fbox, svd
+from ugfraud_spark.operators.linalg import (
+    dense_col_index,
+    gram_matrix,
+    row_projection_norms,
+    topk_right_factors,
+)
+
+
+@pytest.fixture(scope="module")
+def small_matrix(spark):
+    rng = np.random.RandomState(3)
+    m, n = 120, 25
+    mask = rng.rand(m, n) < 0.12
+    mask[:15, :5] |= rng.rand(15, 5) < 0.85  # a dense block
+    ri, ci = np.nonzero(mask)
+    edges = spark.createDataFrame(
+        [(int(r) + 10, int(c) + 500) for r, c in zip(ri, ci)], "src long, dst long"
+    )
+    a = mask.astype(float)
+    return edges, a
+
+
+def test_gram_and_rownorms_match_numpy(spark, small_matrix):
+    edges, a = small_matrix
+    e = edges.select("src", "dst").distinct()
+    cidx = dense_col_index(e)
+    eidx = e.join(cidx, "dst").select("src", "cidx")
+    n_cols = a.shape[1]
+    g = gram_matrix(eidx, n_cols)
+    # dense col index is by sorted dst == original column order (+500 offset)
+    assert np.allclose(g, a.T @ a, atol=1e-9)
+
+    k = 8
+    v, s = topk_right_factors(g, k)
+    # numpy oracle
+    u_np, s_np, vt_np = np.linalg.svd(a, full_matrices=False)
+    assert np.allclose(s[:k], s_np[:k], atol=1e-8)
+
+    rec = {r["src"]: r["rec"] for r in row_projection_norms(eidx, v).collect()}
+    want = np.linalg.norm(a @ vt_np[:k].T, axis=1)
+    for i in range(a.shape[0]):
+        got = rec.get(10 + i, 0.0)
+        assert abs(got - want[i]) < 1e-7
+
+
+def test_fbox_matches_numpy_pipeline(spark, small_matrix):
+    edges, a = small_matrix
+    tau, k = 20.0, 8
+    su, sp = fbox.fbox(edges, tau=tau, k=k)
+    got_u = {r["id"] for r in su.collect()}
+    got_p = {r["id"] for r in sp.collect()}
+
+    u_np, s_np, vt_np = np.linalg.svd(a, full_matrices=False)
+    rec_out = np.linalg.norm(a @ vt_np[:k].T, axis=1)
+    rec_in = np.linalg.norm((vt_np[:k].T * s_np[:k]), axis=1)
+    out_deg = a.sum(axis=1)
+    in_deg = a.sum(axis=0)
+
+    want_u = set()
+    for d in np.unique(out_deg):
+        sel = out_deg == d
+        thr = np.percentile(rec_out[sel], tau)
+        for i in np.nonzero(sel)[0]:
+            if rec_out[i] < thr:
+                want_u.add(10 + i)
+    want_p = set()
+    for d in np.unique(in_deg):
+        sel = in_deg == d
+        thr = np.percentile(rec_in[sel], tau)
+        for j in np.nonzero(sel)[0]:
+            if rec_in[j] < thr:
+                want_p.add(500 + j)
+    assert got_u == want_u
+    assert got_p == want_p
+
+
+def test_svd_user_norms_match_numpy(spark, small_matrix):
+    edges, a = small_matrix
+    e = edges.withColumn("sign", F.lit(2))  # constant rating 2
+    got = {r["id"]: r["norm"] for r in svd.svd_user_norms(e, percent=0.5).collect()}
+    m, n = a.shape
+    k = int(max(round(min(m, n) * 0.5), 1))
+    u_np, s_np, vt_np = np.linalg.svd(2.0 * a, full_matrices=False)
+    want = np.linalg.norm((2.0 * a) @ vt_np[:k].T, axis=1)  # = ||U_i Σ||
+    for i in range(m):
+        if (10 + i) in got:
+            assert abs(got[10 + i] - round(float(want[i]), 6)) < 2e-6
+
+
+def test_auc_ap_match_reference_definitions(spark):
+    rng = np.random.RandomState(9)
+    scores = np.round(rng.rand(400), 2)  # ties guaranteed
+    labels = (rng.rand(400) < 0.3).astype(int)
+    df = spark.createDataFrame(
+        [(float(s), int(l)) for s, l in zip(scores, labels)],
+        "score double, label int",
+    )
+    row = evalmetrics.auc_ap(df).collect()[0]
+
+    # AUC via average-rank Mann-Whitney (== sklearn roc_auc_score)
+    order = np.argsort(scores)
+    ranks = np.empty(len(scores))
+    sorted_s = scores[order]
+    i = 0
+    pos_rank_sum = 0.0
+    r = 1
+    while i < len(sorted_s):
+        j = i
+        while j < len(sorted_s) and sorted_s[j] == sorted_s[i]:
+            j += 1
+        avg = (r + (r + (j - i) - 1)) / 2.0
+        for t in range(i, j):
+            if labels[order[t]] == 1:
+                pos_rank_sum += avg
+        r += j - i
+        i = j
+    n_pos, n_neg = labels.sum(), (1 - labels).sum()
+    want_auc = (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    assert abs(row["auc"] - want_auc) < 1e-12
+
+    # AP: sklearn step definition over distinct thresholds descending
+    uniq = np.unique(scores)[::-1]
+    ctp = cn = 0
+    ap = 0.0
+    for s in uniq:
+        sel = scores == s
+        tp = int(labels[sel].sum())
+        ctp += tp
+        cn += int(sel.sum())
+        ap += tp / n_pos * (ctp / cn)
+    assert abs(row["ap"] - ap) < 1e-12

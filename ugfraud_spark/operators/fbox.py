@@ -1,0 +1,78 @@
+"""fBox spectral anomaly detector.
+
+Reference: ``/root/reference/UGFraud/Detector/fBox.py`` — truncated SVD
+of the binary user×product matrix; "reconstructed degrees" are the row
+norms of U·Σ (users) and V·Σ (products) (``fBox.py:58-62``); for every
+distinct original degree d, nodes whose reconstructed degree falls below
+the tau-th percentile of their degree group are suspicious
+(``fBox.py:72-106``). Demo params tau=20, k=50 (``Demo/eval_fBox.py``).
+
+Spark decomposition (see linalg.py): Gram + driver eigh gives V and Σ;
+user-side norms run distributed (one groupBy over edges); product-side
+norms come directly from V·Σ (driver, |products| rows). Percentile
+thresholds per degree group use Spark's exact ``percentile`` (linear
+interpolation — same definition as ``np.percentile`` default).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .linalg import dense_col_index, gram_matrix, row_projection_norms, topk_right_factors
+
+
+def fbox(
+    edges: DataFrame, *, tau: float = 20.0, k: int = 50
+) -> tuple[DataFrame, DataFrame]:
+    """edges(src, dst) binary bipartite → (suspicious_users(id, out_deg,
+    rec_deg, threshold), suspicious_products(id, in_deg, rec_deg,
+    threshold))."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    cidx = dense_col_index(e).localCheckpoint(eager=True)
+    eidx = e.join(cidx, "dst").select("src", "cidx")
+    n_cols = cidx.count()
+    kk = min(k, n_cols - 1) if n_cols > 1 else 1
+
+    g = gram_matrix(eidx, n_cols)
+    v, s = topk_right_factors(g, kk)
+
+    # users: rec out-degree distributed
+    rec_u = row_projection_norms(eidx, v)
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    u = rec_u.join(out_deg, "src")
+    thr_u = u.groupBy("deg").agg(
+        F.percentile("rec", tau / 100.0).alias("threshold")
+    )
+    suspicious_users = (
+        u.join(thr_u, "deg")
+        .where(F.col("rec") < F.col("threshold"))
+        .select(
+            F.col("src").alias("id"), F.col("deg").alias("out_deg"),
+            F.col("rec").alias("rec_deg"), "threshold",
+        )
+    )
+
+    # products: V·Σ row norms on the driver (small side), then the same
+    # percentile rule in Spark
+    vs_norms = np.linalg.norm(v * s[None, :], axis=1)
+    rec_p = spark.createDataFrame(
+        [(int(j), float(vs_norms[j])) for j in range(n_cols)],
+        "cidx int, rec double",
+    )
+    in_deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("deg"))
+    p = cidx.join(rec_p, "cidx").join(in_deg, "dst")
+    thr_p = p.groupBy("deg").agg(
+        F.percentile("rec", tau / 100.0).alias("threshold")
+    )
+    suspicious_products = (
+        p.join(thr_p, "deg")
+        .where(F.col("rec") < F.col("threshold"))
+        .select(
+            F.col("dst").alias("id"), F.col("deg").alias("in_deg"),
+            F.col("rec").alias("rec_deg"), "threshold",
+        )
+    )
+    return suspicious_users, suspicious_products

@@ -1,0 +1,140 @@
+"""Distributed tall-skinny SVD for the spectral detectors (fBox, SVD).
+
+The reference calls ``scipy.sparse.linalg.svds`` on a single-node matrix
+(``fBox.py:58``, ``SVD.py:54``). Spark-first equivalent for a matrix
+whose *column* dimension (products) is the small side — true for
+bipartite review graphs (YelpChi: 201 products × 38k users) and for
+host-level web graphs:
+
+1. assign dense column indices (sorted dst → 0..n_cols-1),
+2. accumulate the Gram matrix AᵀA with **per-partition numpy outer
+   products inside mapInPandas** (one (n_cols × n_cols) partial per
+   partition, shipped as nonzero (j1, j2, v) triples, groupBy-sum) —
+   never the O(Σdeg²) pairwise co-occurrence self-join, which explodes
+   on hub users,
+3. ``numpy.linalg.eigh`` of the (small) Gram on the driver →
+   V, s = sqrt(eig); U·Σ row norms are then computed distributively:
+   norm(A_i·V) per row via a broadcast V and one groupBy.
+
+At 10^12 docs with a large column side this becomes randomized-sketch
+SVD (Halko et al.): replace V by A·Ω for a k+p Gaussian test matrix —
+same plumbing, the Gram shrinks to (k+p)². The exact-Gram path is kept
+because the sandbox column side is small and parity needs exactness.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dense_col_index(edges: DataFrame) -> DataFrame:
+    """(dst, cidx): deterministic dense 0-based index by sorted dst —
+    the typed replacement for the reference's id↔idx dicts
+    (``fBox.py:20-47``)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("dst")
+    return (
+        edges.select("dst").distinct()
+        .withColumn("cidx", F.row_number().over(w) - 1)
+    )
+
+
+def gram_matrix(edges_idx: DataFrame, n_cols: int,
+                weight_col: str | None = None) -> np.ndarray:
+    """AᵀA for the matrix given as (src, cidx[, weight]) rows; binary
+    entries when ``weight_col`` is None."""
+    schema = T.StructType([
+        T.StructField("j1", T.IntegerType()),
+        T.StructField("j2", T.IntegerType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    nc = n_cols
+    wc = weight_col
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = np.zeros((nc, nc))
+        # concat the partition's Arrow batches first: a src's row vector
+        # must be outer-producted whole (cross terms are lost if one src
+        # is split across batches); repartition("src") upstream already
+        # guarantees a src never spans *partitions*
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        for _src, grp in pdf.groupby("src"):
+            idx = grp["cidx"].to_numpy()
+            w = grp[wc].to_numpy() if wc else np.ones(len(idx))
+            g[np.ix_(idx, idx)] += np.outer(w, w)
+        j1, j2 = np.nonzero(g)
+        yield pd.DataFrame({"j1": j1.astype("int32"),
+                            "j2": j2.astype("int32"),
+                            "v": g[j1, j2]})
+
+    parts = (
+        edges_idx.repartition("src")
+        .mapInPandas(partial, schema=schema)
+        .groupBy("j1", "j2")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    g = np.zeros((n_cols, n_cols))
+    for r in parts:
+        g[r["j1"], r["j2"]] = r["v"]
+    return g
+
+
+def topk_right_factors(gram: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(V[:, :k], s[:k]) with s descending, from the Gram eigensystem."""
+    evals, evecs = np.linalg.eigh(gram)
+    order = np.argsort(evals)[::-1][:k]
+    s = np.sqrt(np.clip(evals[order], 0.0, None))
+    return evecs[:, order], s
+
+
+def row_projection_norms(edges_idx: DataFrame, v: np.ndarray) -> DataFrame:
+    """(src, rec) where rec = ||A_i · V||₂ — the reconstructed out-degree
+    of ``fBox.py:60``. V is broadcast; the sum of V-rows per src runs as
+    k JVM-side sum aggregates (no Python in the agg)."""
+    spark = edges_idx.sparkSession
+    k = v.shape[1]
+    vrows = spark.createDataFrame(
+        [(int(j), [float(x) for x in v[j]]) for j in range(v.shape[0])],
+        "cidx int, vrow array<double>",
+    )
+    j = edges_idx.join(F.broadcast(vrows), "cidx")
+    sums = j.groupBy("src").agg(
+        *[F.sum(F.col("vrow")[i]).alias(f"c{i}") for i in range(k)]
+    )
+    norm_expr = F.sqrt(sum(F.col(f"c{i}") * F.col(f"c{i}") for i in range(k)))
+    return sums.select("src", norm_expr.alias("rec"))
+
+
+def row_projection_components(edges_idx: DataFrame, v: np.ndarray,
+                              weight_col: str | None = None,
+                              scale: np.ndarray | None = None) -> DataFrame:
+    """(src, comps array<double>): per-row projection A_i·V (optionally
+    scaled per component — pass 1/s to get U rows). Vectorized
+    applyInPandas per src group; V ships once inside the closure (small:
+    n_cols × k)."""
+    wc = weight_col
+    sc = scale
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = pdf["cidx"].to_numpy()
+        w = pdf[wc].to_numpy() if wc else np.ones(len(idx))
+        comp = (v[idx] * w[:, None]).sum(axis=0)
+        if sc is not None:
+            comp = comp * sc
+        return pd.DataFrame({"src": [pdf["src"].iloc[0]],
+                             "comps": [comp.tolist()]})
+
+    return edges_idx.groupBy("src").applyInPandas(
+        fn, schema="src long, comps array<double>"
+    )

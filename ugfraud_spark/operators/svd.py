@@ -1,0 +1,106 @@
+"""SVD detector: low-rank user embedding of the rating matrix.
+
+Reference: ``/root/reference/UGFraud/Detector/SVD.py`` — dense
+user×product rating matrix (``SVD.py:25-46``), ``svds`` with
+k = round(0.9·min(m,n)) (``SVD.py:53-54``), returns U as the user
+embedding; 50/50 stratified train/test split (``SVD.py:57-88``, unseeded
+in the reference — seeded here per SURVEY §7); downstream SVC
+classification (``SVD.py:90-102``) is sklearn-territory and runs only
+when sklearn is importable (not in this sandbox) — a numpy nearest-
+centroid fallback keeps the pipeline runnable.
+
+Spark path: never materializes the dense matrix (``SVD.py:25`` does —
+infeasible at scale); Gram + eigh gives V/s, U rows are computed
+distributively per user (linalg.row_projection_components with 1/s
+scaling).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .linalg import (
+    dense_col_index,
+    gram_matrix,
+    row_projection_components,
+    topk_right_factors,
+)
+
+
+def svd_user_embedding(
+    edges: DataFrame, *, percent: float = 0.9, rating_col: str = "sign"
+) -> tuple[DataFrame, np.ndarray]:
+    """edges(src, dst, rating) → ((src, comps array<double> = U_i rows),
+    singular values). k = max(round(min(m, n)·percent), 1) like
+    ``SVD.py:53``."""
+    e = (
+        edges.select("src", "dst", F.col(rating_col).cast("double").alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    cidx = dense_col_index(e)
+    eidx = e.join(cidx, "dst").select("src", "cidx", "w")
+    n_cols = cidx.count()
+    n_rows = e.select("src").distinct().count()
+    k = int(max(round(min(n_rows, n_cols) * percent), 1))
+
+    g = gram_matrix(eidx, n_cols, weight_col="w")
+    v, s = topk_right_factors(g, k)
+    inv_s = np.where(s > 1e-12, 1.0 / s, 0.0)
+    u_rows = row_projection_components(eidx, v, weight_col="w", scale=inv_s)
+    return u_rows, s
+
+
+def svd_user_norms(edges: DataFrame, *, percent: float = 0.9,
+                   rating_col: str = "sign") -> DataFrame:
+    """(id, norm): sign/rotation-invariant summary of the embedding —
+    ||U_i·Σ||₂ (= row norm of the rank-k reconstruction's row space)."""
+    u_rows, s = svd_user_embedding(edges, percent=percent, rating_col=rating_col)
+    sl = [float(x) for x in s]
+    arr = F.col("comps")
+    weighted = F.zip_with(
+        arr, F.array(*[F.lit(x) for x in sl]), lambda c, sv: c * sv * c * sv
+    )
+    return u_rows.select(
+        F.col("src").alias("id"),
+        F.sqrt(F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)).alias("norm"),
+    )
+
+
+def random_split(users_labeled: DataFrame, seed: int = 42) -> DataFrame:
+    """Seeded 50/50 stratified split (``SVD.py:57-88``): adds
+    ``is_train`` per user, sampling half of each label stratum."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy(F.xxhash64("id", F.lit(seed)))
+    cnt = Window.partitionBy("label")
+    ranked = users_labeled.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(cnt)
+    )
+    return ranked.withColumn(
+        "is_train", F.col("_rn") <= (F.col("_n") / 2).cast("int")
+    ).drop("_rn", "_n")
+
+
+def centroid_classify(train: DataFrame, test: DataFrame) -> DataFrame:
+    """Nearest-centroid on the embedding (numpy, driver): the sandbox
+    stand-in for the reference's SVC (sklearn absent). Returns
+    (id, pred_label)."""
+    t = train.select("id", "comps", "label").collect()
+    by_label: dict[int, list] = {}
+    for r in t:
+        by_label.setdefault(r["label"], []).append(r["comps"])
+    cents = {lb: np.mean(np.array(v), axis=0) for lb, v in by_label.items()}
+    labels = sorted(cents)
+    c = np.array([cents[lb] for lb in labels])
+    spark = train.sparkSession
+    rows = test.select("id", "comps").collect()
+    out = []
+    for r in rows:
+        x = np.array(r["comps"])
+        d = ((c - x[None, :]) ** 2).sum(axis=1)
+        out.append((r["id"], int(labels[int(np.argmin(d))])))
+    return spark.createDataFrame(out, "id long, pred_label int")

@@ -356,6 +356,59 @@ def sql_gang(iters: int = 5, weight: float = 0.008) -> str:
     return _with(ctes, f"SELECT id, ROUND(b, 6) AS belief FROM b{iters}")
 
 
+def sql_ground_truth_users() -> str:
+    return _with(
+        [("bip", BIP)],
+        "SELECT src AS id, MAX(CASE WHEN sign = 2 THEN 1 ELSE 0 END) AS gt "
+        "FROM bip GROUP BY src",
+    )
+
+
+_RPRI_SCALED = (
+    "SELECT src, dst, CASE WHEN raw = 0.0 THEN 1e-07 "
+    "WHEN raw = 1.0 THEN CAST(1.0 AS DOUBLE) - 1e-07 ELSE raw END AS belief "
+    "FROM (SELECT src, dst, (p - MIN(p) OVER ()) / (MAX(p) OVER () - MIN(p) OVER ()) "
+    "AS raw FROM rpri)"
+)
+
+
+def sql_prior_scaled_review() -> str:
+    return _with(
+        [("bip", BIP),
+         ("rpri", f"SELECT src, dst, {review_prior_expr()} AS p FROM bip"),
+         ("sc", _RPRI_SCALED)],
+        "SELECT src, dst, ROUND(belief, 6) AS belief FROM sc",
+    )
+
+
+def sql_prior_eval() -> str:
+    """AUC (Mann-Whitney with average tie ranks) + sklearn-style AP of
+    the scaled review prior vs sign ground truth — full SQL mirror of
+    eval_Prior."""
+    return _with(
+        [("bip", BIP),
+         ("rpri", f"SELECT src, dst, {review_prior_expr()} AS p FROM bip"),
+         ("sc", _RPRI_SCALED),
+         ("d",
+          "SELECT sc.belief AS score, CASE WHEN b.sign = 2 THEN 1 ELSE 0 END AS label "
+          "FROM sc JOIN bip b ON b.src = sc.src AND b.dst = sc.dst"),
+         ("g",
+          "SELECT score AS s, COUNT(*) AS c, SUM(label) AS pos FROM d GROUP BY score"),
+         ("o",
+          "SELECT s, c, pos, "
+          "COALESCE(SUM(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING "
+          "AND 1 PRECEDING), 0) AS lower_c, "
+          "SUM(pos) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING "
+          "AND CURRENT ROW) AS ctp, "
+          "SUM(c) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING "
+          "AND CURRENT ROW) AS cn FROM g")],
+        "SELECT ROUND((SUM(pos * (lower_c + (c + 1) / 2.0::DOUBLE)) "
+        "- SUM(pos) * (SUM(pos) + 1) / 2.0::DOUBLE) "
+        "/ (SUM(pos) * (SUM(c) - SUM(pos))), 6) AS auc, "
+        "ROUND(SUM(pos * ctp / CAST(cn AS DOUBLE)) / SUM(pos), 6) AS ap FROM o",
+    )
+
+
 def sql_fraudar_colweights() -> str:
     """L7 column reweighting: 1/log(colDegree + 5) (``Fraudar.py:165-172``)."""
     return _with(

@@ -22,11 +22,15 @@ from . import oracle
 from .operators import (
     components,
     degrees,
+    evalmetrics,
+    fbox,
     fraudar,
     gang,
     labelprop,
     pagerank,
+    prior,
     speagle,
+    svd,
     triangles,
     zoobp,
 )
@@ -148,6 +152,31 @@ def q_speagle_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(pb, "belief")
 
 
+def q_ground_truth_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return evalmetrics.ground_truth_users(tables.bipartite_edges(spark, sf_dir))
+
+
+def q_prior_scaled_review(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.bipartite_edges(spark, sf_dir)
+    return _round6(prior.prior_review_beliefs(tables.edge_priors(e)), "belief")
+
+
+def q_prior_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.bipartite_edges(spark, sf_dir)
+    return _round6(prior.prior_eval(e, tables.edge_priors(e)), "auc", "ap")
+
+
+def q_fbox_suspicious_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.bipartite_edges(spark, sf_dir)
+    su, _sp = fbox.fbox(e, tau=20.0, k=50)
+    return su.select("id", "out_deg")
+
+
+def q_svd_user_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.bipartite_edges(spark, sf_dir)
+    return _round6(svd.svd_user_norms(e, percent=0.9), "norm")
+
+
 def q_fraudar_colweights(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tables.bipartite_edges(spark, sf_dir)
     return _round6(fraudar.fraudar_col_weights(e), "col_weight")
@@ -181,4 +210,10 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     # greedy peel is inherently sequential → no SQL oracle (rows-only check);
     # exactness is asserted vs a brute-force spec in tests/test_fraudar.py
     "fraudar_scores": (q_fraudar_scores, None),
+    "ground_truth_users": (q_ground_truth_users, oracle.sql_ground_truth_users()),
+    "prior_scaled_review": (q_prior_scaled_review, oracle.sql_prior_scaled_review()),
+    "prior_eval": (q_prior_eval, oracle.sql_prior_eval()),
+    # SVD-based: no SQL oracle (rows-only); semantics vs numpy in tests
+    "fbox_suspicious_users": (q_fbox_suspicious_users, None),
+    "svd_user_norms": (q_svd_user_norms, None),
 }
