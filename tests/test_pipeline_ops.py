@@ -1,0 +1,109 @@
+"""Training-data pipeline semantics: planted near-duplicates are found
+by MinHash-LSH / SimHash / embedding-LSH; multimodal plumbing yields the
+right shapes; exact ANN agrees with a numpy brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ugfraud_spark.operators import ann, dedup, multimodal
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(80)]
+    rows = []
+    for i in range(60):
+        words = list(rng.choice(vocab, size=40))
+        rows.append((i, " ".join(words)))
+        if i % 10 == 0:  # plant a near-dup: same text, one word changed
+            mutated = words.copy()
+            mutated[20] = "MUT"
+            rows.append((1000 + i, " ".join(mutated)))
+        if i % 15 == 0:  # plant an exact dup
+            rows.append((2000 + i, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_finds_planted(spark, docs_with_dups):
+    d = dedup.exact_dups(docs_with_dups)
+    dups = d.where(F.col("n_docs") > 1).collect()
+    assert {r["keep_id"] for r in dups} == {0, 15, 30, 45}
+    assert all(r["n_docs"] == 2 for r in dups)
+
+
+def test_lsh_finds_planted_neardups(spark, docs_with_dups):
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup.lsh_candidate_pairs(docs_with_dups).collect()}
+    for i in [0, 10, 20, 30, 40, 50]:
+        assert (i, 1000 + i) in pairs, f"near-dup pair ({i},{1000+i}) missed"
+
+
+def test_ngram_jaccard_ranks_neardups_high(spark, docs_with_dups):
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+         for r in dedup.ngram_jaccard_pairs(docs_with_dups).collect()}
+    planted = [j[(i, 1000 + i)] for i in [0, 10, 20, 30, 40, 50] if (i, 1000 + i) in j]
+    assert planted and min(planted) > 0.8
+    exact = [j[(i, 2000 + i)] for i in [0, 15, 30, 45] if (i, 2000 + i) in j]
+    assert exact and all(v == 1.0 for v in exact)
+
+
+def test_simhash_close_for_neardups(spark, docs_with_dups):
+    s = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_with_dups).collect()}
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+    planted = [ham(s[i], s[1000 + i]) for i in [0, 10, 20, 30, 40, 50]]
+    others = [ham(s[i], s[(i + 7) % 60]) for i in range(0, 50, 7)]
+    assert np.mean(planted) < np.mean(others)
+    assert all(s[i] == s[2000 + i] for i in [0, 15, 30, 45])
+
+
+def test_cosine_topk_matches_numpy(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    got = ann.cosine_topk(emb, [0, 1, 2], k=3).collect()
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    for q in [0, 1, 2]:
+        qv = vecs[q]
+        cos = {
+            i: float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            for i, v in vecs.items() if i != q
+        }
+        want = sorted(cos, key=lambda i: (-round(cos[i], 6), i))[:3]
+        got_q = [r["neighbor_id"] for r in sorted(
+            (g for g in got if g["query_id"] == q), key=lambda r: r["rank"])]
+        assert got_q == want
+
+
+def test_lsh_neardup_recall_on_duplicated_vectors(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").limit(100)
+    # plant exact duplicate vectors with new ids
+    dup = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    both = emb.unionAll(dup)
+    pairs = {(r["vec_a"], r["vec_b"])
+             for r in ann.lsh_neardup_pairs(both, threshold=0.999).collect()}
+    for i in range(5):
+        assert (i, 10000 + i) in pairs
+
+
+def test_multimodal_plumbing(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    assets = multimodal.synth_assets(docs)
+    dec = multimodal.decode_assets(assets, fake=True)
+    rows = dec.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:20]:
+        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
+        assert len(r["feature"]) == 8
+        if r["kind"] == "image":
+            assert r["n_frames"] == 1
+    fs = multimodal.frame_sample(dec, every=5)
+    assert fs.where(F.col("frame_idx") % 5 != 0).count() == 0
+    # real decode path is stubbed
+    with pytest.raises(Exception, match="NotImplementedError|real decode"):
+        multimodal.decode_assets(assets, fake=False).collect()

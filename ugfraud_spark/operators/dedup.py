@@ -1,0 +1,150 @@
+"""Deduplication suite for the training-data pipeline.
+
+Four operators over ``documents(doc_id, text, ...)``, all pure
+DataFrame compositions (JVM-side, codegen) with exact DuckDB mirrors:
+
+- **exact**: md5(text) hash-groupBy, keep the min doc_id per group.
+- **MinHash + LSH**: word-3-gram shingles (lead window) → H salted-md5
+  min-hashes (min over *hex strings* — a valid uniform min-hash that is
+  bit-identical across engines, avoiding engine-specific int hashing) →
+  B bands of R rows → band-key self-join → candidate pairs.
+- **SimHash**: 16-bit signature; bit b is the sign of Σ_tokens ±1 where
+  the token's vote is the high bit of md5 hex nibble b.
+- **n-gram Jaccard**: exact Jaccard over distinct shingle sets for the
+  LSH candidate pairs (verification stage of the dedup pipeline).
+
+Scale notes: shingling/minhashing is a narrow map + one groupBy(doc);
+the LSH self-join shuffles on the band key — band buckets are the unit
+of skew (a degenerate band key ⇒ quadratic pairs), so production runs
+cap bucket size (documented; not needed at sandbox scale). Jaccard
+verification joins only candidate pairs, never the full corpus square.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MINHASH_H = 12  # hash functions
+LSH_BANDS = 4
+LSH_ROWS = 3  # H = BANDS * ROWS
+SHINGLE_N = 3
+SIMHASH_BITS = 16
+_HIGH_NIBBLE = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def exact_dups(docs: DataFrame) -> DataFrame:
+    """(text_md5, keep_id, n_docs): hash-group exact dedup."""
+    return (
+        docs.select(F.md5("text").alias("text_md5"), "doc_id")
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): word 3-gram shingles via posexplode + lead window."""
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        tok.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "w", F.lead("w", 1).over(w), F.lead("w", 2).over(w)
+            ).alias("sh"),
+            F.lead("w", 2).over(w).alias("_ok"),
+        )
+        .where(F.col("_ok").isNotNull())
+        .select("doc_id", "sh")
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{H-1}): min over salted md5 hex strings."""
+    sh = shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}")
+        for j in range(MINHASH_H)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b): distinct candidate near-dup pairs from banded LSH."""
+    sig = minhash_signatures(docs)
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bkey"),
+            )
+        )
+    all_bands = bands[0]
+    for x in bands[1:]:
+        all_bands = all_bands.unionAll(x)
+    l = all_bands.alias("l")
+    r = all_bands.alias("r")
+    return (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.bkey") == F.col("r.bkey"))
+               & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 16-char '0'/'1' signature string."""
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    h = F.md5("w")
+    votes = [
+        F.sum(
+            F.when(F.substring(h, b + 1, 1).isin(*_HIGH_NIBBLE), 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    bits = [
+        F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(SIMHASH_BITS)
+    ]
+    return agg.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.0) -> DataFrame:
+    """(doc_a, doc_b, jaccard): exact shingle-set Jaccard for the LSH
+    candidate pairs (round 6)."""
+    pairs = lsh_candidate_pairs(docs)
+    sh = shingles(docs).distinct()
+    a = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha")
+    b = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb")
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    isect = (
+        pairs.join(a, "doc_a")
+        .join(b.withColumnRenamed("shb", "sha"), ["doc_b", "sha"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        pairs.join(isect, ["doc_a", "doc_b"], "left")
+        .join(cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
+              "doc_a")
+        .join(cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
+              "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.coalesce("i", F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce("i", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out

@@ -449,3 +449,175 @@ def sql_zoobp(iters: int = 5, ep: float = 0.01) -> str:
             )
         )
     return _with(ctes, f"SELECT id, ROUND(b, 6) AS belief FROM z{iters}")
+
+
+# ------------------------------------------------- training-data pipeline
+
+from .functions import text as _tx  # noqa: E402
+
+_SHINGLES = (
+    "SELECT doc_id, w || ' ' || w1 || ' ' || w2 AS sh FROM (\n"
+    "  SELECT doc_id, w,\n"
+    "    LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,\n"
+    "    LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2\n"
+    "  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,\n"
+    "        UNNEST(range(len(string_split(text, ' ')))) AS pos FROM documents)\n"
+    ") WHERE w2 IS NOT NULL"
+)
+
+
+def sql_dedup_exact() -> str:
+    return (
+        "SELECT MD5(text) AS text_md5, MIN(doc_id) AS keep_id, "
+        "COUNT(*) AS n_docs FROM documents GROUP BY MD5(text)"
+    )
+
+
+def _minhash_ctes(h: int):
+    aggs = ", ".join(
+        f"MIN(MD5('{j}:' || sh)) AS mh{j}" for j in range(h)
+    )
+    return [
+        ("sh", _SHINGLES),
+        ("sig", f"SELECT doc_id, {aggs} FROM sh GROUP BY doc_id"),
+    ]
+
+
+def sql_minhash_signatures(h: int = 12) -> str:
+    return _with(_minhash_ctes(h), "SELECT * FROM sig")
+
+
+def sql_lsh_pairs(h: int = 12, bands: int = 4, rows: int = 3) -> str:
+    ctes = _minhash_ctes(h)
+    band_selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, MD5({cols}) AS bkey FROM sig"
+        )
+    ctes.append(("bands", " UNION ALL ".join(band_selects)))
+    return _with(
+        ctes,
+        "SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
+        "FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey "
+        "AND l.doc_id < r.doc_id",
+    )
+
+
+def sql_simhash(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN SUBSTRING(MD5(w), {b + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    bitstr = " || ".join(
+        f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END" for b in range(bits)
+    )
+    return _with(
+        [("tok",
+          "SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents"),
+         ("agg", f"SELECT doc_id, {votes} FROM tok GROUP BY doc_id")],
+        f"SELECT doc_id, {bitstr} AS simhash FROM agg",
+    )
+
+
+def sql_ngram_jaccard(h: int = 12, bands: int = 4, rows: int = 3) -> str:
+    ctes = _minhash_ctes(h)
+    band_selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, MD5({cols}) AS bkey FROM sig"
+        )
+    ctes += [
+        ("bands", " UNION ALL ".join(band_selects)),
+        ("pairs",
+         "SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
+         "FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey "
+         "AND l.doc_id < r.doc_id"),
+        ("dsh", "SELECT DISTINCT doc_id, sh FROM sh"),
+        ("cnt", "SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id"),
+        ("isect",
+         "SELECT p.doc_a, p.doc_b, COUNT(*) AS i FROM pairs p "
+         "JOIN dsh a ON a.doc_id = p.doc_a "
+         "JOIN dsh b ON b.doc_id = p.doc_b AND b.sh = a.sh "
+         "GROUP BY p.doc_a, p.doc_b"),
+    ]
+    return _with(
+        ctes,
+        "SELECT p.doc_a, p.doc_b, ROUND(COALESCE(i.i, 0) "
+        "/ CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE), 6) AS jaccard "
+        "FROM pairs p LEFT JOIN isect i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b "
+        "JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b",
+    )
+
+
+def sql_token_count() -> str:
+    return (
+        f"SELECT doc_id, {_tx.sql_token_count('text')} AS n_tokens FROM documents"
+    )
+
+
+def sql_text_quality() -> str:
+    nt = _tx.sql_token_count("text")
+    stop = " + ".join(_tx.sql_word_occurrences("text", w) for w in _tx.STOPWORDS)
+    return (
+        "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, "
+        f"{nt} AS n_tokens, "
+        f"ROUND((LENGTH(text) - ({nt} - 1)) / CAST({nt} AS DOUBLE), 6) "
+        "AS avg_token_len, "
+        f"ROUND(({stop}) / CAST({nt} AS DOUBLE), 6) AS stopword_ratio "
+        "FROM documents"
+    )
+
+
+def sql_lang_id() -> str:
+    scores = {
+        lang: " + ".join(_tx.sql_word_occurrences("text", m) for m in markers)
+        for lang, markers in _tx.LANG_MARKERS.items()
+    }
+    mx = "GREATEST(" + ", ".join(f"({s})" for s in scores.values()) + ")"
+    case = " ".join(
+        f"WHEN ({scores[lang]}) = mx THEN '{lang}'" for lang in sorted(scores)
+    )
+    return (
+        f"SELECT doc_id, lang, CASE {case} END AS pred_lang FROM ("
+        f"SELECT doc_id, lang, text, {mx} AS mx FROM documents)"
+    )
+
+
+def sql_fingerprint_docs() -> str:
+    return (
+        f"SELECT doc_id, {_tx.sql_fingerprint('text')} AS fingerprint "
+        "FROM documents"
+    )
+
+
+def sql_asset_metadata() -> str:
+    return (
+        "SELECT doc_id AS asset_id, CASE WHEN doc_id % 3 = 0 THEN 'image' "
+        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, "
+        "CAST(LENGTH(text) AS INTEGER) AS byte_len, "
+        "MD5(text) AS payload_md5 FROM documents"
+    )
+
+
+def sql_cosine_topk(query_ids: list[int], k: int = 3) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return _with(
+        [("q",
+          f"SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe "
+          f"FROM embeddings WHERE vec_id IN ({ids})"),
+         ("scored",
+          "SELECT q.query_id, e.vec_id AS neighbor_id, "
+          "ROUND(list_dot_product(q.qe, e.embedding::DOUBLE[]) / "
+          "(SQRT(list_dot_product(q.qe, q.qe)) * "
+          "SQRT(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) "
+          "AS cos FROM q, embeddings e WHERE e.vec_id <> q.query_id"),
+         ("ranked",
+          "SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER "
+          "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank "
+          "FROM scored")],
+        f"SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank "
+        f"FROM ranked WHERE rank <= {k}",
+    )

@@ -19,14 +19,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import oracle
+from .functions import text as tx
 from .operators import (
+    ann,
     components,
+    dedup,
     degrees,
     evalmetrics,
     fbox,
     fraudar,
     gang,
     labelprop,
+    multimodal,
     pagerank,
     prior,
     speagle,
@@ -34,6 +38,9 @@ from .operators import (
     triangles,
     zoobp,
 )
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 3
 from .sources import tables
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -187,6 +194,73 @@ def q_fraudar_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(fraudar.fraudar_scores(e), "score")
 
 
+# ------------------------------------------------ training-data pipeline
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dups(tables.load(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(tables.load(spark, sf_dir, "documents"))
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(tables.load(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(tables.load(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(tables.load(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    ex = tx.quality_exprs(F.col("text"))
+    return d.select("doc_id", *[v.alias(k) for k, v in ex.items()])
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", tx.predicted_lang(F.col("text")).alias("pred_lang"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_asset_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    return multimodal.asset_metadata(multimodal.synth_assets(d))
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load(spark, sf_dir, "documents")
+    dec = multimodal.decode_assets(multimodal.synth_assets(d), fake=True)
+    return dec.select("asset_id", "kind", "width", "height", "n_frames")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.load(spark, sf_dir, "embeddings")
+    return ann.cosine_topk(e, ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold sits at the ~99.9th pairwise-cosine percentile of the
+    # synthetic embeddings (max ≈ 0.513), so the query returns a small
+    # non-empty candidate set
+    e = tables.load(spark, sf_dir, "embeddings")
+    return ann.lsh_neardup_pairs(e, threshold=0.35)
+
+
 REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "uni_edges": (q_uni_edges, oracle.sql_uni_edges()),
     "bip_edges": (q_bip_edges, oracle.sql_bip_edges()),
@@ -216,4 +290,20 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     # SVD-based: no SQL oracle (rows-only); semantics vs numpy in tests
     "fbox_suspicious_users": (q_fbox_suspicious_users, None),
     "svd_user_norms": (q_svd_user_norms, None),
+    # training-data pipeline ops
+    "dedup_exact": (q_dedup_exact, oracle.sql_dedup_exact()),
+    "minhash_signatures": (q_minhash_signatures, oracle.sql_minhash_signatures()),
+    "dedup_lsh_pairs": (q_lsh_pairs, oracle.sql_lsh_pairs()),
+    "simhash": (q_simhash, oracle.sql_simhash()),
+    "ngram_jaccard": (q_ngram_jaccard, oracle.sql_ngram_jaccard()),
+    "token_count": (q_token_count, oracle.sql_token_count()),
+    "text_quality": (q_text_quality, oracle.sql_text_quality()),
+    "lang_id": (q_lang_id, oracle.sql_lang_id()),
+    "doc_fingerprint": (q_fingerprint, oracle.sql_fingerprint_docs()),
+    "asset_metadata": (q_asset_metadata, oracle.sql_asset_metadata()),
+    # decode stage is a stubbed Arrow UDF (no SQL equivalent)
+    "multimodal_decode": (q_multimodal_decode, None),
+    "ann_cosine_topk": (q_cosine_topk, oracle.sql_cosine_topk(ANN_QUERY_IDS, ANN_K)),
+    # hyperplane-LSH bucketing relies on ordered float folds → rows-only
+    "ann_lsh_neardup": (q_lsh_neardup, None),
 }
