@@ -1,0 +1,74 @@
+"""Semantic tests for attribute ops, stratified split, and BFS (the
+oracle-parity test covers cross-engine equality; these pin intrinsic
+invariants against in-process Python specs)."""
+
+from __future__ import annotations
+
+from collections import deque
+
+from pyspark.sql import functions as F
+
+from ugfraud_spark.operators import attrs, bfs, evalmetrics, svd
+from ugfraud_spark.sources import tables
+
+
+def test_bfs_matches_python_bfs(spark, sf_small):
+    und = tables.uni_edges_undirected(spark, sf_small)
+    sym = tables.symmetrize(und)
+    adj: dict[int, list[int]] = {}
+    for r in sym.collect():
+        adj.setdefault(r["src"], []).append(r["dst"])
+    seed = min(adj)
+    dist = {seed: 0}
+    q = deque([seed])
+    iters = 6
+    while q:
+        u = q.popleft()
+        if dist[u] >= iters:
+            continue
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+
+    seeds = spark.createDataFrame([(seed,)], "id long")
+    got = {r["id"]: r["dist"] for r in bfs.bfs_hops(sym, seeds, iters=iters).collect()}
+    assert got == dist
+
+
+def test_random_split_halves_each_stratum(spark, sf_small):
+    e = tables.bipartite_edges(spark, sf_small)
+    gt = evalmetrics.ground_truth_users(e).withColumnRenamed("gt", "label")
+    out = svd.random_split(gt)
+    agg = out.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_train").cast("int")).alias("n_train"),
+    ).collect()
+    assert agg
+    for r in agg:
+        assert r["n_train"] == r["n"] // 2
+    # deterministic across invocations
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, svd.random_split(gt).collect()))
+    assert a == b
+
+
+def test_subset_above_degree_spec(spark):
+    rows = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (3, 10)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    # src deg: 1→3, 2→2, 3→1 ; dst deg: 10→3, 11→2, 12→1
+    out = sorted(
+        map(tuple, attrs.subset_above_degree(e, 1, 1).select("src", "dst").collect())
+    )
+    assert out == [(1, 10), (1, 11), (2, 10), (2, 11)]
+
+
+def test_rank_stats_median_element(spark):
+    vals = spark.createDataFrame([(v,) for v in [5, 1, 9, 3, 7]], "x long")
+    r = attrs.rank_stats(vals, "x").collect()[0]
+    # sorted [1,3,5,7,9], int(5/2)=2 → 5
+    assert (r["min_v"], r["med_v"], r["max_v"]) == (1, 5, 9)
+    vals2 = spark.createDataFrame([(v,) for v in [4, 2, 8, 6]], "x long")
+    r2 = attrs.rank_stats(vals2, "x").collect()[0]
+    # sorted [2,4,6,8], int(4/2)=2 → 6 (upper median, like the reference)
+    assert r2["med_v"] == 6

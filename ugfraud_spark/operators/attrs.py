@@ -1,0 +1,122 @@
+"""Attribute filter / projection / index operators (reference P1–P4, W3).
+
+Reference: ``/root/reference/UGFraud/Utils/helper.py:277-360`` —
+``node_attr_filter`` / ``edge_attr_filter`` (σ on one attribute, π of
+another) and ``get_node_attributes_index`` / ``get_edge_attributes_index``
+(inverted index attr-value → [ids], i.e. GROUP BY + collect_list);
+``Detector/Fraudar.py:180-191`` ``subsetAboveDegree`` (keep matrix rows /
+cols whose degree exceeds a threshold); ``helper.py:71-74,99-107``
+rank-based min/median/max extraction.
+
+Spark-first: plain filters/projections (predicate pushdown reaches the
+parquet scan), semi-joins against degree aggregates, and
+``sort_array(collect_list(...))`` for the inverted index — emitted as a
+CSV string so the cross-engine value hash is total-order stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def node_attr_filter(vertices: DataFrame, where_attr: str, where_val,
+                     project_attr: str) -> DataFrame:
+    """σ(where_attr = where_val), π(id, project_attr) over vertices —
+    ``helper.py:315-336`` as one pushdown-able filter+project."""
+    return vertices.where(F.col(where_attr) == F.lit(where_val)).select(
+        "id", project_attr
+    )
+
+
+def edge_attr_filter(edges: DataFrame, where_attr: str, where_val,
+                     project_attr: str) -> DataFrame:
+    """σ/π over edges keyed (src, dst) — ``helper.py:339-360``."""
+    return edges.where(F.col(where_attr) == F.lit(where_val)).select(
+        "src", "dst", project_attr
+    )
+
+
+def node_attr_index(vertices: DataFrame, attr: str,
+                    id_col: str = "id") -> DataFrame:
+    """Inverted index attr-value → sorted id list (``helper.py:277-312``),
+    as (attr, n_ids, ids_csv). collect_list is bounded per group by the
+    attribute's cardinality spread; for web-scale attrs with giant groups
+    callers should keep the exploded (attr, id) form instead — this
+    materialized-list form mirrors the reference's dict shape."""
+    return vertices.groupBy(F.col(attr).alias("attr")).agg(
+        F.count(F.lit(1)).alias("n_ids"),
+        F.array_join(F.sort_array(F.collect_list(F.col(id_col))), ",").alias(
+            "ids_csv"
+        ),
+    )
+
+
+def subset_above_degree(edges: DataFrame, src_min_deg: int,
+                        dst_min_deg: int) -> DataFrame:
+    """Keep edges whose src out-degree > src_min_deg AND dst in-degree >
+    dst_min_deg (``Fraudar.py:180-191``). Two degree aggregates + two
+    semi-joins (broadcast when the surviving id set is small)."""
+    od = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") > src_min_deg)
+        .select("src")
+    )
+    idg = (
+        edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") > dst_min_deg)
+        .select("dst")
+    )
+    return (
+        edges.join(od, "src", "left_semi")
+        .join(idg, "dst", "left_semi")
+        .select("src", "dst")
+    )
+
+
+def semi_supervised_sample(labeled: DataFrame, frac: float,
+                           label_col: str = "label") -> DataFrame:
+    """Reference P5 ``semi_data`` (``Detector/GANG.py:12-36``): sample a
+    fraction of each label stratum as the semi-supervised seed set. The
+    reference uses unseeded ``random.sample``; pinned here (SURVEY §7) to
+    the first ⌈frac·n⌉ ids of each stratum in Knuth-hash order — the
+    identical ordering is expressible in the SQL oracle, and sampling
+    stays deterministic across cluster sizes."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import PRIOR_MOD, PRIOR_MULT
+
+    w = Window.partitionBy(label_col).orderBy(
+        F.pmod(F.col("id") * PRIOR_MULT, F.lit(PRIOR_MOD)), F.col("id")
+    )
+    cnt = Window.partitionBy(label_col)
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(cnt))
+        .where(F.col("_rn") <= F.ceil(F.col("_n") * frac))
+        .drop("_rn", "_n")
+    )
+
+
+def rank_stats(values: DataFrame, col: str) -> DataFrame:
+    """(min_v, med_v, max_v): the reference's rank-based extraction
+    (``helper.py:71-74,99-107``) — its "mean" is the middle *element* of
+    the sorted list (``ranked[int(len/2)]``), i.e. the upper median, not
+    the arithmetic mean. min/max are plain aggregates; the median element
+    is an exact-percentile-free sort + element pick via row_number to
+    match the reference's integer indexing exactly."""
+    from pyspark.sql import Window
+
+    n = values.count()
+    mid = n // 2  # 0-based index int(len/2), matching the reference
+    w = Window.orderBy(F.col("v").asc())
+    med = (
+        values.select(F.col(col).alias("v"))
+        .withColumn("_rn", F.row_number().over(w) - 1)
+        .where(F.col("_rn") == mid)
+        .select(F.col("v").alias("med_v"))
+    )
+    mm = values.agg(
+        F.min(col).alias("min_v"), F.max(col).alias("max_v")
+    )
+    return mm.crossJoin(med).select("min_v", "med_v", "max_v")

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .superstep import iterate
+from .superstep import colocate_edges, iterate
 
 
 def _sym(edges_ab: DataFrame) -> DataFrame:
@@ -33,18 +33,21 @@ def _sym(edges_ab: DataFrame) -> DataFrame:
 def cc_minprop(edges_ab: DataFrame, iters: int = 30) -> DataFrame:
     """edges(a, b) canonical undirected → (id, component) after exactly
     ``iters`` synchronous min-propagation rounds."""
-    sym = _sym(edges_ab).localCheckpoint(eager=True)
+    sym = colocate_edges(_sym(edges_ab))
     verts = sym.select(F.col("src").alias("id")).distinct()
     state0 = verts.withColumn("lbl", F.col("id"))
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         nbr_min = (
-            sym.join(state.select(F.col("id").alias("src"), "lbl"), "src")
+            sym.join(
+                state.select(F.col("id").alias("src"), "lbl").hint("shuffle_hash"),
+                "src",
+            )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("lbl").alias("m"))
         )
         return (
-            state.join(nbr_min, "id", "left")
+            state.join(nbr_min.hint("shuffle_hash"), "id", "left")
             .select("id", F.least("lbl", F.coalesce("m", "lbl")).alias("lbl"))
         )
 
@@ -55,18 +58,21 @@ def cc_minprop(edges_ab: DataFrame, iters: int = 30) -> DataFrame:
 def connected_components(edges_ab: DataFrame, max_iter: int = 100) -> DataFrame:
     """Exact components: min-propagation to fixpoint (residual = number
     of vertices whose label changed, stop at 0)."""
-    sym = _sym(edges_ab).localCheckpoint(eager=True)
+    sym = colocate_edges(_sym(edges_ab))
     verts = sym.select(F.col("src").alias("id")).distinct()
     state0 = verts.withColumn("lbl", F.col("id"))
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         nbr_min = (
-            sym.join(state.select(F.col("id").alias("src"), "lbl"), "src")
+            sym.join(
+                state.select(F.col("id").alias("src"), "lbl").hint("shuffle_hash"),
+                "src",
+            )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("lbl").alias("m"))
         )
         return (
-            state.join(nbr_min, "id", "left")
+            state.join(nbr_min.hint("shuffle_hash"), "id", "left")
             .select("id", F.least("lbl", F.coalesce("m", "lbl")).alias("lbl"))
         )
 

@@ -20,7 +20,12 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .linalg import dense_col_index, gram_matrix, row_projection_norms, topk_right_factors
+from .linalg import (
+    dense_col_index,
+    gram_matrix,
+    row_projection_norms_grouped,
+    topk_right_factors,
+)
 
 
 def fbox(
@@ -39,8 +44,9 @@ def fbox(
     g = gram_matrix(eidx, n_cols)
     v, s = topk_right_factors(g, kk)
 
-    # users: rec out-degree distributed
-    rec_u = row_projection_norms(eidx, v)
+    # users: rec out-degree distributed (||U_i·Σ|| = ||A_i·V||, one
+    # vectorized partition-local kernel)
+    rec_u = row_projection_norms_grouped(eidx, v)
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     u = rec_u.join(out_deg, "src")
     thr_u = u.groupBy("deg").agg(

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .superstep import SuperstepResult, iterate
+from .superstep import SuperstepResult, colocate_edges, iterate
 
 
 def gang(
@@ -33,9 +33,11 @@ def gang(
     """edges(src, dst) bipartite + priors(id, prior in [0,1]) →
     state(id, belief). ``tol=None`` → fixed iterations (oracle parity);
     float → run until |Σ|ΔB|| < tol like ``GANG.py:136``."""
-    sym = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    sym = colocate_edges(
+        edges.select("src", "dst").unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
     pri = priors.select(
         "id", (F.col("prior") - F.lit(0.5)).alias("p")
     ).localCheckpoint(eager=True)
@@ -45,11 +47,14 @@ def gang(
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         msg = (
-            sym.join(state.select(F.col("id").alias("src"), "value"), "src")
+            sym.join(
+                state.select(F.col("id").alias("src"), "value").hint("shuffle_hash"),
+                "src",
+            )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("value").alias("m"))
         )
-        return pri.join(msg, "id", "left").select(
+        return pri.join(msg.hint("shuffle_hash"), "id", "left").select(
             "id",
             (F.col("p") + F.lit(w2) * F.coalesce("m", F.lit(0.0))).alias("value"),
         )

@@ -16,19 +16,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .superstep import iterate
+from .superstep import colocate_edges, iterate
 
 
 def lpa(edges_ab: DataFrame, iters: int = 4) -> DataFrame:
-    sym = edges_ab.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        edges_ab.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).localCheckpoint(eager=True)
+    sym = colocate_edges(
+        edges_ab.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+            edges_ab.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    )
     verts = sym.select(F.col("src").alias("id")).distinct()
     state0 = verts.withColumn("lbl", F.col("id"))
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         counts = (
-            sym.join(state.select(F.col("id").alias("src"), "lbl"), "src")
+            sym.join(
+                state.select(F.col("id").alias("src"), "lbl").hint("shuffle_hash"),
+                "src",
+            )
             .groupBy(F.col("dst").alias("id"), "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )

@@ -82,11 +82,10 @@ def gram_matrix(edges_idx: DataFrame, n_cols: int,
         .mapInPandas(partial, schema=schema)
         .groupBy("j1", "j2")
         .agg(F.sum("v").alias("v"))
-        .collect()
+        .toPandas()  # Arrow transfer — the Gram can be dense (n_cols² rows)
     )
     g = np.zeros((n_cols, n_cols))
-    for r in parts:
-        g[r["j1"], r["j2"]] = r["v"]
+    g[parts["j1"].to_numpy(), parts["j2"].to_numpy()] = parts["v"].to_numpy()
     return g
 
 
@@ -114,6 +113,39 @@ def row_projection_norms(edges_idx: DataFrame, v: np.ndarray) -> DataFrame:
     )
     norm_expr = F.sqrt(sum(F.col(f"c{i}") * F.col(f"c{i}") for i in range(k)))
     return sums.select("src", norm_expr.alias("rec"))
+
+
+def row_projection_norms_grouped(edges_idx: DataFrame, v: np.ndarray,
+                                 weight_col: str | None = None) -> DataFrame:
+    """(src, rec = ||A_i·V||₂) via ONE per-partition vectorized kernel:
+    repartition by src (so a row never spans partitions), then inside
+    each Arrow batch set compute all edge contributions ``w·V[cidx]`` as
+    a single (E_part × k) slice and segment-sum per src with
+    ``np.add.reduceat``. Replaces the k-sum-aggregate plan of
+    ``row_projection_norms`` when k is large (SVD detector: k≈0.9·n_cols)
+    — O(E·k) flops, one pass, no per-group Python dispatch."""
+    wc = weight_col
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("src",
+                                                               kind="mergesort")
+        idx = pdf["cidx"].to_numpy()
+        w = pdf[wc].to_numpy(dtype="float64") if wc else np.ones(len(idx))
+        srcs = pdf["src"].to_numpy(dtype="int64")
+        contrib = v[idx] * w[:, None]
+        bounds = np.flatnonzero(np.r_[True, srcs[1:] != srcs[:-1]])
+        comps = np.add.reduceat(contrib, bounds, axis=0)
+        yield pd.DataFrame({
+            "src": srcs[bounds],
+            "rec": np.sqrt((comps * comps).sum(axis=1)),
+        })
+
+    return edges_idx.repartition("src").mapInPandas(
+        fn, schema="src long, rec double"
+    )
 
 
 def row_projection_components(edges_idx: DataFrame, v: np.ndarray,

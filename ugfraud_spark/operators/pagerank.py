@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .superstep import SuperstepResult, iterate, l1_residual
+from .superstep import SuperstepResult, colocate_edges, iterate, l1_residual
 
 
 def pagerank(
@@ -40,7 +40,7 @@ def pagerank(
     ``tol=None`` runs exactly ``max_iter`` supersteps (oracle-parity
     mode); a float runs to L1 residual < tol (convergence mode).
     """
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    edges = colocate_edges(edges.select("src", "dst"))
 
     verts = (
         edges.select(F.col("src").alias("id"))
@@ -64,14 +64,82 @@ def pagerank(
     def step(state: DataFrame, _i: int) -> DataFrame:
         contribs = (
             edges.join(
-                state.where(F.col("out_deg").isNotNull()).select(
+                state.where(F.col("out_deg").isNotNull())
+                .select(
                     F.col("id").alias("src"),
                     (F.col("value") / F.col("out_deg")).alias("c"),
-                ),
+                )
+                .hint("shuffle_hash"),
                 "src",
             )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("c").alias("mass"))
+        )
+        return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
+            "id",
+            "out_deg",
+            (F.lit(teleport) + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias(
+                "value"
+            ),
+        )
+
+    res = iterate(
+        state0,
+        step,
+        residual_fn=(None if tol is None else l1_residual),
+        max_iter=max_iter,
+        tol=tol or 0.0,
+        checkpoint_every=checkpoint_every,
+        checkpoint_dir=checkpoint_dir,
+    )
+    res.state = res.state.select("id", "value")
+    return res
+
+
+def pagerank_blocks(
+    edges: DataFrame,
+    *,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float | None = None,
+    checkpoint_every: int = 5,
+    checkpoint_dir: str | None = None,
+    n_blocks: int = 32,
+    hub_cap: int = 100_000,
+) -> SuperstepResult:
+    """PageRank over CSR-like salted adjacency blocks (north_star layout,
+    see ``adjacency.py``). Same fixed point as ``pagerank`` — asserted
+    equal to 1e-12 in tests — but each superstep moves only state and
+    partial messages; the edge arrays are shuffled exactly once at
+    build. Preferred at 100 TB; the plain join kernel stays as the
+    oracle-parity twin."""
+    from .adjacency import build_adjacency_blocks, spmv
+
+    adj = build_adjacency_blocks(edges.select("src", "dst"), n_blocks=n_blocks,
+                                 hub_cap=hub_cap)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    base = (
+        verts.join(out_deg, "id", "left")
+        .repartition("id")
+        .localCheckpoint(eager=True)
+    )
+    n = base.count()
+    teleport = (1.0 - damping) / n
+    state0 = base.withColumn("value", F.lit(1.0 / n))
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        contribs = spmv(
+            adj,
+            state.where(F.col("out_deg").isNotNull()).select(
+                "id", (F.col("value") / F.col("out_deg")).alias("c")
+            ),
         )
         return base.join(contribs, "id", "left").select(
             "id",

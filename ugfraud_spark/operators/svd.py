@@ -57,31 +57,49 @@ def svd_user_embedding(
 def svd_user_norms(edges: DataFrame, *, percent: float = 0.9,
                    rating_col: str = "sign") -> DataFrame:
     """(id, norm): sign/rotation-invariant summary of the embedding —
-    ||U_i·Σ||₂ (= row norm of the rank-k reconstruction's row space)."""
-    u_rows, s = svd_user_embedding(edges, percent=percent, rating_col=rating_col)
-    sl = [float(x) for x in s]
-    arr = F.col("comps")
-    weighted = F.zip_with(
-        arr, F.array(*[F.lit(x) for x in sl]), lambda c, sv: c * sv * c * sv
+    ||U_i·Σ||₂. Since U_i = A_i·V·diag(1/s), the s cancels exactly:
+    ||U_i·Σ|| = ||A_i·V|| — so this skips the U materialization and runs
+    one vectorized projection-norm kernel over the edges."""
+    from .linalg import row_projection_norms_grouped
+
+    e = (
+        edges.select("src", "dst", F.col(rating_col).cast("double").alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
     )
-    return u_rows.select(
-        F.col("src").alias("id"),
-        F.sqrt(F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)).alias("norm"),
+    cidx = dense_col_index(e)
+    eidx = e.join(cidx, "dst").select("src", "cidx", "w")
+    n_cols = cidx.count()
+    n_rows = e.select("src").distinct().count()
+    k = int(max(round(min(n_rows, n_cols) * percent), 1))
+
+    g = gram_matrix(eidx, n_cols, weight_col="w")
+    v, _s = topk_right_factors(g, k)
+    return row_projection_norms_grouped(eidx, v, weight_col="w").select(
+        F.col("src").alias("id"), F.col("rec").alias("norm")
     )
 
 
-def random_split(users_labeled: DataFrame, seed: int = 42) -> DataFrame:
-    """Seeded 50/50 stratified split (``SVD.py:57-88``): adds
-    ``is_train`` per user, sampling half of each label stratum."""
+def random_split(users_labeled: DataFrame) -> DataFrame:
+    """Deterministic 50/50 stratified split (``SVD.py:57-88``, whose
+    ``random.sample`` is unseeded — pinned per SURVEY §7): adds
+    ``is_train`` per user, taking the first half of each label stratum in
+    Knuth-multiplicative-hash order (engine-portable: the DuckDB oracle
+    expresses the identical ordering)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("label").orderBy(F.xxhash64("id", F.lit(seed)))
+    from ..sources.tables import PRIOR_MOD, PRIOR_MULT
+
+    w = Window.partitionBy("label").orderBy(
+        F.pmod(F.col("id") * PRIOR_MULT, F.lit(PRIOR_MOD)), F.col("id")
+    )
     cnt = Window.partitionBy("label")
     ranked = users_labeled.withColumn("_rn", F.row_number().over(w)).withColumn(
         "_n", F.count(F.lit(1)).over(cnt)
     )
     return ranked.withColumn(
-        "is_train", F.col("_rn") <= (F.col("_n") / 2).cast("int")
+        "is_train", F.col("_rn") <= F.floor(F.col("_n") / 2)
     ).drop("_rn", "_n")
 
 

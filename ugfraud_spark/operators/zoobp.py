@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .superstep import SuperstepResult, iterate
+from .superstep import SuperstepResult, colocate_edges, iterate
 
 
 def zoobp(
@@ -33,11 +33,13 @@ def zoobp(
 ) -> SuperstepResult:
     """edges(src, dst, sign 1|2) + priors(id, prior) → state(id, belief)."""
     s_col = F.when(F.col("sign") == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
-    sym = edges.select("src", "dst", s_col.alias("s")).unionAll(
-        edges.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), s_col.alias("s")
+    sym = colocate_edges(
+        edges.select("src", "dst", s_col.alias("s")).unionAll(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), s_col.alias("s")
+            )
         )
-    ).localCheckpoint(eager=True)
+    )
     pri = priors.select(
         "id", (F.col("prior") - F.lit(0.5)).alias("p")
     ).localCheckpoint(eager=True)
@@ -46,11 +48,14 @@ def zoobp(
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         msg = (
-            sym.join(state.select(F.col("id").alias("src"), "value"), "src")
+            sym.join(
+                state.select(F.col("id").alias("src"), "value").hint("shuffle_hash"),
+                "src",
+            )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("s") * F.col("value")).alias("m"))
         )
-        return pri.join(msg, "id", "left").select(
+        return pri.join(msg.hint("shuffle_hash"), "id", "left").select(
             "id",
             (F.col("p") + F.lit(h) * F.coalesce("m", F.lit(0.0))).alias("value"),
         )

@@ -621,3 +621,137 @@ def sql_cosine_topk(query_ids: list[int], k: int = 3) -> str:
         f"SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank "
         f"FROM ranked WHERE rank <= {k}",
     )
+
+
+# ------------------------------------------ attribute / subset / BFS ops
+
+BIP_VERTS_ATTR = (
+    f"SELECT id, CASE WHEN id >= {PART_OFFSET} THEN 'part' ELSE 'order' END "
+    f"AS vtype, {prior_expr('id')} AS prior FROM ({BIP_VERTS}) bv"
+)
+
+
+def sql_node_attr_filter(vtype: str = "part") -> str:
+    return _with(
+        [("bip", BIP), ("va", BIP_VERTS_ATTR)],
+        f"SELECT id, ROUND(prior, 6) AS prior FROM va WHERE vtype = '{vtype}'",
+    )
+
+
+def sql_edge_attr_filter(sign: int = 1) -> str:
+    return _with(
+        [("bip", BIP)],
+        f"SELECT src, dst, ROUND({review_prior_expr()}, 6) AS prior "
+        f"FROM bip WHERE sign = {sign}",
+    )
+
+
+def sql_node_attr_index() -> str:
+    return _with(
+        [("bip", BIP), ("va", BIP_VERTS_ATTR)],
+        "SELECT vtype AS attr, COUNT(*) AS n_ids, "
+        "STRING_AGG(CAST(id AS VARCHAR), ',' ORDER BY id) AS ids_csv "
+        "FROM va GROUP BY vtype",
+    )
+
+
+def sql_subset_above_degree(src_min: int = 3, dst_min: int = 5) -> str:
+    return _with(
+        [("bip", BIP),
+         ("od", f"SELECT src FROM bip GROUP BY src HAVING COUNT(*) > {src_min}"),
+         ("idg", f"SELECT dst FROM bip GROUP BY dst HAVING COUNT(*) > {dst_min}")],
+        "SELECT b.src, b.dst FROM bip b "
+        "JOIN od ON b.src = od.src JOIN idg ON b.dst = idg.dst",
+    )
+
+
+def sql_rank_stats() -> str:
+    """min / median-element / max of the uni in-degree list — the
+    reference's sorted-list indexing (ranked[int(n/2)], helper.py:99-107)."""
+    return _with(
+        [("uni", UNI),
+         ("deg", "SELECT dst AS id, COUNT(*) AS d FROM uni GROUP BY dst"),
+         ("rk",
+          "SELECT d, ROW_NUMBER() OVER (ORDER BY d ASC) - 1 AS rn FROM deg")],
+        "SELECT (SELECT MIN(d) FROM deg) AS min_v, "
+        "(SELECT d FROM rk WHERE rn = (SELECT CAST(FLOOR(COUNT(*) / 2) AS BIGINT) "
+        "FROM deg)) AS med_v, "
+        "(SELECT MAX(d) FROM deg) AS max_v",
+    )
+
+
+def sql_bfs_hops(iters: int = 6) -> str:
+    """Unrolled synchronous BFS relaxation from the min-id vertex over the
+    symmetrized uni graph (matches operators/bfs.py superstep for
+    superstep)."""
+    ctes = [
+        ("uni", UNI),
+        ("und", UND),
+        ("sym", SYM),
+        ("v", VERTS),
+        ("d0", "SELECT MIN(id) AS id, 0 AS dist FROM v"),
+    ]
+    for t in range(iters):
+        ctes.append((
+            f"d{t + 1}",
+            f"SELECT id, MIN(dist) AS dist FROM ("
+            f"SELECT id, dist FROM d{t} UNION ALL "
+            f"SELECT e.dst AS id, d.dist + 1 AS dist "
+            f"FROM sym e JOIN d{t} d ON e.src = d.id) GROUP BY id",
+        ))
+    return _with(ctes, f"SELECT id, dist FROM d{iters}")
+
+
+def sql_random_split() -> str:
+    """Seeded stratified 50/50 split (SVD.py:57-88 with the unseeded
+    sampling pinned to the Knuth-hash order — SURVEY §7 determinism)."""
+    return _with(
+        [("bip", BIP),
+         ("gt",
+          "SELECT src AS id, MAX(CASE WHEN sign = 2 THEN 1 ELSE 0 END) AS label "
+          "FROM bip GROUP BY src"),
+         ("rk",
+          f"SELECT id, label, ROW_NUMBER() OVER (PARTITION BY label "
+          f"ORDER BY (id * {PRIOR_MULT}) % {PRIOR_MOD}, id) AS rn, "
+          f"COUNT(*) OVER (PARTITION BY label) AS n FROM gt")],
+        "SELECT id, label, CAST(rn <= FLOOR(n / 2) AS BOOLEAN) "
+        "AS is_train FROM rk",
+    )
+
+
+def sql_semi_sample(frac: float = 0.25) -> str:
+    """P5 semi_data stratified seed sample, Knuth-hash order (GANG.py:12-36
+    with the unseeded sampling pinned)."""
+    return _with(
+        [("bip", BIP),
+         ("gt",
+          "SELECT src AS id, MAX(CASE WHEN sign = 2 THEN 1 ELSE 0 END) AS label "
+          "FROM bip GROUP BY src"),
+         ("rk",
+          f"SELECT id, label, ROW_NUMBER() OVER (PARTITION BY label "
+          f"ORDER BY (id * {PRIOR_MULT}) % {PRIOR_MOD}, id) AS rn, "
+          f"COUNT(*) OVER (PARTITION BY label) AS n FROM gt")],
+        f"SELECT id, label FROM rk WHERE rn <= CEIL(n * {frac}::DOUBLE)",
+    )
+
+
+# -------------------------------------------------------------- streaming
+
+def sql_windowed_event_stats(minutes: int = 60) -> str:
+    """Tumbling-window per-type stats; Spark's window() on a 60-min width
+    is epoch-aligned == date_trunc('hour'). window_start emitted as text
+    to keep the cross-engine comparison timezone-proof."""
+    assert minutes == 60, "oracle written for hour windows"
+    return (
+        "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, "
+        "event_type, COUNT(*) AS n_events, "
+        "ROUND(SUM(value), 6) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    )
+
+
+def sql_parse_props() -> str:
+    return (
+        "SELECT event_id, "
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"
+    )

@@ -22,6 +22,8 @@ from . import oracle
 from .functions import text as tx
 from .operators import (
     ann,
+    attrs,
+    bfs,
     components,
     dedup,
     degrees,
@@ -42,6 +44,7 @@ from .operators import (
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 3
 from .sources import tables
+from .streaming import events as streaming_events
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -96,6 +99,14 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tables.uni_edges_directed(spark, sf_dir)
     res = pagerank.pagerank(e, max_iter=PR_ITERS)
+    return _round6(res.state.withColumnRenamed("value", "pagerank"), "pagerank")
+
+
+def q_pagerank_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """north_star physical layout: CSR-like salted adjacency blocks +
+    partition-local Arrow SpMV; same fixed point as q_pagerank."""
+    e = tables.uni_edges_directed(spark, sf_dir)
+    res = pagerank.pagerank_blocks(e, max_iter=PR_ITERS, n_blocks=16)
     return _round6(res.state.withColumnRenamed("value", "pagerank"), "pagerank")
 
 
@@ -194,6 +205,107 @@ def q_fraudar_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(fraudar.fraudar_scores(e), "score")
 
 
+# -------------------------------------- attribute / subset / split / BFS
+
+def _bip_vertices_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.bipartite_edges(spark, sf_dir)
+    v = tables.vertex_priors(tables.vertices_of(e))
+    return v.withColumn(
+        "vtype",
+        F.when(F.col("id") >= tables.PART_OFFSET, F.lit("part")).otherwise(
+            F.lit("order")
+        ),
+    )
+
+
+def q_node_attr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _bip_vertices_attr(spark, sf_dir)
+    return _round6(attrs.node_attr_filter(v, "vtype", "part", "prior"), "prior")
+
+
+def q_edge_attr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.bipartite_edges(spark, sf_dir)
+    ep = tables.edge_priors(e)
+    e2 = e.join(ep, ["src", "dst"]).select("src", "dst", "sign", "prior")
+    return _round6(attrs.edge_attr_filter(e2, "sign", 1, "prior"), "prior")
+
+
+def q_node_attr_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attrs.node_attr_index(_bip_vertices_attr(spark, sf_dir), "vtype")
+
+
+def q_subset_above_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.bipartite_edges(spark, sf_dir)
+    return attrs.subset_above_degree(e, src_min_deg=3, dst_min_deg=5)
+
+
+def q_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.uni_edges_directed(spark, sf_dir)
+    return attrs.rank_stats(degrees.in_degree(e), "in_deg")
+
+
+def q_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.bipartite_edges(spark, sf_dir)
+    gt = evalmetrics.ground_truth_users(e).withColumnRenamed("gt", "label")
+    return svd.random_split(gt)
+
+
+def q_semi_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.bipartite_edges(spark, sf_dir)
+    gt = evalmetrics.ground_truth_users(e).withColumnRenamed("gt", "label")
+    return attrs.semi_supervised_sample(gt, frac=0.25)
+
+
+def q_svd_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 pipeline: SVD embedding → stratified split → nearest-centroid
+    classification of the test half (sandbox stand-in for the reference's
+    SVC, SVD.py:90-102). Driver-side eigh ⇒ no SQL oracle (rows-only)."""
+    e = tables.bipartite_edges(spark, sf_dir)
+    emb, _s = svd.svd_user_embedding(e, percent=0.2)
+    gt = evalmetrics.ground_truth_users(e).withColumnRenamed("gt", "label")
+    lab = emb.join(gt, emb.src == gt.id).select("id", "comps", "label")
+    split = svd.random_split(lab)
+    train = split.where(F.col("is_train"))
+    test = split.where(~F.col("is_train"))
+    return svd.centroid_classify(train, test)
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = tables.uni_edges_undirected(spark, sf_dir)
+    sym = tables.symmetrize(und)
+    verts = tables.vertices_of(sym)
+    seeds = verts.agg(F.min("id").alias("id"))
+    return bfs.bfs_hops(sym, seeds, iters=6)
+
+
+# --------------------------------------------------------------- streaming
+
+def _stats_as_text(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return _stats_as_text(streaming_events.windowed_event_stats(ev))
+
+
+def q_events_stream_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME aggregation as q_events_windowed but executed as a real
+    Structured Streaming query (readStream → watermark → availableNow
+    drain → memory sink); stream/batch equivalence is the checked
+    invariant, so it shares the batch oracle SQL."""
+    out = streaming_events.run_stream_once(spark, f"{sf_dir}/events.parquet")
+    return _stats_as_text(out)
+
+
+def q_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return streaming_events.parse_props(ev)
+
+
 # ------------------------------------------------ training-data pipeline
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,6 +380,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "in_degree": (q_in_degree, oracle.sql_in_degree()),
     "degree_histogram": (q_degree_histogram, oracle.sql_degree_histogram(5)),
     "pagerank": (q_pagerank, oracle.sql_pagerank(PR_ITERS)),
+    "pagerank_blocks": (q_pagerank_blocks, oracle.sql_pagerank(PR_ITERS)),
     "connected_components": (q_cc, oracle.sql_cc_minprop(CC_ITERS)),
     "label_propagation": (q_lpa, oracle.sql_lpa(LPA_ITERS)),
     "triangles_per_vertex": (q_triangles, oracle.sql_triangles()),
@@ -290,6 +403,22 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     # SVD-based: no SQL oracle (rows-only); semantics vs numpy in tests
     "fbox_suspicious_users": (q_fbox_suspicious_users, None),
     "svd_user_norms": (q_svd_user_norms, None),
+    "node_attr_filter": (q_node_attr_filter, oracle.sql_node_attr_filter()),
+    "edge_attr_filter": (q_edge_attr_filter, oracle.sql_edge_attr_filter()),
+    "node_attr_index": (q_node_attr_index, oracle.sql_node_attr_index()),
+    "subset_above_degree": (q_subset_above_degree,
+                            oracle.sql_subset_above_degree()),
+    "rank_stats": (q_rank_stats, oracle.sql_rank_stats()),
+    "random_split": (q_random_split, oracle.sql_random_split()),
+    "semi_sample": (q_semi_sample, oracle.sql_semi_sample(0.25)),
+    # SVD embedding (driver eigh) → rows-only check; semantics in tests
+    "svd_classify": (q_svd_classify, None),
+    "bfs_hops": (q_bfs_hops, oracle.sql_bfs_hops(6)),
+    "events_windowed_stats": (q_events_windowed,
+                              oracle.sql_windowed_event_stats(60)),
+    "events_stream_once": (q_events_stream_once,
+                           oracle.sql_windowed_event_stats(60)),
+    "parse_props": (q_parse_props, oracle.sql_parse_props()),
     # training-data pipeline ops
     "dedup_exact": (q_dedup_exact, oracle.sql_dedup_exact()),
     "minhash_signatures": (q_minhash_signatures, oracle.sql_minhash_signatures()),

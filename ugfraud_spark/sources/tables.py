@@ -124,6 +124,33 @@ def vertex_priors(vertices: DataFrame) -> DataFrame:
     )
 
 
+def synthetic_web_edges(
+    spark: SparkSession, n_edges: int, n_vertices: int | None = None, seed: int = 42
+) -> DataFrame:
+    """Deterministic Zipf-skewed directed edges(src, dst, weight) — the
+    bench-scale stand-in for a Common-Crawl link table (north_star: web
+    graphs are Zipfian; hub in-degree must be exercised).
+
+    Pure JVM expressions over ``spark.range`` (no Python, no external
+    data): src is uniform over the vertex space via ``xxhash64``; dst is
+    power-law-skewed by cubing a uniform draw, so vertex 0 is the biggest
+    hub and in-degree falls off as rank^(-2/3)-ish. Same (n_edges,
+    n_vertices, seed) → byte-identical output on any cluster size.
+    """
+    v = n_vertices or max(n_edges // 16, 2)
+    u01 = (F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(1 << 30))
+           / F.lit(float(1 << 30)))
+    return (
+        spark.range(n_edges)
+        .select(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(v)).alias("src"),
+            F.floor(F.lit(v) * u01 * u01 * u01).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
 def edge_priors(edges: DataFrame) -> DataFrame:
     """Deterministic per-edge (review) prior keyed by (src, dst) — the
     stand-in for the reference's review-prior dict (priors.pkl[1])."""

