@@ -161,8 +161,15 @@ def run_suite(sf_dir: str) -> dict:
         fn(spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
 
-    probe = superstep_throughput(spark, SUITE_EDGES, SUITE_VERTICES,
-                                 with_convergence=True)
+    # headline throughput on the SAME graph the scaling report uses
+    # (32M edges; the small probe under-reports, being overhead-bound);
+    # iterations-to-1e-6 measured on the cheaper 8M graph (convergence
+    # rate is size-independent for this generator's spectrum)
+    probe = superstep_throughput(spark, SCALE_EDGES, SCALE_VERTICES)
+    conv = superstep_throughput(spark, SUITE_EDGES, SUITE_VERTICES,
+                                iters=1, with_convergence=True)
+    probe["iters_to_1e-6"] = conv["iters_to_1e-6"]
+    probe["converged"] = conv["converged"]
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline-suite wall time (sum of per-query sec)",

@@ -140,3 +140,47 @@ def test_auc_ap_match_reference_definitions(spark):
         cn += int(sel.sum())
         ap += tp / n_pos * (ctp / cn)
     assert abs(row["ap"] - ap) < 1e-12
+
+
+def test_randomized_sketch_matches_exact_norms(spark):
+    """Scale-path SVD: ||A_i·V_k|| from the randomized sketch must track
+    the exact factors (what fBox consumes)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ugfraud_spark.operators.linalg import (
+        gram_matrix, randomized_right_factors, row_projection_norms_grouped,
+        topk_right_factors,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for s in range(300):
+        # low-rank-ish structure: 3 latent clusters + noise
+        base = (s % 3) * 25
+        for j in rng.choice(25, size=6, replace=False):
+            rows.append((s, int(base + j)))
+        if s % 7 == 0:
+            rows.append((s, int(rng.integers(0, 75))))
+    e = spark.createDataFrame(sorted(set(rows)), "src long, cidx int").coalesce(4)
+    n_cols, k = 75, 10
+
+    g = gram_matrix(e, n_cols)
+    v_ex, s_ex = topk_right_factors(g, k)
+    v_rk, s_rk = randomized_right_factors(e, n_cols, k, q=3, l_extra=25,
+                                          seed=11)
+
+    # dominant (structural) singular values tight; the flat noise tail is
+    # where any sketch loses ground — bounded, never overestimated
+    assert np.allclose(s_ex[:3], s_rk[:3], rtol=0.01)
+    assert np.all(s_rk <= s_ex * 1.001)
+    assert np.all(s_rk >= s_ex * 0.85)
+    ex = {r["src"]: r["rec"]
+          for r in row_projection_norms_grouped(e, v_ex).collect()}
+    rk = {r["src"]: r["rec"]
+          for r in row_projection_norms_grouped(e, v_rk).collect()}
+    a = np.array([ex[s] for s in sorted(ex)])
+    b = np.array([rk[s] for s in sorted(rk)])
+    # projection norms (what fBox thresholds consume): close in aggregate
+    assert np.corrcoef(a, b)[0, 1] > 0.98
+    assert abs(a.mean() - b.mean()) / a.mean() < 0.05

@@ -185,16 +185,18 @@ def fraudar_scores(edges: DataFrame, plateau: float = 0.01) -> DataFrame:
     """edges(src, dst) bipartite → (id, score) per-user Fraudar density
     score, normalized like ``eval_Fraudar.py:90-113``: detected users get
     (block_density − min_density)/(max − min), others 1e-6."""
+    # parity mode: the greedy peel is inherently sequential, so the edge
+    # *index list* (not the data) comes to the driver via one Arrow
+    # transfer — O(E) scalars. The distributed alternative for 100 TB is
+    # bulk_peel below.
     e = edges.select("src", "dst").distinct()
-    users = e.select("src").distinct().orderBy("src").collect()
-    prods = e.select("dst").distinct().orderBy("dst").collect()
-    u_ids = [r["src"] for r in users]
-    p_ids = [r["dst"] for r in prods]
-    u2i = {u: i for i, u in enumerate(u_ids)}
-    p2i = {p: i for i, p in enumerate(p_ids)}
-    rows = e.collect()
-    ri = np.array([u2i[r["src"]] for r in rows], dtype=np.int64)
-    ci = np.array([p2i[r["dst"]] for r in rows], dtype=np.int64)
+    pdf = e.toPandas()
+    src = pdf["src"].to_numpy()
+    dst = pdf["dst"].to_numpy()
+    u_ids, ri = np.unique(src, return_inverse=True)
+    p_ids, ci = np.unique(dst, return_inverse=True)
+    ri = ri.astype(np.int64)
+    ci = ci.astype(np.int64)
 
     blocks = detect_blocks(ri, ci, len(u_ids), len(p_ids), plateau=plateau)
     max_den = blocks[0].score
@@ -206,15 +208,16 @@ def fraudar_scores(edges: DataFrame, plateau: float = 0.01) -> DataFrame:
         for i in blk.rows:
             detected.setdefault(i, blk.score)
 
-    out = []
-    for i, u in enumerate(u_ids):
-        if i in detected:
-            d = (detected[i] - min_den) / interval if interval > 0 else 1.0
-        else:
-            d = 1e-6
-        out.append((u, float(d)))
+    scores = np.full(len(u_ids), 1e-6)
+    for i, den in detected.items():
+        scores[i] = (den - min_den) / interval if interval > 0 else 1.0
+    import pandas as pd
+
     spark = edges.sparkSession
-    return spark.createDataFrame(out, "id long, score double")
+    return spark.createDataFrame(
+        pd.DataFrame({"id": u_ids.astype("int64"), "score": scores}),
+        schema="id long, score double",
+    )
 
 
 def fraudar_col_weights(edges: DataFrame) -> DataFrame:

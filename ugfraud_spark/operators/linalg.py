@@ -115,6 +115,134 @@ def row_projection_norms(edges_idx: DataFrame, v: np.ndarray) -> DataFrame:
     return sums.select("src", norm_expr.alias("rec"))
 
 
+def randomized_right_factors(
+    edges_idx: DataFrame,
+    n_cols: int,
+    k: int,
+    weight_col: str | None = None,
+    l_extra: int = 16,
+    q: int = 2,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Randomized-sketch top-k right factors (V[:, :k], s[:k]) — the
+    SCALE path promised in this module's docstring (Halko, Martinsson &
+    Tropp 2011, Alg. 4.4 + 5.1). The exact-Gram path is O(n_cols²) per
+    partition and O(n_cols³) driver eigh — fine at ≤4k columns, fatal at
+    20k+. Here every distributed pass is O(E·l) with l = k + l_extra and
+    the driver never touches anything bigger than (n_cols × l):
+
+    1. Y = A·Ω for a seeded Gaussian Ω (n_cols × l) — one join+kernel,
+    2. q power iterations Y ← A·(Aᵀ·Y) with a driver-side QR of the
+       (n_cols × l) intermediate for numerical stability,
+    3. R = chol(YᵀY)  (l × l, from distributed partials), Q = Y·R⁻¹,
+    4. B = Qᵀ·A = R⁻ᵀ·(YᵀA)  ((l × n_cols), distributed partials),
+    5. SVD of B on the driver → V, s.
+
+    Deterministic: Ω from a fixed PCG64 seed; partials are summed on the
+    driver (order-independent float addition is NOT guaranteed, so
+    results are reproducible-per-plan, and downstream consumers
+    (percentile thresholds) tolerate 1e-9 wiggle).
+    """
+    rng = np.random.default_rng(seed)
+    l = min(k + l_extra, n_cols)
+    omega = rng.standard_normal((n_cols, l))
+    wc = weight_col
+
+    e = edges_idx.repartition("src").localCheckpoint(eager=True)
+
+    def _project_rows(mat: np.ndarray) -> DataFrame:
+        """(src, yvec = Σ_edges w·mat[cidx]) — one vectorized pass."""
+        m = mat
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            chunks = list(batches)
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                "src", kind="mergesort")
+            idx = pdf["cidx"].to_numpy()
+            w = pdf[wc].to_numpy(dtype="float64") if wc else np.ones(len(idx))
+            srcs = pdf["src"].to_numpy(dtype="int64")
+            contrib = m[idx] * w[:, None]
+            bounds = np.flatnonzero(np.r_[True, srcs[1:] != srcs[:-1]])
+            ys = np.add.reduceat(contrib, bounds, axis=0)
+            yield pd.DataFrame({"src": srcs[bounds],
+                                "yvec": [row for row in ys]})
+
+        return e.mapInPandas(fn, schema="src long, yvec array<double>")
+
+    def _left_project(y_df: DataFrame) -> np.ndarray:
+        """Aᵀ·Y as an (n_cols × l) numpy: per-partition dense partials
+        shipped as bytes, summed on the driver (32 × ~n_cols·l·8 B)."""
+        nc, ll = n_cols, l
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc = np.zeros((nc, ll))
+            got = False
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                got = True
+                idx = pdf["cidx"].to_numpy()
+                w = pdf[wc].to_numpy(dtype="float64") if wc else np.ones(len(idx))
+                yv = np.asarray([np.asarray(v) for v in pdf["yvec"]])
+                np.add.at(acc, idx, yv * w[:, None])
+            if got:
+                yield pd.DataFrame({"blob": [acc.tobytes()]})
+
+        # each task ships a dense (n_cols × l) partial to the driver;
+        # when that blob is large, fewer/bigger tasks win — when small,
+        # keep full scan parallelism
+        j = (
+            e.join(y_df.withColumnRenamed("src", "_s"), e.src == F.col("_s"))
+            .select("cidx", "yvec", *([wc] if wc else []))
+        )
+        if n_cols * l * 8 > 32 * 1024 * 1024:
+            j = j.coalesce(8)
+        parts = j.mapInPandas(fn, schema="blob binary").collect()
+        z = np.zeros((nc, ll))
+        for r in parts:
+            z += np.frombuffer(r["blob"]).reshape(nc, ll)
+        return z
+
+    def _gram_small(y_df: DataFrame) -> np.ndarray:
+        """YᵀY (l × l) from distributed partials."""
+        ll = l
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc = np.zeros((ll, ll))
+            got = False
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                got = True
+                yv = np.asarray([np.asarray(v) for v in pdf["yvec"]])
+                acc += yv.T @ yv
+            if got:
+                yield pd.DataFrame({"blob": [acc.tobytes()]})
+
+        parts = y_df.mapInPandas(fn, schema="blob binary").collect()
+        g = np.zeros((ll, ll))
+        for r in parts:
+            g += np.frombuffer(r["blob"]).reshape(ll, ll)
+        return g
+
+    y = _project_rows(omega).localCheckpoint(eager=True)
+    for _ in range(q):
+        z = _left_project(y)
+        z, _r = np.linalg.qr(z)  # (n_cols × l) driver QR — stability
+        y = _project_rows(z).localCheckpoint(eager=True)
+
+    g = _gram_small(y)
+    # ridge for rank-deficient sketches (all-zero rows etc.)
+    r = np.linalg.cholesky(g + 1e-12 * np.eye(l) * max(g.max(), 1.0))
+    yta = _left_project(y)  # (n_cols × l) = AᵀY
+    b = np.linalg.solve(r, yta.T)  # R⁻ᵀ·(YᵀA) = B (l × n_cols)
+    _ub, s, vt = np.linalg.svd(b, full_matrices=False)
+    kk = min(k, vt.shape[0])
+    return vt[:kk].T, s[:kk]
+
+
 def row_projection_norms_grouped(edges_idx: DataFrame, v: np.ndarray,
                                  weight_col: str | None = None) -> DataFrame:
     """(src, rec = ||A_i·V||₂) via ONE per-partition vectorized kernel:

@@ -55,12 +55,20 @@ def svd_user_embedding(
 
 
 def svd_user_norms(edges: DataFrame, *, percent: float = 0.9,
-                   rating_col: str = "sign") -> DataFrame:
+                   rating_col: str = "sign",
+                   scale_k_cap: int = 128) -> DataFrame:
     """(id, norm): sign/rotation-invariant summary of the embedding —
     ||U_i·Σ||₂. Since U_i = A_i·V·diag(1/s), the s cancels exactly:
     ||U_i·Σ|| = ||A_i·V|| — so this skips the U materialization and runs
-    one vectorized projection-norm kernel over the edges."""
-    from .linalg import row_projection_norms_grouped
+    one vectorized projection-norm kernel over the edges.
+
+    Scale mode: the reference's k = 0.9·min(m, n) (``SVD.py:53``) grows
+    with the matrix, so past EXACT_GRAM_MAX_COLS columns the exact
+    eigendecomposition is replaced by a randomized sketch with k capped
+    at ``scale_k_cap`` — a documented approximation (the demo-scale
+    parity path below the threshold stays exact)."""
+    from .fbox import EXACT_GRAM_MAX_COLS
+    from .linalg import randomized_right_factors, row_projection_norms_grouped
 
     e = (
         edges.select("src", "dst", F.col(rating_col).cast("double").alias("w"))
@@ -74,8 +82,16 @@ def svd_user_norms(edges: DataFrame, *, percent: float = 0.9,
     n_rows = e.select("src").distinct().count()
     k = int(max(round(min(n_rows, n_cols) * percent), 1))
 
-    g = gram_matrix(eidx, n_cols, weight_col="w")
-    v, _s = topk_right_factors(g, k)
+    if n_cols <= EXACT_GRAM_MAX_COLS:
+        g = gram_matrix(eidx, n_cols, weight_col="w")
+        v, _s = topk_right_factors(g, k)
+    else:
+        # lighter sketch than fBox's: this consumer only needs stable
+        # aggregate norms, not per-factor resolution
+        v, _s = randomized_right_factors(
+            eidx, n_cols, min(k, scale_k_cap), weight_col="w",
+            l_extra=8, q=1,
+        )
     return row_projection_norms_grouped(eidx, v, weight_col="w").select(
         F.col("src").alias("id"), F.col("rec").alias("norm")
     )
