@@ -40,7 +40,8 @@ def gang(
     )
     pri = priors.select(
         "id", (F.col("prior") - F.lit(0.5)).alias("p")
-    ).localCheckpoint(eager=True)
+    ).repartition("id").persist()
+    pri.count()
 
     state0 = pri.select("id", F.col("p").alias("value"))
     w2 = 2.0 * weight

@@ -50,12 +50,10 @@ def pagerank(
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
-    # fuse outdeg into the state once; dangling nodes get out_deg = NULL
-    base = (
-        verts.join(out_deg, "id", "left")
-        .repartition("id")
-        .localCheckpoint(eager=True)
-    )
+    # fuse outdeg into the state once; dangling nodes get out_deg = NULL.
+    # persist (not checkpoint) so the id-partitioning stays visible to the
+    # per-superstep left join against contribs (see colocate_edges)
+    base = verts.join(out_deg, "id", "left").repartition("id").persist()
     n = base.count()
     teleport = (1.0 - damping) / n
 
@@ -125,11 +123,7 @@ def pagerank_blocks(
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
-    base = (
-        verts.join(out_deg, "id", "left")
-        .repartition("id")
-        .localCheckpoint(eager=True)
-    )
+    base = verts.join(out_deg, "id", "left").repartition("id").persist()
     n = base.count()
     teleport = (1.0 - damping) / n
     state0 = base.withColumn("value", F.lit(1.0 / n))

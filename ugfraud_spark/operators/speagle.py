@@ -111,10 +111,13 @@ def speagle(
         pb = state.groupBy("dst").agg(
             F.sum("rp0").alias("srp0"), F.sum("rp1").alias("srp1")
         )
+        # belief sides are |V|-sized next to the |E|-sized state: hint
+        # shuffle_hash so no superstep ever serially broadcasts state
+        # (see superstep.colocate_edges rationale)
         j = (
             base.join(state, ["src", "dst"])
-            .join(ub, "src")
-            .join(pb, "dst")
+            .join(ub.hint("shuffle_hash"), "src")
+            .join(pb.hint("shuffle_hash"), "dst")
         )
         bu0 = F.col("u0") + F.col("sru0")
         bu1 = F.col("u1") + F.col("sru1")

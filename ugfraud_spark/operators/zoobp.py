@@ -42,7 +42,8 @@ def zoobp(
     )
     pri = priors.select(
         "id", (F.col("prior") - F.lit(0.5)).alias("p")
-    ).localCheckpoint(eager=True)
+    ).repartition("id").persist()
+    pri.count()
     state0 = pri.select("id", F.col("p").alias("value"))
     h = ep / 2.0
 

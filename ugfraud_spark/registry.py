@@ -190,6 +190,31 @@ def q_fbox_suspicious_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return su.select("id", "out_deg")
 
 
+def q_fbox_suspicious_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.bipartite_edges(spark, sf_dir)
+    _su, sp = fbox.fbox(e, tau=20.0, k=50)
+    return sp.select("id", "in_deg")
+
+
+def q_pages_text_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint invariant as a driver-visible query: synthesize the
+    Common-Crawl-style pages table and check the vectorized Arrow-UDF
+    extraction reproduces the single-node reference text BYTE-IDENTICALLY
+    per url (md5 join, reference S6). One row: n_pages == n_identical."""
+    from .sources import pages as P
+
+    pg = P.generate_pages(spark, 2000, seed=42)
+    checked = pg.select(
+        "url",
+        (F.md5(F.encode(P.text_udf(F.col("html")), "utf-8"))
+         == F.md5(F.encode(F.col("text"), "utf-8"))).alias("same"),
+    )
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.col("same").cast("long")).alias("n_identical"),
+    )
+
+
 def q_svd_user_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tables.bipartite_edges(spark, sf_dir)
     return _round6(svd.svd_user_norms(e, percent=0.9), "norm")
@@ -402,7 +427,13 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "prior_eval": (q_prior_eval, oracle.sql_prior_eval()),
     # SVD-based: no SQL oracle (rows-only); semantics vs numpy in tests
     "fbox_suspicious_users": (q_fbox_suspicious_users, None),
+    "fbox_suspicious_products": (q_fbox_suspicious_products, None),
     "svd_user_norms": (q_svd_user_norms, None),
+    # Arrow-UDF byte-identity invariant: n_pages must equal n_identical
+    "pages_text_byte_identity": (
+        q_pages_text_identity,
+        "SELECT 2000 AS n_pages, 2000 AS n_identical",
+    ),
     "node_attr_filter": (q_node_attr_filter, oracle.sql_node_attr_filter()),
     "edge_attr_filter": (q_edge_attr_filter, oracle.sql_edge_attr_filter()),
     "node_attr_index": (q_node_attr_index, oracle.sql_node_attr_index()),
