@@ -755,3 +755,45 @@ def sql_parse_props() -> str:
         "SELECT event_id, "
         "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"
     )
+
+
+# ------------------------------------------------- detector eval pipelines
+
+_AUC_G = "SELECT score AS s, COUNT(*) AS c, SUM(label) AS pos FROM d GROUP BY score"
+_AUC_O = (
+    "SELECT s, c, pos, "
+    "COALESCE(SUM(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND 1 PRECEDING), 0) AS lower_c, "
+    "SUM(pos) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND CURRENT ROW) AS ctp, "
+    "SUM(c) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND CURRENT ROW) AS cn FROM g"
+)
+_AUC_FINAL = (
+    "SELECT ROUND((SUM(pos * (lower_c + (c + 1) / 2.0::DOUBLE)) "
+    "- SUM(pos) * (SUM(pos) + 1) / 2.0::DOUBLE) "
+    "/ (SUM(pos) * (SUM(c) - SUM(pos))), 6) AS auc, "
+    "ROUND(SUM(pos * ctp / CAST(cn AS DOUBLE)) / SUM(pos), 6) AS ap FROM o"
+)
+
+
+def eval_wrap(score_query: str, id_col: str = "id",
+              score_col: str = "belief") -> str:
+    """§2.11 pipeline tail: wrap ANY full score query (its own WITH chain
+    is legal inside a CTE body) with the user ground truth join and the
+    exact AUC/AP rank statistics — the SQL mirror of the reference's
+    load → model → score → evaluate entry points."""
+    gt = (
+        f"SELECT src AS id, MAX(CASE WHEN sign = 2 THEN 1 ELSE 0 END) AS gt "
+        f"FROM ({BIP}) bipx GROUP BY src"
+    )
+    return _with(
+        [("scores", score_query),
+         ("gtx", gt),
+         ("d",
+          f"SELECT s.{score_col} AS score, gtx.gt AS label "
+          f"FROM scores s JOIN gtx ON gtx.id = s.{id_col}"),
+         ("g", _AUC_G),
+         ("o", _AUC_O)],
+        _AUC_FINAL,
+    )

@@ -230,6 +230,40 @@ def q_fraudar_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(fraudar.fraudar_scores(e), "score")
 
 
+# ------------------------------------- detector eval pipelines (§2.11)
+
+def _user_eval(spark: SparkSession, sf_dir: str, beliefs: DataFrame,
+               id_col: str = "id", score_col: str = "belief") -> DataFrame:
+    """load → model → score → evaluate tail: AUC/AP of per-user scores vs
+    the sign ground truth (reference E1). Scores are pre-rounded to 6dp on
+    BOTH engines so tie-groups match exactly."""
+    e = tables.bipartite_edges(spark, sf_dir)
+    gt = evalmetrics.ground_truth_users(e)
+    scored = beliefs.join(gt, beliefs[id_col] == gt.id).select(
+        F.round(F.col(score_col), 6).alias("score"), F.col("gt").alias("label")
+    )
+    return _round6(evalmetrics.auc_ap(scored), "auc", "ap")
+
+
+def q_gang_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _user_eval(spark, sf_dir, q_gang(spark, sf_dir), score_col="belief")
+
+
+def q_zoobp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _user_eval(spark, sf_dir, q_zoobp(spark, sf_dir), score_col="belief")
+
+
+def q_speagle_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _user_eval(spark, sf_dir, q_speagle_user(spark, sf_dir),
+                      score_col="belief")
+
+
+def q_fraudar_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.bipartite_edges(spark, sf_dir)
+    return _user_eval(spark, sf_dir, fraudar.fraudar_scores(e),
+                      score_col="score")
+
+
 # -------------------------------------- attribute / subset / split / BFS
 
 def _bip_vertices_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,6 +457,13 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     # exactness is asserted vs a brute-force spec in tests/test_fraudar.py
     "fraudar_scores": (q_fraudar_scores, None),
     "ground_truth_users": (q_ground_truth_users, oracle.sql_ground_truth_users()),
+    "gang_eval": (q_gang_eval, oracle.eval_wrap(oracle.sql_gang(GANG_ITERS))),
+    "zoobp_eval": (q_zoobp_eval, oracle.eval_wrap(oracle.sql_zoobp(ZOOBP_ITERS))),
+    "speagle_eval": (q_speagle_eval,
+                     oracle.eval_wrap(oracle.sql_speagle(SPEAGLE_ITERS,
+                                                         output="user"))),
+    # fraudar peel not SQL-expressible → rows-only
+    "fraudar_eval": (q_fraudar_eval, None),
     "prior_scaled_review": (q_prior_scaled_review, oracle.sql_prior_scaled_review()),
     "prior_eval": (q_prior_eval, oracle.sql_prior_eval()),
     # SVD-based: no SQL oracle (rows-only); semantics vs numpy in tests
