@@ -1,0 +1,103 @@
+"""HITS hubs & authorities (Kleinberg) — standard web link-graph kernel.
+
+Not in the reference (UGFraud's spectral scoring plays the analogous
+role via SVD — ``fBox.py:58``: the dominant singular triplet IS the HITS
+fixpoint); included because the north rule's deliverable is a general
+link-graph engine over web pages. Synchronous supersteps:
+
+    a_{t+1}(v) = Σ_{(u,v)∈E} h_t(u)      then a ← a / ‖a‖₂
+    h_{t+1}(u) = Σ_{(u,v)∈E} a_{t+1}(v)  then h ← h / ‖h‖₂
+
+Fixed-iteration kernel mirrored by the unrolled DuckDB oracle; each
+half-step is one co-partitioned join + groupBy-sum plus one scalar agg
+for the norm (same plan shape as PageRank — see PLANS.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .superstep import colocate_edges
+
+
+def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """edges(src, dst) directed → (id, hub, authority), L2-normalized."""
+    fwd = colocate_edges(edges.select("src", "dst"))
+    rev = colocate_edges(edges.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+    verts = (
+        fwd.select(F.col("src").alias("id"))
+        .unionAll(fwd.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition("id")
+        .persist()
+    )
+    verts.count()
+
+    state = verts.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+
+    def _propagate(edge_df: DataFrame, state_df: DataFrame,
+                   src_col: str, out_name: str) -> DataFrame:
+        msg = (
+            edge_df.join(
+                state_df.select(F.col("id").alias("src"),
+                                F.col(src_col).alias("x")).hint("shuffle_hash"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("x").alias(out_name))
+        )
+        return msg
+
+    for i in range(iters):
+        # authorities from hubs (follow edges forward)
+        a = _propagate(fwd, state, "hub", "a_raw")
+        a_norm = a.agg(F.sqrt(F.sum(F.col("a_raw") ** 2)).alias("n")).collect()[0]["n"]
+        state = (
+            state.join(a.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id", "hub",
+                (F.coalesce("a_raw", F.lit(0.0)) / F.lit(a_norm)).alias("auth"),
+            )
+        )
+        # hubs from authorities (follow edges backward)
+        h = _propagate(rev, state, "auth", "h_raw")
+        h_norm = h.agg(F.sqrt(F.sum(F.col("h_raw") ** 2)).alias("n")).collect()[0]["n"]
+        state = (
+            state.join(h.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                (F.coalesce("h_raw", F.lit(0.0)) / F.lit(h_norm)).alias("hub"),
+                "auth",
+            )
+        ).localCheckpoint(eager=True)
+
+    return state.select("id", "hub", F.col("auth").alias("authority"))
+
+
+def kcore(edges_sym: DataFrame, k: int, iters: int = 10) -> DataFrame:
+    """k-core: vertices surviving iterated removal of degree < k nodes.
+
+    edges_sym(src, dst) must contain both directions of each undirected
+    edge. Fixed ``iters`` peeling rounds (enough when ≥ peel depth;
+    the oracle unrolls the identical rounds). Returns (id,) survivors.
+
+    Each round: one degree agg + two semi-joins — all co-partitioned on
+    the cached symmetric edge set; the shrinking edge frame is
+    re-checkpointed per round to keep lineage flat.
+    """
+    e = colocate_edges(edges_sym.select("src", "dst"))
+    for _ in range(iters):
+        alive = (
+            e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select("src")
+        )
+        e = (
+            e.join(alive.hint("shuffle_hash"), "src", "left_semi")
+            .join(alive.withColumnRenamed("src", "dst").hint("shuffle_hash"),
+                  "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return e.select(F.col("src").alias("id")).distinct()

@@ -797,3 +797,65 @@ def eval_wrap(score_query: str, id_col: str = "id",
          ("o", _AUC_O)],
         _AUC_FINAL,
     )
+
+
+# ----------------------------------------------------- HITS and k-core
+
+def sql_hits(iters: int = 5) -> str:
+    """Unrolled HITS: per iteration authority = Σ hub over in-edges then
+    L2-normalize, hub = Σ authority over out-edges then L2-normalize —
+    step-for-step the Spark kernel in operators/hits.py."""
+    ctes = [
+        ("uni", UNI),
+        ("v", VERTS),
+        ("s0", "SELECT id, CAST(1.0 AS DOUBLE) AS hub, "
+               "CAST(1.0 AS DOUBLE) AS auth FROM v"),
+    ]
+    prev = "s0"
+    for t in range(1, iters + 1):
+        ctes.append((
+            f"ar{t}",
+            f"SELECT uni.dst AS id, SUM({prev}.hub) AS a_raw FROM uni "
+            f"JOIN {prev} ON {prev}.id = uni.src GROUP BY uni.dst",
+        ))
+        ctes.append((
+            f"sa{t}",
+            f"SELECT {prev}.id, {prev}.hub, "
+            f"COALESCE(ar{t}.a_raw, CAST(0.0 AS DOUBLE)) "
+            f"/ (SELECT SQRT(SUM(a_raw * a_raw)) FROM ar{t}) AS auth "
+            f"FROM {prev} LEFT JOIN ar{t} ON ar{t}.id = {prev}.id",
+        ))
+        ctes.append((
+            f"hr{t}",
+            f"SELECT uni.src AS id, SUM(sa{t}.auth) AS h_raw FROM uni "
+            f"JOIN sa{t} ON sa{t}.id = uni.dst GROUP BY uni.src",
+        ))
+        ctes.append((
+            f"s{t}",
+            f"SELECT sa{t}.id, COALESCE(hr{t}.h_raw, CAST(0.0 AS DOUBLE)) "
+            f"/ (SELECT SQRT(SUM(h_raw * h_raw)) FROM hr{t}) AS hub, sa{t}.auth "
+            f"FROM sa{t} LEFT JOIN hr{t} ON hr{t}.id = sa{t}.id",
+        ))
+        prev = f"s{t}"
+    return _with(
+        ctes,
+        f"SELECT id, ROUND(hub, 6) AS hub, ROUND(auth, 6) AS authority FROM {prev}",
+    )
+
+
+def sql_kcore(k: int, iters: int = 10) -> str:
+    """Unrolled k-core peeling over the symmetric undirected edges."""
+    ctes = [("uni", UNI), ("und", UND), ("e0", SYM)]
+    for t in range(1, iters + 1):
+        prev = f"e{t-1}"
+        ctes.append((
+            f"a{t}",
+            f"SELECT src FROM {prev} GROUP BY src HAVING COUNT(*) >= {k}",
+        ))
+        ctes.append((
+            f"e{t}",
+            f"SELECT e.src, e.dst FROM {prev} e "
+            f"JOIN a{t} s ON s.src = e.src "
+            f"JOIN a{t} d ON d.src = e.dst",
+        ))
+    return _with(ctes, f"SELECT DISTINCT src AS id FROM e{iters}")

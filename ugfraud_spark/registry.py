@@ -25,6 +25,7 @@ from .operators import (
     attrs,
     bfs,
     components,
+    hits,
     dedup,
     degrees,
     evalmetrics,
@@ -118,6 +119,21 @@ def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tables.uni_edges_undirected(spark, sf_dir)
     return labelprop.lpa(e, iters=LPA_ITERS)
+
+
+HITS_ITERS = 5
+KCORE_K = 5
+KCORE_ITERS = 6
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.uni_edges_directed(spark, sf_dir)
+    return _round6(hits.hits(e, iters=HITS_ITERS), "hub", "authority")
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = tables.uni_edges_undirected(spark, sf_dir)
+    return hits.kcore(tables.symmetrize(und), k=KCORE_K, iters=KCORE_ITERS)
 
 
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,6 +458,8 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "pagerank_blocks": (q_pagerank_blocks, oracle.sql_pagerank(PR_ITERS)),
     "connected_components": (q_cc, oracle.sql_cc_minprop(CC_ITERS)),
     "label_propagation": (q_lpa, oracle.sql_lpa(LPA_ITERS)),
+    "hits": (q_hits, oracle.sql_hits(HITS_ITERS)),
+    "kcore": (q_kcore, oracle.sql_kcore(KCORE_K, KCORE_ITERS)),
     "triangles_per_vertex": (q_triangles, oracle.sql_triangles()),
     "triangle_total": (q_triangle_total, oracle.sql_triangle_total()),
     "gang_lbp": (q_gang, oracle.sql_gang(GANG_ITERS)),
