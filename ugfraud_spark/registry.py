@@ -376,6 +376,11 @@ def q_events_stream_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stats_as_text(out)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load(spark, sf_dir, "events")
+    return streaming_events.sessionize(ev, gap_minutes=30)
+
+
 def q_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     return streaming_events.parse_props(ev)
@@ -509,6 +514,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "events_stream_once": (q_events_stream_once,
                            oracle.sql_windowed_event_stats(60)),
     "parse_props": (q_parse_props, oracle.sql_parse_props()),
+    "sessionize": (q_sessionize, oracle.sql_sessionize(30)),
     # training-data pipeline ops
     "dedup_exact": (q_dedup_exact, oracle.sql_dedup_exact()),
     "minhash_signatures": (q_minhash_signatures, oracle.sql_minhash_signatures()),

@@ -54,6 +54,28 @@ def windowed_event_stats(events: DataFrame, minutes: int = 60) -> DataFrame:
     )
 
 
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session aggregation with a ``gap_minutes`` inactivity gap:
+    (user_id, session_start, n_events, sum_value). Built on
+    ``F.session_window`` — the same expression sessionizes a stream
+    (with watermark-bounded state) or a batch frame; the DuckDB oracle
+    reproduces it as a gaps-and-islands window computation."""
+    w = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        events.groupBy("user_id", w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def parse_props(events: DataFrame) -> DataFrame:
     """JSON prop extraction (JVM from_json): (event_id, k)."""
     return events.select(
