@@ -45,8 +45,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "out_degree_top",
     "pagerank",
+    "pagerank_blocks",
+    "personalized_pagerank",
     "connected_components",
     "label_propagation",
+    "hits",
+    "kcore",
+    "bfs_hops",
     "triangles_per_vertex",
     "gang_lbp",
     "zoobp",
@@ -63,6 +68,8 @@ HEADLINE = [
     "lang_id",
     "ann_cosine_topk",
     "multimodal_decode",
+    "sessionize",
+    "events_windowed_stats",
 ]
 
 # suite probe: small enough to keep the per-round bench fast, large

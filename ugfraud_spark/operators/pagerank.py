@@ -94,6 +94,74 @@ def pagerank(
     return res
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float | None = None,
+    checkpoint_every: int = 5,
+    checkpoint_dir: str | None = None,
+) -> SuperstepResult:
+    """PPR: teleport mass returns to ``seeds(id)`` uniformly instead of
+    to every vertex — the standard seed-conditioned relevance score for
+    web graphs (e.g. trust propagation from known-good hosts). Same
+    superstep plan as ``pagerank``; only the teleport column differs."""
+    edges = colocate_edges(edges.select("src", "dst"))
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    n_seeds = seeds.count()
+    base = (
+        verts.join(out_deg, "id", "left")
+        .join(seeds.select("id").withColumn("_seed", F.lit(1)), "id", "left")
+        .withColumn(
+            "tp",
+            F.when(F.col("_seed").isNotNull(),
+                   (1.0 - damping) / n_seeds).otherwise(F.lit(0.0)),
+        )
+        .drop("_seed")
+        .repartition("id")
+        .persist()
+    )
+    base.count()
+    state0 = base.withColumn("value", F.col("tp") / F.lit(1.0 - damping))
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        contribs = (
+            edges.join(
+                state.where(F.col("out_deg").isNotNull())
+                .select(F.col("id").alias("src"),
+                        (F.col("value") / F.col("out_deg")).alias("c"))
+                .hint("shuffle_hash"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("mass"))
+        )
+        return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
+            "id", "out_deg", "tp",
+            (F.col("tp") + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias(
+                "value"
+            ),
+        )
+
+    res = iterate(
+        state0, step,
+        residual_fn=(None if tol is None else l1_residual),
+        max_iter=max_iter, tol=tol or 0.0,
+        checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
+    )
+    res.state = res.state.select("id", "value")
+    return res
+
+
 def pagerank_blocks(
     edges: DataFrame,
     *,

@@ -878,3 +878,33 @@ def sql_sessionize(gap_minutes: int = 30) -> str:
         "COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value "
         "FROM s GROUP BY user_id, sid",
     )
+
+
+def sql_ppr(iters: int = 5, damping: float = 0.85, seed_mod: int = 97) -> str:
+    """Unrolled personalized PageRank with teleport to {id % seed_mod = 0}."""
+    d = f"CAST({damping!r} AS DOUBLE)"
+    ctes = [
+        ("uni", UNI),
+        ("v", VERTS),
+        ("od", "SELECT src AS id, COUNT(*) AS out_deg FROM uni GROUP BY src"),
+        ("sd", f"SELECT id FROM v WHERE id % {seed_mod} = 0"),
+        ("ns", "SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM sd"),
+        ("tp",
+         f"SELECT v.id, CASE WHEN sd.id IS NOT NULL THEN "
+         f"(CAST(1.0 AS DOUBLE) - {d}) / ns.n ELSE CAST(0.0 AS DOUBLE) END AS tp "
+         f"FROM v CROSS JOIN ns LEFT JOIN sd ON sd.id = v.id"),
+        ("r0",
+         f"SELECT id, tp / (CAST(1.0 AS DOUBLE) - {d}) AS pr FROM tp"),
+    ]
+    for t in range(1, iters + 1):
+        prev = f"r{t-1}"
+        ctes.append((
+            f"r{t}",
+            f"SELECT tp.id, tp.tp + {d} * COALESCE(s.mass, CAST(0.0 AS DOUBLE)) AS pr\n"
+            f"FROM tp LEFT JOIN (\n"
+            f"  SELECT uni.dst AS id, SUM({prev}.pr / od.out_deg) AS mass\n"
+            f"  FROM uni JOIN {prev} ON {prev}.id = uni.src "
+            f"JOIN od ON od.id = uni.src GROUP BY uni.dst\n"
+            f") s ON s.id = tp.id",
+        ))
+    return _with(ctes, f"SELECT id, ROUND(pr, 6) AS ppr FROM r{iters}")

@@ -121,6 +121,16 @@ def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labelprop.lpa(e, iters=LPA_ITERS)
 
 
+PPR_SEED_MOD = 97
+
+
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tables.uni_edges_directed(spark, sf_dir)
+    seeds = tables.vertices_of(e).where(F.col("id") % PPR_SEED_MOD == 0)
+    res = pagerank.personalized_pagerank(e, seeds, max_iter=PR_ITERS)
+    return _round6(res.state.withColumnRenamed("value", "ppr"), "ppr")
+
+
 HITS_ITERS = 5
 KCORE_K = 5
 KCORE_ITERS = 6
@@ -461,6 +471,8 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "degree_histogram": (q_degree_histogram, oracle.sql_degree_histogram(5)),
     "pagerank": (q_pagerank, oracle.sql_pagerank(PR_ITERS)),
     "pagerank_blocks": (q_pagerank_blocks, oracle.sql_pagerank(PR_ITERS)),
+    "personalized_pagerank": (q_ppr, oracle.sql_ppr(PR_ITERS,
+                                                    seed_mod=PPR_SEED_MOD)),
     "connected_components": (q_cc, oracle.sql_cc_minprop(CC_ITERS)),
     "label_propagation": (q_lpa, oracle.sql_lpa(LPA_ITERS)),
     "hits": (q_hits, oracle.sql_hits(HITS_ITERS)),
