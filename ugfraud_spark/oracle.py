@@ -908,3 +908,41 @@ def sql_ppr(iters: int = 5, damping: float = 0.85, seed_mod: int = 97) -> str:
             f") s ON s.id = tp.id",
         ))
     return _with(ctes, f"SELECT id, ROUND(pr, 6) AS ppr FROM r{iters}")
+
+
+def sql_gang_semi(iters: int = 5, weight: float = 0.008,
+                  frac: float = 0.25) -> str:
+    """GANG with semi-supervised clamped priors on the sampled seed set
+    (eval_GANG pipeline shape; sampling pinned to Knuth-hash order)."""
+    w2 = f"CAST({2 * weight!r} AS DOUBLE)"
+    ctes = [
+        ("bip", BIP),
+        ("bsym",
+         "SELECT src, dst FROM bip UNION ALL SELECT dst AS src, src AS dst FROM bip"),
+        ("v", BIP_VERTS),
+        ("gt",
+         "SELECT src AS id, MAX(CASE WHEN sign = 2 THEN 1 ELSE 0 END) AS label "
+         "FROM bip GROUP BY src"),
+        ("rk",
+         f"SELECT id, label, ROW_NUMBER() OVER (PARTITION BY label "
+         f"ORDER BY (id * {PRIOR_MULT}) % {PRIOR_MOD}, id) AS rn, "
+         f"COUNT(*) OVER (PARTITION BY label) AS n FROM gt"),
+        ("sd", f"SELECT id, label FROM rk WHERE rn <= CEIL(n * {frac}::DOUBLE)"),
+        ("pri",
+         f"SELECT v.id, CASE WHEN sd.label = 1 THEN 0.999::DOUBLE "
+         f"WHEN sd.label = 0 THEN 0.001::DOUBLE "
+         f"ELSE {prior_expr('v.id')} END - CAST(0.5 AS DOUBLE) AS p "
+         f"FROM v LEFT JOIN sd ON sd.id = v.id"),
+        ("b0", "SELECT id, p AS b FROM pri"),
+    ]
+    for t in range(1, iters + 1):
+        prev = f"b{t-1}"
+        ctes.append((
+            f"b{t}",
+            f"SELECT pri.id, pri.p + {w2} * COALESCE(s.m, CAST(0.0 AS DOUBLE)) AS b\n"
+            f"FROM pri LEFT JOIN (\n"
+            f"  SELECT bsym.dst AS id, SUM({prev}.b) AS m FROM bsym "
+            f"JOIN {prev} ON {prev}.id = bsym.src GROUP BY bsym.dst\n"
+            f") s ON s.id = pri.id",
+        ))
+    return _with(ctes, f"SELECT id, ROUND(b, 6) AS belief FROM b{iters}")

@@ -163,6 +163,25 @@ def q_gang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(res.state, "belief")
 
 
+def q_gang_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eval_GANG's semi-supervised setup (GANG.py:12-36 + demo): sampled
+    labeled users get clamped priors (0.999 spam / 0.001 not), everyone
+    else keeps the hash prior; then the same LBP supersteps."""
+    e = tables.bipartite_edges(spark, sf_dir)
+    pri = tables.vertex_priors(tables.vertices_of(e))
+    gt = evalmetrics.ground_truth_users(e).withColumnRenamed("gt", "label")
+    seeds = attrs.semi_supervised_sample(gt, frac=0.25)
+    pri2 = pri.join(seeds, "id", "left").select(
+        "id",
+        F.when(F.col("label") == 1, F.lit(0.999))
+        .when(F.col("label") == 0, F.lit(0.001))
+        .otherwise(F.col("prior"))
+        .alias("prior"),
+    )
+    res = gang.gang(e, pri2, max_iter=GANG_ITERS)
+    return _round6(res.state, "belief")
+
+
 def q_zoobp(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tables.bipartite_edges(spark, sf_dir)
     pri = tables.vertex_priors(tables.vertices_of(e))
@@ -480,6 +499,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "triangles_per_vertex": (q_triangles, oracle.sql_triangles()),
     "triangle_total": (q_triangle_total, oracle.sql_triangle_total()),
     "gang_lbp": (q_gang, oracle.sql_gang(GANG_ITERS)),
+    "gang_semi": (q_gang_semi, oracle.sql_gang_semi(GANG_ITERS)),
     "zoobp": (q_zoobp, oracle.sql_zoobp(ZOOBP_ITERS)),
     "speagle_review": (q_speagle_review,
                        oracle.sql_speagle(SPEAGLE_ITERS, output="review")),
