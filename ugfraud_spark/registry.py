@@ -417,6 +417,14 @@ def q_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ training-data pipeline
 
+def q_fraudar_bulk_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-mode Fraudar: distributed ε-peel (O(log V) Spark rounds, no
+    driver state) — the 100 TB twin of the exact driver peel; densest
+    prefix recovered is asserted against planted blocks in tests."""
+    e = tables.bipartite_edges(spark, sf_dir)
+    return fraudar.bulk_peel(e).orderBy("side", "id")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dups(tables.load(spark, sf_dir, "documents"))
 
@@ -511,6 +519,8 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     # greedy peel is inherently sequential → no SQL oracle (rows-only check);
     # exactness is asserted vs a brute-force spec in tests/test_fraudar.py
     "fraudar_scores": (q_fraudar_scores, None),
+    # distributed ε-peel (scale mode): approximation by design → rows-only
+    "fraudar_bulk_peel": (q_fraudar_bulk_peel, None),
     "ground_truth_users": (q_ground_truth_users, oracle.sql_ground_truth_users()),
     "gang_eval": (q_gang_eval, oracle.eval_wrap(oracle.sql_gang(GANG_ITERS))),
     "zoobp_eval": (q_zoobp_eval, oracle.eval_wrap(oracle.sql_zoobp(ZOOBP_ITERS))),
