@@ -241,16 +241,21 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1, max_rounds: int = 60) -> DataF
         .join(cw.withColumnRenamed("id", "dst"), "dst")
         .localCheckpoint(eager=True)
     )
+    spark = edges.sparkSession
     best_df = None
     best_avg = -1.0
     for _ in range(max_rounds):
         rd = e.groupBy("src").agg(F.sum("col_weight").alias("delta"))
         cd = e.groupBy("dst").agg(F.sum("col_weight").alias("delta"))
-        tot = e.agg(F.sum("col_weight")).collect()[0][0] or 0.0
-        n_alive = rd.count() + cd.count()
+        # one combined action per round: Σdelta over the row+col union
+        # double-counts the block mass exactly twice, so tot = sum/2
+        u = rd.select("delta").unionAll(cd.select("delta"))
+        row = u.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("delta").alias("s")).collect()[0]
+        n_alive = row["n"]
         if n_alive == 0:
             break
-        avg = tot / n_alive
+        avg = (row["s"] or 0.0) / 2.0 / n_alive
         if avg > best_avg:
             best_avg = avg
             best_df = (
@@ -261,9 +266,11 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1, max_rounds: int = 60) -> DataF
         thr = (1.0 + eps) * avg
         keep_r = rd.where(F.col("delta") > thr).select("src")
         keep_c = cd.where(F.col("delta") > thr).select("dst")
-        e2 = e.join(keep_r, "src", "left_semi").join(keep_c, "dst", "left_semi")
-        e2 = e2.localCheckpoint(eager=True)
-        if e2.count() == 0:
-            break
-        e = e2
+        e = (
+            e.join(keep_r, "src", "left_semi")
+            .join(keep_c, "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    if best_df is None:  # empty input edge frame
+        return spark.createDataFrame([], "id long, side string")
     return best_df

@@ -50,25 +50,33 @@ def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
         )
         return msg
 
+    if fwd.isEmpty():
+        raise ValueError("hits: empty edge set — hub/authority undefined "
+                         "(the L2 norms would be 0)")
+
     for i in range(iters):
-        # authorities from hubs (follow edges forward)
+        # authorities from hubs (follow edges forward); the L2 norm rides
+        # along as a crossJoin'd 1-row subframe so the superstep stays lazy
+        # (no blocking driver collect per half-step)
         a = _propagate(fwd, state, "hub", "a_raw")
-        a_norm = a.agg(F.sqrt(F.sum(F.col("a_raw") ** 2)).alias("n")).collect()[0]["n"]
+        a_n = a.agg(F.sqrt(F.sum(F.col("a_raw") ** 2)).alias("_n"))
         state = (
             state.join(a.hint("shuffle_hash"), "id", "left")
+            .crossJoin(a_n)
             .select(
                 "id", "hub",
-                (F.coalesce("a_raw", F.lit(0.0)) / F.lit(a_norm)).alias("auth"),
+                (F.coalesce("a_raw", F.lit(0.0)) / F.col("_n")).alias("auth"),
             )
         )
         # hubs from authorities (follow edges backward)
         h = _propagate(rev, state, "auth", "h_raw")
-        h_norm = h.agg(F.sqrt(F.sum(F.col("h_raw") ** 2)).alias("n")).collect()[0]["n"]
+        h_n = h.agg(F.sqrt(F.sum(F.col("h_raw") ** 2)).alias("_n"))
         state = (
             state.join(h.hint("shuffle_hash"), "id", "left")
+            .crossJoin(h_n)
             .select(
                 "id",
-                (F.coalesce("h_raw", F.lit(0.0)) / F.lit(h_norm)).alias("hub"),
+                (F.coalesce("h_raw", F.lit(0.0)) / F.col("_n")).alias("hub"),
                 "auth",
             )
         ).localCheckpoint(eager=True)

@@ -117,7 +117,13 @@ def personalized_pagerank(
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
+    # seeds outside the graph's vertex set get no state row — their teleport
+    # mass would silently vanish; normalize by the *effective* seed count
+    seeds = seeds.select("id").join(verts, "id", "left_semi")
     n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no seed intersects the "
+                         "graph's vertex set")
     base = (
         verts.join(out_deg, "id", "left")
         .join(seeds.select("id").withColumn("_seed", F.lit(1)), "id", "left")

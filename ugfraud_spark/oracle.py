@@ -866,14 +866,16 @@ def sql_sessionize(gap_minutes: int = 30) -> str:
     when the previous event of the same user is more than the gap away."""
     return _with(
         [("o",
-          f"SELECT user_id, ts, value, CASE WHEN LAG(ts) OVER "
+          # >= because F.session_window is half-open [ts, ts+gap): an event
+          # arriving at exactly gap_minutes starts a NEW session in Spark
+          f"SELECT user_id, ts, value, event_id, CASE WHEN LAG(ts) OVER "
           f"(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
           f"OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
-          f"> INTERVAL {gap_minutes} MINUTE THEN 1 ELSE 0 END AS new_s "
+          f">= INTERVAL {gap_minutes} MINUTE THEN 1 ELSE 0 END AS new_s "
           f"FROM events"),
          ("s",
           "SELECT user_id, ts, value, SUM(new_s) OVER (PARTITION BY user_id "
-          "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o")],
+          "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM o")],
         "SELECT user_id, CAST(MIN(ts) AS VARCHAR) AS session_start, "
         "COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value "
         "FROM s GROUP BY user_id, sid",

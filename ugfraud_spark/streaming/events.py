@@ -93,16 +93,19 @@ def run_stream_once(spark: SparkSession, parquet_path: str,
     the drain finishes (the sandbox stand-in for a continuous cluster
     stream; at scale the sink is Iceberg and the trigger is processing-
     time)."""
+    import hashlib
     import os
+    import shutil
     import tempfile
 
     # the file-stream source requires a *directory* to monitor; a single
     # parquet file is exposed through a temp dir of symlinks (at scale the
     # source is a real directory/Iceberg table and this branch is dead)
+    tmp_dir = None
     if os.path.isfile(parquet_path):
-        d = tempfile.mkdtemp(prefix="events_stream_src_")
-        os.symlink(parquet_path, os.path.join(d, os.path.basename(parquet_path)))
-        parquet_path = d
+        tmp_dir = tempfile.mkdtemp(prefix="events_stream_src_")
+        os.symlink(parquet_path, os.path.join(tmp_dir, os.path.basename(parquet_path)))
+        parquet_path = tmp_dir
 
     src = (
         spark.readStream.schema(EVENT_SCHEMA)
@@ -110,7 +113,10 @@ def run_stream_once(spark: SparkSession, parquet_path: str,
         .withWatermark("ts", watermark)
     )
     agg = windowed_event_stats(src, minutes=minutes)
-    name = "events_windowed_stats"
+    # unique per-source sink name: concurrent/repeated invocations must not
+    # silently share one global memory-sink temp view
+    tag = hashlib.md5(parquet_path.encode()).hexdigest()[:10]
+    name = f"events_windowed_stats_{tag}"
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -118,5 +124,9 @@ def run_stream_once(spark: SparkSession, parquet_path: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        if tmp_dir is not None:  # drained — the symlink dir is dead weight
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     return spark.table(name)
