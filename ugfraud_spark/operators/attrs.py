@@ -109,11 +109,16 @@ def rank_stats(values: DataFrame, col: str) -> DataFrame:
 
     n = values.count()
     mid = n // 2  # 0-based index int(len/2), matching the reference
-    w = Window.orderBy(F.col("v").asc())
+    # two-phase selection: count per distinct value, then a cumulative sum
+    # over the (small) distinct-value distribution — the window runs over
+    # |distinct values| rows, never a full single-partition data sort
+    g = values.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     med = (
-        values.select(F.col(col).alias("v"))
-        .withColumn("_rn", F.row_number().over(w) - 1)
-        .where(F.col("_rn") == mid)
+        g.withColumn("_cum", F.sum("c").over(w))
+        .where(F.col("_cum") > mid)  # smallest v whose cum count ≥ mid+1
+        .orderBy("v")
+        .limit(1)
         .select(F.col("v").alias("med_v"))
     )
     mm = values.agg(

@@ -51,8 +51,12 @@ def fbox(
     if n_cols <= EXACT_GRAM_MAX_COLS:
         g = gram_matrix(eidx, n_cols)
         v, s = topk_right_factors(g, kk)
-    else:  # scale path: O(E·k) sketch, no n_cols² anywhere
-        v, s = randomized_right_factors(eidx, n_cols, kk)
+    else:  # scale path: O(E·k) sketch, no n_cols² anywhere.
+        # q=1 (not the default 2): the percentile-threshold consumer only
+        # needs percentile-grade norm resolution — saves two full passes
+        # over the edge set per fbox call (sketch agreement bounds are
+        # asserted in tests/test_spectral.py)
+        v, s = randomized_right_factors(eidx, n_cols, kk, q=1)
 
     # users: rec out-degree distributed (||U_i·Σ|| = ||A_i·V||, one
     # vectorized partition-local kernel)

@@ -33,16 +33,51 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def dense_col_index(edges: DataFrame) -> DataFrame:
+def dense_col_index(edges: DataFrame, n_parts: int = 32) -> DataFrame:
     """(dst, cidx): deterministic dense 0-based index by sorted dst —
     the typed replacement for the reference's id↔idx dicts
-    (``fBox.py:20-47``)."""
-    from pyspark.sql import Window
+    (``fBox.py:20-47``).
 
-    w = Window.orderBy("dst")
-    return (
+    Two-phase rank (scale-safe): range-partition the distinct ids, take
+    local ranks inside each sorted partition in one Arrow pass, then add
+    per-partition offsets (a tiny broadcast join). No global
+    ``Window.orderBy`` — the old single-task funnel dies at a web-scale
+    column side."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def local_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame({
+                "dst": pdf["dst"],
+                "_pid": pdf["_pid"],
+                "_lrank": range(seen, seen + len(pdf)),
+            })
+            seen += len(pdf)
+
+    ranked = (
         edges.select("dst").distinct()
-        .withColumn("cidx", F.row_number().over(w) - 1)
+        .repartitionByRange(n_parts, "dst")
+        .sortWithinPartitions("dst")
+        .withColumn("_pid", F.spark_partition_id())
+        .mapInPandas(local_rank, schema="dst long, _pid int, _lrank long")
+        .localCheckpoint(eager=True)  # pin partitioning: both consumers below
+    )
+    counts = ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    spark = edges.sparkSession
+    rows = sorted((r["_pid"], r["_n"]) for r in counts.collect())
+    offs, acc = [], 0
+    for pid, n in rows:
+        offs.append((pid, acc))
+        acc += n
+    off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    return (
+        ranked.join(F.broadcast(off_df), "_pid")
+        .select("dst", (F.col("_off") + F.col("_lrank")).cast("int").alias("cidx"))
     )
 
 
@@ -280,21 +315,31 @@ def row_projection_components(edges_idx: DataFrame, v: np.ndarray,
                               weight_col: str | None = None,
                               scale: np.ndarray | None = None) -> DataFrame:
     """(src, comps array<double>): per-row projection A_i·V (optionally
-    scaled per component — pass 1/s to get U rows). Vectorized
-    applyInPandas per src group; V ships once inside the closure (small:
-    n_cols × k)."""
+    scaled per component — pass 1/s to get U rows). Same segment-reduce
+    ``mapInPandas`` pattern as ``row_projection_norms_grouped``: one
+    vectorized (E_part × k) slice + ``np.add.reduceat`` per partition —
+    NOT one Python dispatch per src group (tens of thousands of
+    single-row pandas groups would dominate at scale)."""
     wc = weight_col
     sc = scale
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("src",
+                                                               kind="mergesort")
         idx = pdf["cidx"].to_numpy()
-        w = pdf[wc].to_numpy() if wc else np.ones(len(idx))
-        comp = (v[idx] * w[:, None]).sum(axis=0)
+        w = pdf[wc].to_numpy(dtype="float64") if wc else np.ones(len(idx))
+        srcs = pdf["src"].to_numpy(dtype="int64")
+        contrib = v[idx] * w[:, None]
+        bounds = np.flatnonzero(np.r_[True, srcs[1:] != srcs[:-1]])
+        comps = np.add.reduceat(contrib, bounds, axis=0)
         if sc is not None:
-            comp = comp * sc
-        return pd.DataFrame({"src": [pdf["src"].iloc[0]],
-                             "comps": [comp.tolist()]})
+            comps = comps * sc[None, :]
+        yield pd.DataFrame({"src": srcs[bounds],
+                            "comps": [row.tolist() for row in comps]})
 
-    return edges_idx.groupBy("src").applyInPandas(
+    return edges_idx.repartition("src").mapInPandas(
         fn, schema="src long, comps array<double>"
     )

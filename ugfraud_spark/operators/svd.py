@@ -120,21 +120,39 @@ def random_split(users_labeled: DataFrame) -> DataFrame:
 
 
 def centroid_classify(train: DataFrame, test: DataFrame) -> DataFrame:
-    """Nearest-centroid on the embedding (numpy, driver): the sandbox
-    stand-in for the reference's SVC (sklearn absent). Returns
-    (id, pred_label)."""
-    t = train.select("id", "comps", "label").collect()
-    by_label: dict[int, list] = {}
-    for r in t:
-        by_label.setdefault(r["label"], []).append(r["comps"])
-    cents = {lb: np.mean(np.array(v), axis=0) for lb, v in by_label.items()}
-    labels = sorted(cents)
-    c = np.array([cents[lb] for lb in labels])
-    spark = train.sparkSession
-    rows = test.select("id", "comps").collect()
-    out = []
-    for r in rows:
-        x = np.array(r["comps"])
-        d = ((c - x[None, :]) ** 2).sum(axis=1)
-        out.append((r["id"], int(labels[int(np.argmin(d))])))
-    return spark.createDataFrame(out, "id long, pred_label int")
+    """Nearest-centroid on the embedding (sandbox stand-in for the
+    reference's SVC, sklearn absent). Returns (id, pred_label).
+
+    Fully distributed: centroids come from one posexplode + groupBy avg
+    (tiny result — n_labels × k), are collected and re-broadcast as
+    literal arrays, and the per-row argmin is a JVM column expression
+    (zip_with + aggregate). Nothing O(|V|) ever reaches the driver."""
+    cent_rows = (
+        train.select("label", F.posexplode("comps").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+        .collect()
+    )
+    cents = sorted((r["label"], r["centroid"]) for r in cent_rows)
+
+    def sqdist(centroid: list[float]):
+        carr = F.array(*[F.lit(float(x)) for x in centroid])
+        return F.aggregate(
+            F.zip_with(F.col("comps"), carr, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    pred = None
+    best = None
+    for lb, centroid in cents:  # ascending label — argmin ties → smallest
+        d = sqdist(centroid)
+        if pred is None:
+            pred, best = F.lit(int(lb)), d
+        else:
+            pred = F.when(d < best, F.lit(int(lb))).otherwise(pred)
+            best = F.least(d, best)
+    return test.select("id", pred.cast("int").alias("pred_label"))
