@@ -206,12 +206,22 @@ def fraudar_scores(edges: DataFrame, plateau: float = 0.01,
     pdf = e.toPandas()
     src = pdf["src"].to_numpy()
     dst = pdf["dst"].to_numpy()
+    # row indices: users in sorted order (== the reference's insertion
+    # order, eval_Fraudar.py:45-48). Column indices: the reference assigns
+    # them in FIRST-APPEARANCE order while scanning users (eval_Fraudar.py
+    # :50-54 via prod_to_user) — ties in the peel are broken by index, so
+    # the order is semantics; replicate it exactly: first occurrence in
+    # the (src, dst)-lexsorted edge list.
     u_ids, ri = np.unique(src, return_inverse=True)
-    p_ids, ci = np.unique(dst, return_inverse=True)
+    order = np.lexsort((dst, src))
+    p_vals, inv_sorted = np.unique(dst, return_inverse=True)
+    _, first_pos = np.unique(dst[order], return_index=True)
+    appearance_rank = np.argsort(np.argsort(first_pos))
+    ci = appearance_rank[inv_sorted]
     ri = ri.astype(np.int64)
     ci = ci.astype(np.int64)
 
-    blocks = detect_blocks(ri, ci, len(u_ids), len(p_ids), plateau=plateau)
+    blocks = detect_blocks(ri, ci, len(u_ids), len(p_vals), plateau=plateau)
     max_den = blocks[0].score
     min_den = blocks[-1].score
     interval = max_den - min_den

@@ -451,6 +451,48 @@ def sql_zoobp(iters: int = 5, ep: float = 0.01) -> str:
     return _with(ctes, f"SELECT id, ROUND(b, 6) AS belief FROM z{iters}")
 
 
+def sql_zoobp_literal(ep: float = 0.01) -> str:
+    """Bug-compatible ZooBP closed form (see operators/zoobp.py
+    zoobp_literal): the reference's literal ``B = E + logsumexp(M·B)``
+    fixpoint collapses to B = (prior − 0.5) + s*, where s* depends only
+    on the edge sign counts and the centered priors of the two smallest
+    user ids / first two first-appearance products."""
+    epl = _d(ep)
+    return _with(
+        [("bip", BIP),
+         ("v", BIP_VERTS),
+         ("pri", f"SELECT id, {prior_expr('id')} - CAST(0.5 AS DOUBLE) AS c FROM v"),
+         ("cnt",
+          "SELECT SUM(CASE WHEN sign = 1 THEN 1 ELSE 0 END)::DOUBLE AS n_pos, "
+          "SUM(CASE WHEN sign = 2 THEN 1 ELSE 0 END)::DOUBLE AS n_neg, "
+          "(SELECT COUNT(*)::DOUBLE FROM pri) AS n_l FROM bip"),
+         ("u12",
+          "SELECT MIN(c) FILTER (rn = 1) AS c_u1, MIN(c) FILTER (rn = 2) AS c_u2 "
+          "FROM (SELECT c, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM "
+          "(SELECT DISTINCT src AS id FROM bip) u JOIN pri USING (id)) WHERE rn <= 2"),
+         ("p12",
+          "SELECT MIN(c) FILTER (rn = 1) AS c_p1, MIN(c) FILTER (rn = 2) AS c_p2 "
+          "FROM (SELECT c, ROW_NUMBER() OVER (ORDER BY fu, dst) AS rn FROM "
+          "(SELECT dst, MIN(src) AS fu FROM bip GROUP BY dst) p "
+          "JOIN pri ON pri.id = p.dst) WHERE rn <= 2"),
+         ("vs",
+          f"SELECT 0.5::DOUBLE * {epl} * n_pos * c_p1 "
+          f"- 0.25::DOUBLE * {epl} * {epl} * n_pos * c_u1 AS v1, "
+          f"-0.5::DOUBLE * {epl} * n_neg * c_p2 "
+          f"- 0.25::DOUBLE * {epl} * {epl} * n_neg * c_u2 AS v2, "
+          f"0.5::DOUBLE * {epl} * n_pos * c_u1 "
+          f"- 0.25::DOUBLE * {epl} * {epl} * n_pos * c_p1 AS v3, "
+          f"-0.5::DOUBLE * {epl} * n_neg * c_u2 "
+          f"- 0.25::DOUBLE * {epl} * {epl} * n_neg * c_p2 AS v4, n_l "
+          "FROM cnt, u12, p12"),
+         ("sstar",
+          "SELECT LN((2.0::DOUBLE * n_l - 8.0::DOUBLE) "
+          "+ EXP(v1) + EXP(-v1) + EXP(v2) + EXP(-v2) "
+          "+ EXP(v3) + EXP(-v3) + EXP(v4) + EXP(-v4)) AS s FROM vs")],
+        "SELECT pri.id, ROUND(pri.c + sstar.s, 6) AS belief FROM pri, sstar",
+    )
+
+
 # ------------------------------------------------- training-data pipeline
 
 from .functions import text as _tx  # noqa: E402

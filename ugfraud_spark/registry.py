@@ -189,6 +189,16 @@ def q_zoobp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(res.state, "belief")
 
 
+def q_zoobp_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bug-compatible ZooBP (ZooBP.py:144 literal fixpoint) — reproduces
+    the actual reference output, which collapses to a global scalar shift
+    of the centered priors (closed form derived in operators/zoobp.py;
+    parity vs the verbatim reference in tests/test_reference_parity.py)."""
+    e = tables.bipartite_edges(spark, sf_dir)
+    pri = tables.vertex_priors(tables.vertices_of(e))
+    return _round6(zoobp.zoobp_literal(e, pri), "belief")
+
+
 SPEAGLE_ITERS = 2
 
 
@@ -509,6 +519,7 @@ REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
     "gang_lbp": (q_gang, oracle.sql_gang(GANG_ITERS)),
     "gang_semi": (q_gang_semi, oracle.sql_gang_semi(GANG_ITERS)),
     "zoobp": (q_zoobp, oracle.sql_zoobp(ZOOBP_ITERS)),
+    "zoobp_literal": (q_zoobp_literal, oracle.sql_zoobp_literal()),
     "speagle_review": (q_speagle_review,
                        oracle.sql_speagle(SPEAGLE_ITERS, output="review")),
     "speagle_user": (q_speagle_user,
