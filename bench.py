@@ -57,15 +57,13 @@ HEADLINE = [
     "zoobp",
     "speagle_review",
     "fraudar_scores",
-    "fbox_suspicious_users",
+    "fbox_suspicious",
     "svd_user_norms",
     "prior_eval",
     "dedup_exact",
     "dedup_lsh_pairs",
     "simhash",
-    "token_count",
-    "text_quality",
-    "lang_id",
+    "text_features",
     "ann_cosine_topk",
     "multimodal_decode",
     "sessionize",

@@ -1,0 +1,188 @@
+"""Generate oracle fixture parquets for the queries whose semantics are
+not SQL-expressible (greedy peel, truncated SVD): run the ACTUAL
+reference implementations (through tests/refshims) on the engine's
+graph derivation and store their outputs, rounded exactly like the
+engine's registry queries round theirs.
+
+The driver then compares the Spark queries against
+``read_parquet('/root/repo/fixtures/oracle/sf0.01/<name>.parquet')`` —
+a true independent oracle (reference code path, scipy-equivalent shims)
+instead of the old rows-only non-check. tests/test_reference_parity.py
+independently asserts the same agreement live at sf0.001.
+
+Outputs per sf in fixtures/oracle/sf{0.001,0.01}/:
+- fraudar_scores.parquet   (id, score)          reference peel + eval norm
+- fbox_suspicious.parquet  (id, side, deg)      reference fBox tau=20 k=50
+- svd_user_norms.parquet   (id, norm)           reference svds ||U·Σ||
+- svd_classify.parquet     (id, pred_label)     independent numpy pipeline
+                           (NOT UGFraud — its SVC stage needs sklearn;
+                           nearest-centroid spec mirrored in numpy)
+
+Run: python scripts/make_oracle_fixtures.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from reference_loader import (  # noqa: E402
+    PRIOR_MOD,
+    PRIOR_MULT,
+    build_reference_graph,
+    engine_edges_sf,
+    load_reference,
+)
+
+SFS = {"sf0.001": "/root/testdata/sf0.001", "sf0.01": "/root/testdata/sf0.01"}
+OUT_BASE = os.path.join(os.path.dirname(__file__), "..", "fixtures", "oracle")
+
+NORM_ROUND = 6  # keep aligned with registry _round6 on svd_user_norms
+
+
+def fraudar_scores(ref, g, maps, helper) -> pd.DataFrame:
+    """detect_blocks verbatim + eval_Fraudar.py:66-113 normalization
+    (wrapper mirrored — :108 hardcodes a YelpChi debug print)."""
+    Fm = ref["Fraudar"]
+    u_ids = list(helper.node_attr_filter(g, "types", "user", "types").keys())
+    u2i = {u: i for i, u in enumerate(u_ids)}
+    p2i: dict = {}
+    es, ed = [], []
+    for u in u_ids:
+        for p in g[u].keys():
+            if p not in p2i:
+                p2i[p] = len(p2i)
+            es.append(u2i[u])
+            ed.append(p2i[p])
+    M = Fm.listToSparseMatrix(es, ed)
+    res = Fm.detect_blocks(M, Fm.logWeightedAveDegree)
+    detected: dict = {}
+    for (rows, _cols), weight in res:
+        for i in rows:
+            detected.setdefault(u_ids[i], weight)
+    max_den, min_den = res[0][1], res[-1][1]
+    interval = max_den - min_den
+    out = []
+    for u in u_ids:
+        s = (detected[u] - min_den) / interval if u in detected else 1e-6
+        out.append((maps["u_inv"][u], round(s, 6)))
+    return pd.DataFrame(out, columns=["id", "score"]).astype(
+        {"id": "int64", "score": "float64"}
+    )
+
+
+def fbox_suspicious(ref, g, maps) -> pd.DataFrame:
+    model = ref["fBox"].fBox(g)
+    su, sp = model.run(20, 50)
+    rows = []
+    for deg, ids in su.items():
+        for u in ids:
+            rows.append((maps["u_inv"][u], "user", int(deg)))
+    for deg, ids in sp.items():
+        for p in ids:
+            rows.append((maps["p_inv"][p], "prod", int(deg)))
+    return pd.DataFrame(rows, columns=["id", "side", "deg"]).astype(
+        {"id": "int64", "deg": "int64"}
+    )
+
+
+def _zero_init_matrix(ref, g):
+    """SVD.py:25 uses np.empty (uninitialized!) — zero-init interpretation."""
+    sv = ref["SVD"].SVD(g)
+    m = np.zeros_like(sv.user_prod_matrix)
+    for u_id in sv.user_index:
+        for p_id in g[u_id].keys():
+            m[sv.user_index[u_id], sv.prod_index[p_id]] = (
+                g.edges.get((u_id, p_id))["rating"]
+            )
+    return sv, m
+
+
+def svd_user_norms(ref, g, maps) -> pd.DataFrame:
+    from scipy.sparse.linalg import svds  # the shim
+
+    sv, m = _zero_init_matrix(ref, g)
+    k = int(max(np.round(min(m.shape) * 0.9), 1))
+    u, s, _vt = svds(m, k=k)
+    norms = np.linalg.norm(u * s[None, :], axis=1)
+    uid_by_idx = {i: uid for uid, i in sv.user_index.items()}
+    out = [
+        (maps["u_inv"][uid_by_idx[i]], round(float(norms[i]), NORM_ROUND))
+        for i in range(len(norms))
+    ]
+    return pd.DataFrame(out, columns=["id", "norm"]).astype(
+        {"id": "int64", "norm": "float64"}
+    )
+
+
+def svd_classify(edges) -> pd.DataFrame:
+    """Independent numpy mirror of q_svd_classify: svds embedding
+    (percent=0.2, U = A·V/s), Knuth-hash stratified 50/50 split, nearest
+    centroid on the test half (ties -> smaller label)."""
+    users = sorted({e[0] for e in edges})
+    prods = sorted({e[1] for e in edges})
+    ui = {u: i for i, u in enumerate(users)}
+    pi = {p: i for i, p in enumerate(prods)}
+    a = np.zeros((len(users), len(prods)))
+    for s_, d, sg in edges:
+        a[ui[s_], pi[d]] = min(a[ui[s_], pi[d]], sg) if a[ui[s_], pi[d]] else sg
+    k = int(max(round(min(a.shape) * 0.2), 1))
+    uu, ss, _vt = np.linalg.svd(a, full_matrices=False)
+    comps = uu[:, :k]  # == A·V·(1/s) for the top-k triplets
+
+    labels = {}
+    for s_, d, sg in edges:
+        labels[s_] = max(labels.get(s_, 0), 1 if sg == 2 else 0)
+    lab = np.array([labels[u] for u in users])
+    key = np.array([(u * PRIOR_MULT) % PRIOR_MOD for u in users])
+    is_train = np.zeros(len(users), dtype=bool)
+    for lv in (0, 1):
+        idx = np.where(lab == lv)[0]
+        order = idx[np.lexsort((np.array(users)[idx], key[idx]))]
+        n_train = len(idx) // 2
+        is_train[order[:n_train]] = True
+
+    cents = {
+        lv: comps[is_train & (lab == lv)].mean(axis=0) for lv in (0, 1)
+    }
+    out = []
+    for i in np.where(~is_train)[0]:
+        d0 = ((comps[i] - cents[0]) ** 2).sum()
+        d1 = ((comps[i] - cents[1]) ** 2).sum()
+        out.append((users[i], 0 if d0 <= d1 else 1))
+    return pd.DataFrame(out, columns=["id", "pred_label"]).astype(
+        {"id": "int64", "pred_label": "int32"}
+    )
+
+
+def main():
+    ref = load_reference()
+    helper = ref["helper"]
+    for sf_name, sf_dir in SFS.items():
+        out_dir = os.path.join(OUT_BASE, sf_name)
+        os.makedirs(out_dir, exist_ok=True)
+        edges = engine_edges_sf(sf_dir)
+        g, maps = build_reference_graph(edges)
+        for name, fn in [
+            ("fraudar_scores", lambda: fraudar_scores(ref, g, maps, helper)),
+            ("fbox_suspicious", lambda: fbox_suspicious(ref, g, maps)),
+            ("svd_user_norms", lambda: svd_user_norms(ref, g, maps)),
+            ("svd_classify", lambda: svd_classify(edges)),
+        ]:
+            t0 = time.time()
+            df = fn()
+            path = os.path.join(out_dir, f"{name}.parquet")
+            df.to_parquet(path, index=False)
+            print(f"{sf_name}/{name}: {len(df)} rows in "
+                  f"{time.time() - t0:.1f}s -> {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,9 @@ def _normalize(rows, colnames):
 @pytest.mark.parametrize("name", [n for n, (_f, s) in REGISTRY.items() if s])
 def test_query_matches_oracle(spark, sf_small, name):
     fn, sql = REGISTRY[name]
+    # fixture-parquet oracles (reference-computed) are registered against
+    # the driver's sf0.01; point them at the sf0.001 fixture here
+    sql = sql.replace("/fixtures/oracle/sf0.01/", "/fixtures/oracle/sf0.001/")
     sdf = fn(spark, sf_small)
     spark_rows = [r.asDict() for r in sdf.collect()]
     spark_cols = sdf.columns

@@ -52,6 +52,26 @@ def node_attr_index(vertices: DataFrame, attr: str,
     )
 
 
+def edge_attr_index(edges: DataFrame, attr: str) -> DataFrame:
+    """Edge-side inverted index (``helper.py:294-312``
+    ``get_edge_attributes_index``): attr-value → list of (src, dst)
+    pairs, as (attr, n_ids, ids_csv) with pairs rendered ``src:dst`` in
+    (src, dst) order so the cross-engine hash is stable. Same
+    giant-group caveat as node_attr_index."""
+    return edges.groupBy(F.col(attr).cast("string").alias("attr")).agg(
+        F.count(F.lit(1)).alias("n_ids"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("src"), F.col("dst")))),
+                lambda s: F.concat(
+                    s["src"].cast("string"), F.lit(":"), s["dst"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("ids_csv"),
+    )
+
+
 def subset_above_degree(edges: DataFrame, src_min_deg: int,
                         dst_min_deg: int) -> DataFrame:
     """Keep edges whose src out-degree > src_min_deg AND dst in-degree >

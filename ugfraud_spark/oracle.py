@@ -39,6 +39,14 @@ BIP = (
     f"FROM lineitem GROUP BY 1, 2)"
 )
 
+# YelpChi-shaped bipartite: constant 201-product side (tables.bip_yelp_edges)
+BIP_YELP = (
+    f"SELECT src, dst, CAST(1.0 AS DOUBLE) AS weight, sign FROM ("
+    f"SELECT l_orderkey AS src, l_partkey % 201 + {PART_OFFSET} AS dst, "
+    f"MIN(CASE WHEN l_quantity >= 25 THEN 1 ELSE 2 END) AS sign "
+    f"FROM lineitem GROUP BY 1, 2)"
+)
+
 VERTS = "SELECT src AS id FROM uni UNION SELECT dst FROM uni"
 
 BIP_VERTS = "SELECT src AS id FROM bip UNION SELECT dst FROM bip"
@@ -315,6 +323,23 @@ def sql_speagle(iters: int = 2, numerical_eps: float = 1e-5,
             "SELECT u.id, ROUND("
             + sm("u.lp0 + fb.s0", "u.lp1 + fb.s1")
             + ", 6) AS belief FROM upri u JOIN fb ON fb.src = u.id"
+        )
+    elif output == "nodes":
+        ctes.append(
+            ("fbu",
+             f"SELECT src, SUM(ru0) AS s0, SUM(ru1) AS s1 FROM {last} GROUP BY src")
+        )
+        ctes.append(
+            ("fbp",
+             f"SELECT dst, SUM(rp0) AS s0, SUM(rp1) AS s1 FROM {last} GROUP BY dst")
+        )
+        final = (
+            "SELECT 'user' AS kind, u.id, ROUND("
+            + sm("u.lp0 + fbu.s0", "u.lp1 + fbu.s1")
+            + ", 6) AS belief FROM upri u JOIN fbu ON fbu.src = u.id "
+            "UNION ALL SELECT 'prod' AS kind, p.id, ROUND("
+            + sm("p.lp0 + fbp.s0", "p.lp1 + fbp.s1")
+            + ", 6) AS belief FROM ppri p JOIN fbp ON fbp.dst = p.id"
         )
     else:
         ctes.append(
@@ -594,26 +619,13 @@ def sql_ngram_jaccard(h: int = 12, bands: int = 4, rows: int = 3) -> str:
     )
 
 
-def sql_token_count() -> str:
-    return (
-        f"SELECT doc_id, {_tx.sql_token_count('text')} AS n_tokens FROM documents"
-    )
-
-
-def sql_text_quality() -> str:
+def sql_text_features() -> str:
+    """One pass over documents with ALL the text-analysis operators:
+    token count, quality stats, language-ID heuristic, fingerprint —
+    each previously its own query (merged to keep the registry within
+    the driver's recording budget; operator coverage unchanged)."""
     nt = _tx.sql_token_count("text")
     stop = " + ".join(_tx.sql_word_occurrences("text", w) for w in _tx.STOPWORDS)
-    return (
-        "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, "
-        f"{nt} AS n_tokens, "
-        f"ROUND((LENGTH(text) - ({nt} - 1)) / CAST({nt} AS DOUBLE), 6) "
-        "AS avg_token_len, "
-        f"ROUND(({stop}) / CAST({nt} AS DOUBLE), 6) AS stopword_ratio "
-        "FROM documents"
-    )
-
-
-def sql_lang_id() -> str:
     scores = {
         lang: " + ".join(_tx.sql_word_occurrences("text", m) for m in markers)
         for lang, markers in _tx.LANG_MARKERS.items()
@@ -623,25 +635,80 @@ def sql_lang_id() -> str:
         f"WHEN ({scores[lang]}) = mx THEN '{lang}'" for lang in sorted(scores)
     )
     return (
-        f"SELECT doc_id, lang, CASE {case} END AS pred_lang FROM ("
-        f"SELECT doc_id, lang, text, {mx} AS mx FROM documents)"
+        "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, "
+        f"{nt} AS n_tokens, "
+        f"ROUND((LENGTH(text) - ({nt} - 1)) / CAST({nt} AS DOUBLE), 6) "
+        "AS avg_token_len, "
+        f"ROUND(({stop}) / CAST({nt} AS DOUBLE), 6) AS stopword_ratio, "
+        f"lang, CASE {case} END AS pred_lang, "
+        f"{_tx.sql_fingerprint('text')} AS fingerprint "
+        f"FROM (SELECT doc_id, lang, text, {mx} AS mx FROM documents)"
     )
 
 
-def sql_fingerprint_docs() -> str:
+def sql_multimodal_decode() -> str:
+    """Asset metadata + the deterministic fake decode. The decode stub
+    derives dimensions from the payload's md5 DIGEST BYTES
+    (operators/multimodal.py): DuckDB's md5_number_upper(text) is the
+    little-endian integer of digest bytes 0-7, so byte k =
+    (md5_number_upper // 256^k) % 256."""
+    b = "md5_number_upper(text)"
     return (
-        f"SELECT doc_id, {_tx.sql_fingerprint('text')} AS fingerprint "
+        "SELECT doc_id AS asset_id, "
+        "CASE WHEN doc_id % 3 = 0 THEN 'image' "
+        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, "
+        "CAST(LENGTH(text) AS INTEGER) AS byte_len, "
+        "MD5(text) AS payload_md5, "
+        f"CAST(16 + ({b} % 256) % 64 AS INTEGER) AS width, "
+        f"CAST(16 + (({b} // 256) % 256) % 64 AS INTEGER) AS height, "
+        f"CAST(CASE WHEN doc_id % 3 = 0 THEN 1 "
+        f"ELSE 1 + (({b} // 65536) % 256) % 30 END AS INTEGER) AS n_frames "
         "FROM documents"
     )
 
 
-def sql_asset_metadata() -> str:
-    return (
-        "SELECT doc_id AS asset_id, CASE WHEN doc_id % 3 = 0 THEN 'image' "
-        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, "
-        "CAST(LENGTH(text) AS INTEGER) AS byte_len, "
-        "MD5(text) AS payload_md5 FROM documents"
+def sql_ann_lsh_neardup(threshold: float = 0.35, n_planes: int = 8) -> str:
+    """Sign-LSH near-dup pairs: the ±1 hyperplanes are the same
+    multiplicative-hash pattern the Spark side generates
+    (ann.plane_sign), so both engines bucket identically; cosine is
+    rounded to 6dp before the threshold on both sides."""
+    sgn = ("CASE WHEN ((p * 131 + d * 31) * 2654435761) % 1000003 % 2 = 0 "
+           "THEN x ELSE -x END")
+    return _with(
+        [("e", "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"),
+         ("dims",
+          "SELECT vec_id, UNNEST(emb) AS x, UNNEST(range(len(emb))) AS d FROM e"),
+         ("dots",
+          f"SELECT vec_id, p, SUM({sgn}) AS s FROM dims "
+          f"CROSS JOIN (SELECT UNNEST(range({n_planes})) AS p) GROUP BY vec_id, p"),
+         ("buck",
+          "SELECT vec_id, STRING_AGG(CASE WHEN s > 0 THEN '1' ELSE '0' END, "
+          "'' ORDER BY p) AS bucket FROM dots GROUP BY vec_id"),
+         ("pairs",
+          "SELECT l.vec_id AS vec_a, r.vec_id AS vec_b FROM buck l "
+          "JOIN buck r ON l.bucket = r.bucket AND l.vec_id < r.vec_id"),
+         ("scored",
+          "SELECT p.vec_a, p.vec_b, "
+          "ROUND(list_dot_product(a.emb, b.emb) / "
+          "(SQRT(list_dot_product(a.emb, a.emb)) * "
+          "SQRT(list_dot_product(b.emb, b.emb))), 6) AS cos "
+          "FROM pairs p JOIN e a ON a.vec_id = p.vec_a "
+          "JOIN e b ON b.vec_id = p.vec_b")],
+        f"SELECT vec_a, vec_b, cos FROM scored WHERE cos >= {_d(threshold)}",
     )
+
+
+FIXTURE_DIR = "/root/repo/fixtures/oracle/sf0.01"
+
+
+def sql_fixture(name: str, select: str = "*") -> str:
+    """Oracle = precomputed parquet produced by the ACTUAL reference
+    implementation (scripts/make_oracle_fixtures.py runs the reference
+    detectors through tests/refshims on the same graph derivation).
+    tests/test_oracle_parity.py rewrites the sf0.01 path to the sf0.001
+    fixture when checking at the smaller scale; live reference parity is
+    additionally asserted in tests/test_reference_parity.py."""
+    return f"SELECT {select} FROM read_parquet('{FIXTURE_DIR}/{name}.parquet')"
 
 
 def sql_cosine_topk(query_ids: list[int], k: int = 3) -> str:
@@ -673,27 +740,50 @@ BIP_VERTS_ATTR = (
 )
 
 
-def sql_node_attr_filter(vtype: str = "part") -> str:
+def sql_attr_filter(vtype: str = "part", sign: int = 1) -> str:
+    """P1 + P2 in one result: node σ/π rows (kind='node', id_b NULL) and
+    edge σ/π rows (kind='edge') unioned."""
     return _with(
         [("bip", BIP), ("va", BIP_VERTS_ATTR)],
-        f"SELECT id, ROUND(prior, 6) AS prior FROM va WHERE vtype = '{vtype}'",
+        f"SELECT 'node' AS kind, id AS id_a, CAST(NULL AS BIGINT) AS id_b, "
+        f"ROUND(prior, 6) AS prior FROM va WHERE vtype = '{vtype}' "
+        f"UNION ALL "
+        f"SELECT 'edge' AS kind, src AS id_a, dst AS id_b, "
+        f"ROUND({review_prior_expr()}, 6) AS prior FROM bip WHERE sign = {sign}",
     )
 
 
-def sql_edge_attr_filter(sign: int = 1) -> str:
-    return _with(
-        [("bip", BIP)],
-        f"SELECT src, dst, ROUND({review_prior_expr()}, 6) AS prior "
-        f"FROM bip WHERE sign = {sign}",
-    )
-
-
-def sql_node_attr_index() -> str:
+def sql_attr_index() -> str:
+    """P3 both variants: node inverted index (vtype → ids) and edge
+    inverted index (sign → src:dst pairs, helper.py:294-312) unioned."""
     return _with(
         [("bip", BIP), ("va", BIP_VERTS_ATTR)],
-        "SELECT vtype AS attr, COUNT(*) AS n_ids, "
+        "SELECT 'node' AS kind, vtype AS attr, COUNT(*) AS n_ids, "
         "STRING_AGG(CAST(id AS VARCHAR), ',' ORDER BY id) AS ids_csv "
-        "FROM va GROUP BY vtype",
+        "FROM va GROUP BY vtype "
+        "UNION ALL "
+        "SELECT 'edge' AS kind, CAST(sign AS VARCHAR) AS attr, "
+        "COUNT(*) AS n_ids, "
+        "STRING_AGG(src || ':' || dst, ',' ORDER BY src, dst) AS ids_csv "
+        "FROM bip GROUP BY sign",
+    )
+
+
+def sql_sampling_splits(frac: float = 0.25) -> str:
+    """random_split (P6) + semi_data sample membership (P5) in one
+    per-user frame, Knuth-hash order (unseeded reference sampling
+    pinned, SURVEY §7)."""
+    return _with(
+        [("bip", BIP),
+         ("gt",
+          "SELECT src AS id, MAX(CASE WHEN sign = 2 THEN 1 ELSE 0 END) AS label "
+          "FROM bip GROUP BY src"),
+         ("rk",
+          f"SELECT id, label, ROW_NUMBER() OVER (PARTITION BY label "
+          f"ORDER BY (id * {PRIOR_MULT}) % {PRIOR_MOD}, id) AS rn, "
+          f"COUNT(*) OVER (PARTITION BY label) AS n FROM gt")],
+        f"SELECT id, label, CAST(rn <= FLOOR(n / 2) AS BOOLEAN) AS is_train, "
+        f"CAST(rn <= CEIL(n * {frac}::DOUBLE) AS BOOLEAN) AS in_semi FROM rk",
     )
 
 
@@ -955,12 +1045,14 @@ def sql_ppr(iters: int = 5, damping: float = 0.85, seed_mod: int = 97) -> str:
 
 
 def sql_gang_semi(iters: int = 5, weight: float = 0.008,
-                  frac: float = 0.25) -> str:
+                  frac: float = 0.25, yelp_shape: bool = False) -> str:
     """GANG with semi-supervised clamped priors on the sampled seed set
-    (eval_GANG pipeline shape; sampling pinned to Knuth-hash order)."""
+    (eval_GANG pipeline shape; sampling pinned to Knuth-hash order).
+    ``yelp_shape`` runs it on the YelpChi-shaped graph (201-product tiny
+    side — the hub-skew/broadcast fixture)."""
     w2 = f"CAST({2 * weight!r} AS DOUBLE)"
     ctes = [
-        ("bip", BIP),
+        ("bip", BIP_YELP if yelp_shape else BIP),
         ("bsym",
          "SELECT src, dst FROM bip UNION ALL SELECT dst AS src, src AS dst FROM bip"),
         ("v", BIP_VERTS),

@@ -68,6 +68,29 @@ def bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+YELP_PART_MOD = 201  # YelpChi product-side cardinality (README.md:83-85)
+
+
+def bip_yelp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YelpChi-SHAPED bipartite edges: the product side is folded to a
+    constant 201 vertices regardless of scale factor — the 38k-users ×
+    201-products shape of the reference's demo dataset. This is the
+    fixture that exercises the tiny-dimension/broadcast + hub-skew path
+    (each product accumulates ~|E|/201 reviews) that the standard
+    bipartite graph (both sides growing) never does."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.col("l_orderkey").alias("src"),
+            (F.col("l_partkey") % YELP_PART_MOD + F.lit(PART_OFFSET)).alias("dst"),
+            F.when(F.col("l_quantity") >= 25, F.lit(1)).otherwise(F.lit(2)).alias("s"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("s").alias("sign"))
+        .select("src", "dst", F.lit(1.0).alias("weight"), "sign")
+    )
+
+
 def uni_edges_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed unipartite edges(src, dst, weight): ids mod UNI_MOD, no
     self-loops, distinct. Skewed in-degree (part popularity) — the hub
