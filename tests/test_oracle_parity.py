@@ -10,8 +10,12 @@ import math
 import duckdb
 import pytest
 
-from ugfraud_spark.registry import REGISTRY
-from ugfraud_spark.sources.tables import TABLES
+from ugfraud_spark.registry import build_registry
+from ugfraud_spark.sources.tables import TABLES, uni_mod_for
+
+# re-render the oracles for sf0.001 (unipartite modulus 1000; the
+# driver-facing REGISTRY is rendered for sf0.01 / modulus 10000)
+REGISTRY = build_registry(uni_mod=uni_mod_for("/root/testdata/sf0.001"))
 
 
 def _duck(sf_dir: str):

@@ -22,11 +22,16 @@ from .sources.tables import PART_OFFSET, PRIOR_MOD, PRIOR_MULT, UNI_MOD
 
 # ---------------------------------------------------------------- fragments
 
-UNI = (
-    f"SELECT DISTINCT (l_orderkey % {UNI_MOD}) AS src, "
-    f"(l_partkey % {UNI_MOD}) AS dst FROM lineitem "
-    f"WHERE (l_orderkey % {UNI_MOD}) <> (l_partkey % {UNI_MOD})"
-)
+def uni_frag(mod: int) -> str:
+    """Unipartite edge derivation; ``mod`` must equal the Spark side's
+    ``tables.uni_mod_for(sf_dir)`` for the scale being checked (the
+    registry renders the driver's sf0.01; tests re-render for sf0.001
+    via ``registry.build_registry``)."""
+    return (
+        f"SELECT DISTINCT (l_orderkey % {mod}) AS src, "
+        f"(l_partkey % {mod}) AS dst FROM lineitem "
+        f"WHERE (l_orderkey % {mod}) <> (l_partkey % {mod})"
+    )
 
 UND = "SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM uni"
 
@@ -69,41 +74,41 @@ def _with(ctes: list[tuple[str, str]], final: str) -> str:
 
 # ----------------------------------------------------------------- queries
 
-def sql_uni_edges() -> str:
-    return _with([("uni", UNI)], "SELECT src, dst FROM uni")
+def sql_uni_edges(mod: int = UNI_MOD) -> str:
+    return _with([("uni", uni_frag(mod))], "SELECT src, dst FROM uni")
 
 
 def sql_bip_edges() -> str:
     return _with([("bip", BIP)], "SELECT src, dst, weight, sign FROM bip")
 
 
-def sql_out_degree_top(k: int = 20) -> str:
+def sql_out_degree_top(k: int = 20, mod: int = UNI_MOD) -> str:
     return _with(
-        [("uni", UNI)],
+        [("uni", uni_frag(mod))],
         "SELECT src AS id, COUNT(*) AS out_deg FROM uni GROUP BY src "
         f"ORDER BY out_deg DESC, id ASC LIMIT {k}",
     )
 
 
-def sql_in_degree() -> str:
+def sql_in_degree(mod: int = UNI_MOD) -> str:
     return _with(
-        [("uni", UNI)],
+        [("uni", uni_frag(mod))],
         "SELECT dst AS id, COUNT(*) AS in_deg FROM uni GROUP BY dst",
     )
 
 
-def sql_degree_histogram(bucket: int = 5) -> str:
+def sql_degree_histogram(bucket: int = 5, mod: int = UNI_MOD) -> str:
     return _with(
-        [("uni", UNI),
+        [("uni", uni_frag(mod)),
          ("deg", "SELECT dst AS id, COUNT(*) AS d FROM uni GROUP BY dst")],
         f"SELECT CAST(FLOOR(d / {bucket}) AS BIGINT) AS bucket, COUNT(*) AS n_vertices "
         "FROM deg GROUP BY 1",
     )
 
 
-def sql_pagerank(iters: int = 5, damping: float = 0.85) -> str:
+def sql_pagerank(iters: int = 5, damping: float = 0.85, mod: int = UNI_MOD) -> str:
     ctes = [
-        ("uni", UNI),
+        ("uni", uni_frag(mod)),
         ("v", VERTS),
         ("od", "SELECT src AS id, COUNT(*) AS out_deg FROM uni GROUP BY src"),
         ("nn", "SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v"),
@@ -127,12 +132,12 @@ def sql_pagerank(iters: int = 5, damping: float = 0.85) -> str:
     return _with(ctes, f"SELECT id, ROUND(pr, 6) AS pagerank FROM r{iters}")
 
 
-def sql_cc_minprop(iters: int = 30) -> str:
+def sql_cc_minprop(iters: int = 30, mod: int = UNI_MOD) -> str:
     """k rounds of synchronous min-label propagation over the undirected
     graph; labels converge to the min vertex id per component once
     k >= diameter (asserted in pytest)."""
     ctes = [
-        ("uni", UNI),
+        ("uni", uni_frag(mod)),
         ("und", UND),
         ("sym", SYM),
         ("v", VERTS),
@@ -153,12 +158,12 @@ def sql_cc_minprop(iters: int = 30) -> str:
     return _with(ctes, f"SELECT id, lbl AS component FROM c{iters}")
 
 
-def sql_lpa(iters: int = 4) -> str:
+def sql_lpa(iters: int = 4, mod: int = UNI_MOD) -> str:
     """Synchronous label propagation, deterministic tie-break: the new
     label is the neighbor label with the highest count, ties broken by
     the smallest label; isolated vertices keep their own."""
     ctes = [
-        ("uni", UNI),
+        ("uni", uni_frag(mod)),
         ("und", UND),
         ("sym", SYM),
         ("v", VERTS),
@@ -184,7 +189,7 @@ def sql_lpa(iters: int = 4) -> str:
     return _with(ctes, f"SELECT id, lbl AS label FROM l{iters}")
 
 
-def sql_triangles() -> str:
+def sql_triangles(mod: int = UNI_MOD) -> str:
     """Per-vertex triangle counts over the canonical undirected edges
     (each triangle a<b<c enumerated once)."""
     tri = (
@@ -193,21 +198,21 @@ def sql_triangles() -> str:
         "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"
     )
     return _with(
-        [("uni", UNI), ("und", UND), ("tri", tri),
+        [("uni", uni_frag(mod)), ("und", UND), ("tri", tri),
          ("m", "SELECT x AS id FROM tri UNION ALL SELECT y FROM tri "
                "UNION ALL SELECT z FROM tri")],
         "SELECT id, COUNT(*) AS triangles FROM m GROUP BY id",
     )
 
 
-def sql_triangle_total() -> str:
+def sql_triangle_total(mod: int = UNI_MOD) -> str:
     tri = (
         "SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1 "
         "JOIN und e2 ON e2.a = e1.b "
         "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"
     )
     return _with(
-        [("uni", UNI), ("und", UND), ("tri", tri)],
+        [("uni", uni_frag(mod)), ("und", UND), ("tri", tri)],
         "SELECT COUNT(*) AS triangles FROM tri",
     )
 
@@ -797,11 +802,11 @@ def sql_subset_above_degree(src_min: int = 3, dst_min: int = 5) -> str:
     )
 
 
-def sql_rank_stats() -> str:
+def sql_rank_stats(mod: int = UNI_MOD) -> str:
     """min / median-element / max of the uni in-degree list — the
     reference's sorted-list indexing (ranked[int(n/2)], helper.py:99-107)."""
     return _with(
-        [("uni", UNI),
+        [("uni", uni_frag(mod)),
          ("deg", "SELECT dst AS id, COUNT(*) AS d FROM uni GROUP BY dst"),
          ("rk",
           "SELECT d, ROW_NUMBER() OVER (ORDER BY d ASC) - 1 AS rn FROM deg")],
@@ -812,12 +817,12 @@ def sql_rank_stats() -> str:
     )
 
 
-def sql_bfs_hops(iters: int = 6) -> str:
+def sql_bfs_hops(iters: int = 6, mod: int = UNI_MOD) -> str:
     """Unrolled synchronous BFS relaxation from the min-id vertex over the
     symmetrized uni graph (matches operators/bfs.py superstep for
     superstep)."""
     ctes = [
-        ("uni", UNI),
+        ("uni", uni_frag(mod)),
         ("und", UND),
         ("sym", SYM),
         ("v", VERTS),
@@ -933,12 +938,12 @@ def eval_wrap(score_query: str, id_col: str = "id",
 
 # ----------------------------------------------------- HITS and k-core
 
-def sql_hits(iters: int = 5) -> str:
+def sql_hits(iters: int = 5, mod: int = UNI_MOD) -> str:
     """Unrolled HITS: per iteration authority = Σ hub over in-edges then
     L2-normalize, hub = Σ authority over out-edges then L2-normalize —
     step-for-step the Spark kernel in operators/hits.py."""
     ctes = [
-        ("uni", UNI),
+        ("uni", uni_frag(mod)),
         ("v", VERTS),
         ("s0", "SELECT id, CAST(1.0 AS DOUBLE) AS hub, "
                "CAST(1.0 AS DOUBLE) AS auth FROM v"),
@@ -975,9 +980,9 @@ def sql_hits(iters: int = 5) -> str:
     )
 
 
-def sql_kcore(k: int, iters: int = 10) -> str:
+def sql_kcore(k: int, iters: int = 10, mod: int = UNI_MOD) -> str:
     """Unrolled k-core peeling over the symmetric undirected edges."""
-    ctes = [("uni", UNI), ("und", UND), ("e0", SYM)]
+    ctes = [("uni", uni_frag(mod)), ("und", UND), ("e0", SYM)]
     for t in range(1, iters + 1):
         prev = f"e{t-1}"
         ctes.append((
@@ -1014,11 +1019,11 @@ def sql_sessionize(gap_minutes: int = 30) -> str:
     )
 
 
-def sql_ppr(iters: int = 5, damping: float = 0.85, seed_mod: int = 97) -> str:
+def sql_ppr(iters: int = 5, damping: float = 0.85, seed_mod: int = 97, mod: int = UNI_MOD) -> str:
     """Unrolled personalized PageRank with teleport to {id % seed_mod = 0}."""
     d = f"CAST({damping!r} AS DOUBLE)"
     ctes = [
-        ("uni", UNI),
+        ("uni", uni_frag(mod)),
         ("v", VERTS),
         ("od", "SELECT src AS id, COUNT(*) AS out_deg FROM uni GROUP BY src"),
         ("sd", f"SELECT id FROM v WHERE id % {seed_mod} = 0"),

@@ -528,85 +528,99 @@ def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_neardup_pairs(e, threshold=0.35)
 
 
-# 48 queries — the round-1 driver recorded exactly the first 50 registry
+# 49 queries — the round-1 driver recorded exactly the first 50 registry
 # entries of 60 (CORRECTNESS_r01 cut at #50 in insertion order), so the
 # registry is consolidated below that budget by MERGING same-table
 # queries (text features, attr filter/index, sampling, speagle nodes,
 # fbox sides, asset metadata+decode, LSH pairs+jaccard verify) — operator
 # coverage is unchanged, every merged column is still oracle-checked.
-# 47/48 have oracles; the one rows-only entry is the ε-peel approximation.
-REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {
-    "bip_edges": (q_bip_edges, oracle.sql_bip_edges()),
-    "out_degree_top": (q_out_degree_top, oracle.sql_out_degree_top(20)),
-    "degree_histogram": (q_degree_histogram, oracle.sql_degree_histogram(5)),
-    "pagerank": (q_pagerank, oracle.sql_pagerank(PR_ITERS)),
-    "pagerank_blocks": (q_pagerank_blocks, oracle.sql_pagerank(PR_ITERS)),
-    "personalized_pagerank": (q_ppr, oracle.sql_ppr(PR_ITERS,
-                                                    seed_mod=PPR_SEED_MOD)),
-    "connected_components": (q_cc, oracle.sql_cc_minprop(CC_ITERS)),
-    "label_propagation": (q_lpa, oracle.sql_lpa(LPA_ITERS)),
-    "hits": (q_hits, oracle.sql_hits(HITS_ITERS)),
-    "kcore": (q_kcore, oracle.sql_kcore(KCORE_K, KCORE_ITERS)),
-    "triangles_per_vertex": (q_triangles, oracle.sql_triangles()),
-    "bfs_hops": (q_bfs_hops, oracle.sql_bfs_hops(6)),
-    "gang_lbp": (q_gang, oracle.sql_gang(GANG_ITERS)),
-    # gang_semi runs on the YelpChi-shaped graph (201-product tiny side)
-    "gang_semi": (q_gang_semi, oracle.sql_gang_semi(GANG_ITERS,
-                                                    yelp_shape=True)),
-    "zoobp": (q_zoobp, oracle.sql_zoobp(ZOOBP_ITERS)),
-    "zoobp_literal": (q_zoobp_literal, oracle.sql_zoobp_literal()),
-    "speagle_review": (q_speagle_review,
-                       oracle.sql_speagle(SPEAGLE_ITERS, output="review")),
-    "speagle_nodes": (q_speagle_nodes,
-                      oracle.sql_speagle(SPEAGLE_ITERS, output="nodes")),
-    "ground_truth_users": (q_ground_truth_users, oracle.sql_ground_truth_users()),
-    "prior_scaled_review": (q_prior_scaled_review, oracle.sql_prior_scaled_review()),
-    "prior_eval": (q_prior_eval, oracle.sql_prior_eval()),
-    "gang_eval": (q_gang_eval, oracle.eval_wrap(oracle.sql_gang(GANG_ITERS))),
-    "zoobp_eval": (q_zoobp_eval, oracle.eval_wrap(oracle.sql_zoobp(ZOOBP_ITERS))),
-    "speagle_eval": (q_speagle_eval,
-                     oracle.eval_wrap(oracle.sql_speagle(SPEAGLE_ITERS,
-                                                         output="user"))),
-    "fraudar_col_weights": (q_fraudar_colweights, oracle.sql_fraudar_colweights()),
-    # oracle = the VERBATIM reference peel's output (fixture parquet from
-    # scripts/make_oracle_fixtures.py; live parity in test_reference_parity)
-    "fraudar_scores": (q_fraudar_scores,
-                       oracle.sql_fixture("fraudar_scores")),
-    # distributed ε-peel (scale mode): approximation by design → rows-only
-    "fraudar_bulk_peel": (q_fraudar_bulk_peel, None),
-    "fraudar_eval": (q_fraudar_eval,
-                     oracle.eval_wrap(
-                         oracle.sql_fixture("fraudar_scores"),
-                         score_col="score")),
-    "fbox_suspicious": (q_fbox_suspicious,
-                        oracle.sql_fixture("fbox_suspicious")),
-    "svd_user_norms": (q_svd_user_norms,
-                       oracle.sql_fixture("svd_user_norms")),
-    "svd_classify": (q_svd_classify, oracle.sql_fixture("svd_classify")),
-    # Arrow-UDF byte-identity invariant: n_pages must equal n_identical
-    "pages_text_byte_identity": (
-        q_pages_text_identity,
-        "SELECT 2000 AS n_pages, 2000 AS n_identical",
-    ),
-    "attr_filter": (q_attr_filter, oracle.sql_attr_filter()),
-    "attr_index": (q_attr_index, oracle.sql_attr_index()),
-    "subset_above_degree": (q_subset_above_degree,
-                            oracle.sql_subset_above_degree()),
-    "rank_stats": (q_rank_stats, oracle.sql_rank_stats()),
-    "sampling_splits": (q_sampling_splits, oracle.sql_sampling_splits(0.25)),
-    "events_windowed_stats": (q_events_windowed,
-                              oracle.sql_windowed_event_stats(60)),
-    "events_stream_once": (q_events_stream_once,
-                           oracle.sql_windowed_event_stats(60)),
-    "parse_props": (q_parse_props, oracle.sql_parse_props()),
-    "sessionize": (q_sessionize, oracle.sql_sessionize(30)),
-    # training-data pipeline ops
-    "dedup_exact": (q_dedup_exact, oracle.sql_dedup_exact()),
-    "minhash_signatures": (q_minhash_signatures, oracle.sql_minhash_signatures()),
-    "dedup_lsh_pairs": (q_lsh_pairs, oracle.sql_ngram_jaccard()),
-    "simhash": (q_simhash, oracle.sql_simhash()),
-    "text_features": (q_text_features, oracle.sql_text_features()),
-    "multimodal_decode": (q_multimodal_decode, oracle.sql_multimodal_decode()),
-    "ann_cosine_topk": (q_cosine_topk, oracle.sql_cosine_topk(ANN_QUERY_IDS, ANN_K)),
-    "ann_lsh_neardup": (q_lsh_neardup, oracle.sql_ann_lsh_neardup(0.35)),
-}
+# 48/49 have oracles; the one rows-only entry is the ε-peel approximation.
+
+# The driver's correctness gate runs at sf0.01 → unipartite modulus 10k
+# (tables.uni_mod_for). Tests re-render the oracles for sf0.001 via
+# build_registry(uni_mod=1000).
+UNI_MOD_DRIVER = 10_000
+
+
+def build_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
+        str, tuple[SparkQuery, str | None]]:
+    m = uni_mod
+    return {
+        "bip_edges": (q_bip_edges, oracle.sql_bip_edges()),
+        "out_degree_top": (q_out_degree_top, oracle.sql_out_degree_top(20, mod=m)),
+        "degree_histogram": (q_degree_histogram, oracle.sql_degree_histogram(5, mod=m)),
+        "pagerank": (q_pagerank, oracle.sql_pagerank(PR_ITERS, mod=m)),
+        "pagerank_blocks": (q_pagerank_blocks, oracle.sql_pagerank(PR_ITERS, mod=m)),
+        "personalized_pagerank": (q_ppr, oracle.sql_ppr(PR_ITERS,
+                                                        seed_mod=PPR_SEED_MOD,
+                                                        mod=m)),
+        "connected_components": (q_cc, oracle.sql_cc_minprop(CC_ITERS, mod=m)),
+        "label_propagation": (q_lpa, oracle.sql_lpa(LPA_ITERS, mod=m)),
+        "hits": (q_hits, oracle.sql_hits(HITS_ITERS, mod=m)),
+        "kcore": (q_kcore, oracle.sql_kcore(KCORE_K, KCORE_ITERS, mod=m)),
+        "triangles_per_vertex": (q_triangles, oracle.sql_triangles(mod=m)),
+        "bfs_hops": (q_bfs_hops, oracle.sql_bfs_hops(6, mod=m)),
+        "gang_lbp": (q_gang, oracle.sql_gang(GANG_ITERS)),
+        # gang_semi runs on the YelpChi-shaped graph (201-product tiny side)
+        "gang_semi": (q_gang_semi, oracle.sql_gang_semi(GANG_ITERS,
+                                                        yelp_shape=True)),
+        "zoobp": (q_zoobp, oracle.sql_zoobp(ZOOBP_ITERS)),
+        "zoobp_literal": (q_zoobp_literal, oracle.sql_zoobp_literal()),
+        "speagle_review": (q_speagle_review,
+                           oracle.sql_speagle(SPEAGLE_ITERS, output="review")),
+        "speagle_nodes": (q_speagle_nodes,
+                          oracle.sql_speagle(SPEAGLE_ITERS, output="nodes")),
+        "ground_truth_users": (q_ground_truth_users, oracle.sql_ground_truth_users()),
+        "prior_scaled_review": (q_prior_scaled_review, oracle.sql_prior_scaled_review()),
+        "prior_eval": (q_prior_eval, oracle.sql_prior_eval()),
+        "gang_eval": (q_gang_eval, oracle.eval_wrap(oracle.sql_gang(GANG_ITERS))),
+        "zoobp_eval": (q_zoobp_eval, oracle.eval_wrap(oracle.sql_zoobp(ZOOBP_ITERS))),
+        "speagle_eval": (q_speagle_eval,
+                         oracle.eval_wrap(oracle.sql_speagle(SPEAGLE_ITERS,
+                                                             output="user"))),
+        "fraudar_col_weights": (q_fraudar_colweights, oracle.sql_fraudar_colweights()),
+        # oracle = the VERBATIM reference peel's output (fixture parquet from
+        # scripts/make_oracle_fixtures.py; live parity in test_reference_parity)
+        "fraudar_scores": (q_fraudar_scores,
+                           oracle.sql_fixture("fraudar_scores")),
+        # distributed ε-peel (scale mode): approximation by design → rows-only
+        "fraudar_bulk_peel": (q_fraudar_bulk_peel, None),
+        "fraudar_eval": (q_fraudar_eval,
+                         oracle.eval_wrap(
+                             oracle.sql_fixture("fraudar_scores"),
+                             score_col="score")),
+        "fbox_suspicious": (q_fbox_suspicious,
+                            oracle.sql_fixture("fbox_suspicious")),
+        "svd_user_norms": (q_svd_user_norms,
+                           oracle.sql_fixture("svd_user_norms")),
+        "svd_classify": (q_svd_classify, oracle.sql_fixture("svd_classify")),
+        # Arrow-UDF byte-identity invariant: n_pages must equal n_identical
+        "pages_text_byte_identity": (
+            q_pages_text_identity,
+            "SELECT 2000 AS n_pages, 2000 AS n_identical",
+        ),
+        "attr_filter": (q_attr_filter, oracle.sql_attr_filter()),
+        "attr_index": (q_attr_index, oracle.sql_attr_index()),
+        "subset_above_degree": (q_subset_above_degree,
+                                oracle.sql_subset_above_degree()),
+        "rank_stats": (q_rank_stats, oracle.sql_rank_stats(mod=m)),
+        "sampling_splits": (q_sampling_splits, oracle.sql_sampling_splits(0.25)),
+        "events_windowed_stats": (q_events_windowed,
+                                  oracle.sql_windowed_event_stats(60)),
+        "events_stream_once": (q_events_stream_once,
+                               oracle.sql_windowed_event_stats(60)),
+        "parse_props": (q_parse_props, oracle.sql_parse_props()),
+        "sessionize": (q_sessionize, oracle.sql_sessionize(30)),
+        # training-data pipeline ops
+        "dedup_exact": (q_dedup_exact, oracle.sql_dedup_exact()),
+        "minhash_signatures": (q_minhash_signatures, oracle.sql_minhash_signatures()),
+        "dedup_lsh_pairs": (q_lsh_pairs, oracle.sql_ngram_jaccard()),
+        "simhash": (q_simhash, oracle.sql_simhash()),
+        "text_features": (q_text_features, oracle.sql_text_features()),
+        "multimodal_decode": (q_multimodal_decode, oracle.sql_multimodal_decode()),
+        "ann_cosine_topk": (q_cosine_topk, oracle.sql_cosine_topk(ANN_QUERY_IDS, ANN_K)),
+        "ann_lsh_neardup": (q_lsh_neardup, oracle.sql_ann_lsh_neardup(0.35)),
+    }
+
+
+REGISTRY: dict[str, tuple[SparkQuery, str | None]] = build_registry()
