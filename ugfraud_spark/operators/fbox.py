@@ -59,10 +59,12 @@ def fbox(
         v, s = randomized_right_factors(eidx, n_cols, kk, q=1)
 
     # users: rec out-degree distributed (||U_i·Σ|| = ||A_i·V||, one
-    # vectorized partition-local kernel)
-    rec_u = row_projection_norms_grouped(eidx, v)
+    # vectorized partition-local kernel). Materialize once — the
+    # threshold join + filter + downstream union would otherwise re-run
+    # the projection kernel per consumer.
+    rec_u = row_projection_norms_grouped(eidx, v).localCheckpoint(eager=True)
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    u = rec_u.join(out_deg, "src")
+    u = rec_u.join(out_deg, "src").localCheckpoint(eager=True)
     thr_u = u.groupBy("deg").agg(
         F.percentile("rec", tau / 100.0).alias("threshold")
     )

