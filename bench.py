@@ -202,19 +202,32 @@ def scaling_worker(cpus: int) -> None:
     spark.stop()
 
 
-def run_scaling(levels=SCALE_LEVELS) -> dict:
+SCALE_REPEATS = 2
+
+
+def run_scaling(levels=SCALE_LEVELS, repeats: int = SCALE_REPEATS) -> dict:
+    """Each level runs ``repeats`` times in a fresh JVM; the fastest run
+    is kept (min-wall = least host noise — the 4-minute local[2] leg is
+    sensitive to background load; observed single-run efficiency spread
+    0.77-0.82 from noise alone)."""
     results = {}
     for cpus in levels:
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-worker",
-             "--cpus", str(cpus)],
-            capture_output=True, text=True, cwd=REPO, timeout=1800,
-        )
-        line = [ln for ln in p.stdout.splitlines()
-                if ln.startswith("SCALING_RESULT ")]
-        if not line:
-            raise RuntimeError(f"scaling worker {cpus} failed:\n{p.stderr[-2000:]}")
-        results[cpus] = json.loads(line[-1][len("SCALING_RESULT "):])
+        best = None
+        for _ in range(repeats):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-worker",
+                 "--cpus", str(cpus)],
+                capture_output=True, text=True, cwd=REPO, timeout=1800,
+            )
+            line = [ln for ln in p.stdout.splitlines()
+                    if ln.startswith("SCALING_RESULT ")]
+            if not line:
+                raise RuntimeError(
+                    f"scaling worker {cpus} failed:\n{p.stderr[-2000:]}")
+            r = json.loads(line[-1][len("SCALING_RESULT "):])
+            if best is None or r["edges_per_sec"] > best["edges_per_sec"]:
+                best = r
+        results[cpus] = best
 
     lo, hi = min(levels), max(levels)
     ratio = hi / lo
@@ -265,7 +278,9 @@ exactly what multi-node scaling rides on.
 Caveats: single-JVM local mode shares one driver, one shuffle service and
 one GC across "executors", so thread-scaling here is a proxy, not a
 cluster measurement; build_s (one-time layout) is excluded from the
-throughput by design and reported for transparency.
+throughput by design and reported for transparency. Each level is the
+fastest of {SCALE_REPEATS} fresh-JVM runs (min-wall; single-run spread
+from background host load alone was measured at ~6% on the local[2] leg).
 
 Generated by `python bench.py --scaling` on {time.strftime('%Y-%m-%d')}.
 """
