@@ -78,6 +78,95 @@ def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     return emb.select("vec_id", F.concat(*bits).alias("bucket"))
 
 
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
+             n_lists: int = 16, n_probe: int = 4,
+             kmeans_iters: int = 5, sample: int = 2048,
+             seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) ANN — the coarse-quantizer scale path next to
+    the sign-LSH variant:
+
+    1. train ``n_lists`` centroids with a few Lloyd iterations on a
+       deterministic sample (driver numpy — centroids are the *model*,
+       O(n_lists × dim), like any broadcast dimension table);
+    2. assign every vector to its nearest centroid (distributed argmin
+       over broadcast centroid literals — one JVM column expression);
+    3. per query, search only the ``n_probe`` closest lists — the
+       candidate set shrinks ~n_lists/n_probe-fold vs brute force, and
+       the list id becomes the join/shuffle key at scale.
+
+    Returns (query_id, neighbor_id, cos, rank) like ``cosine_topk``
+    (recall vs the exact top-k is asserted in tests; IVF is approximate
+    by design when a true neighbor lives in an unprobed list).
+    """
+    import numpy as np
+
+    dim = len(emb.select("embedding").first()["embedding"])
+    smp = np.array(
+        emb.select("vec_id", "embedding")
+        .orderBy(F.pmod(F.col("vec_id") * _G_MULT, F.lit(_G_MOD)), "vec_id")
+        .limit(sample)
+        .select("embedding").toPandas()["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    cents = smp[rng.choice(len(smp), size=min(n_lists, len(smp)),
+                           replace=False)]
+    for _ in range(kmeans_iters):
+        d2 = ((smp[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(cents)):
+            m = assign == j
+            if m.any():
+                cents[j] = smp[m].mean(axis=0)
+
+    def nearest_list():
+        best_d, best_j = None, None
+        for j in range(len(cents)):
+            c = F.array(*[F.lit(float(x)) for x in cents[j]])
+            d = F.aggregate(
+                F.zip_with(F.col("embedding"), c,
+                           lambda x, cc: (x - cc) * (x - cc)),
+                F.lit(0.0), lambda a, x: a + x,
+            )
+            if best_d is None:
+                best_d, best_j = d, F.lit(j)
+            else:
+                best_j = F.when(d < best_d, F.lit(j)).otherwise(best_j)
+                best_d = F.least(d, best_d)
+        return best_j
+
+    assigned = emb.select("vec_id", "embedding",
+                          nearest_list().alias("list_id"))
+
+    q = assigned.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    # probe lists per query: rank centroids by distance to the query
+    qrows = q.collect()  # |queries| rows — the query side is tiny by contract
+    probes = []
+    for r in qrows:
+        qv = np.array(r["qe"], dtype=np.float64)
+        order = np.argsort(((cents - qv[None, :]) ** 2).sum(axis=1))
+        for j in order[:n_probe]:
+            probes.append((int(r["query_id"]), int(j)))
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id long, list_id int")
+
+    cand = (
+        assigned.join(F.broadcast(probe_df), "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+    )
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
                       n_planes: int = N_PLANES) -> DataFrame:
     """(vec_a, vec_b, cos): embedding-cosine near-dup pairs restricted to

@@ -450,6 +450,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_events.sessionize(ev, gap_minutes=30)
 
 
+def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState,
+    explicit GroupState, update mode, availableNow drain) — checked for
+    stream/batch equivalence against the plain groupBy oracle."""
+    return streaming_events.stateful_user_stats_stream(
+        spark, f"{sf_dir}/events.parquet"
+    )
+
+
 def q_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     return streaming_events.parse_props(ev)
@@ -611,6 +620,11 @@ def build_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                                oracle.sql_windowed_event_stats(60)),
         "parse_props": (q_parse_props, oracle.sql_parse_props()),
         "sessionize": (q_sessionize, oracle.sql_sessionize(30)),
+        "stateful_user_stats": (
+            q_stateful_user_stats,
+            "SELECT user_id, COUNT(*) AS n_events, "
+            "ROUND(SUM(value), 6) AS sum_value FROM events GROUP BY user_id",
+        ),
         # training-data pipeline ops
         "dedup_exact": (q_dedup_exact, oracle.sql_dedup_exact()),
         "minhash_signatures": (q_minhash_signatures, oracle.sql_minhash_signatures()),

