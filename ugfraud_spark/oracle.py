@@ -74,9 +74,6 @@ def _with(ctes: list[tuple[str, str]], final: str) -> str:
 
 # ----------------------------------------------------------------- queries
 
-def sql_uni_edges(mod: int = UNI_MOD) -> str:
-    return _with([("uni", uni_frag(mod))], "SELECT src, dst FROM uni")
-
 
 def sql_bip_edges() -> str:
     return _with([("bip", BIP)], "SELECT src, dst, weight, sign FROM bip")
@@ -87,13 +84,6 @@ def sql_out_degree_top(k: int = 20, mod: int = UNI_MOD) -> str:
         [("uni", uni_frag(mod))],
         "SELECT src AS id, COUNT(*) AS out_deg FROM uni GROUP BY src "
         f"ORDER BY out_deg DESC, id ASC LIMIT {k}",
-    )
-
-
-def sql_in_degree(mod: int = UNI_MOD) -> str:
-    return _with(
-        [("uni", uni_frag(mod))],
-        "SELECT dst AS id, COUNT(*) AS in_deg FROM uni GROUP BY dst",
     )
 
 
@@ -202,18 +192,6 @@ def sql_triangles(mod: int = UNI_MOD) -> str:
          ("m", "SELECT x AS id FROM tri UNION ALL SELECT y FROM tri "
                "UNION ALL SELECT z FROM tri")],
         "SELECT id, COUNT(*) AS triangles FROM m GROUP BY id",
-    )
-
-
-def sql_triangle_total(mod: int = UNI_MOD) -> str:
-    tri = (
-        "SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1 "
-        "JOIN und e2 ON e2.a = e1.b "
-        "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"
-    )
-    return _with(
-        [("uni", uni_frag(mod)), ("und", UND), ("tri", tri)],
-        "SELECT COUNT(*) AS triangles FROM tri",
     )
 
 
@@ -559,23 +537,6 @@ def sql_minhash_signatures(h: int = 12) -> str:
     return _with(_minhash_ctes(h), "SELECT * FROM sig")
 
 
-def sql_lsh_pairs(h: int = 12, bands: int = 4, rows: int = 3) -> str:
-    ctes = _minhash_ctes(h)
-    band_selects = []
-    for b in range(bands):
-        cols = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, MD5({cols}) AS bkey FROM sig"
-        )
-    ctes.append(("bands", " UNION ALL ".join(band_selects)))
-    return _with(
-        ctes,
-        "SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
-        "FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey "
-        "AND l.doc_id < r.doc_id",
-    )
-
-
 def sql_simhash(bits: int = 16) -> str:
     votes = ", ".join(
         f"SUM(CASE WHEN SUBSTRING(MD5(w), {b + 1}, 1) IN "
@@ -837,39 +798,6 @@ def sql_bfs_hops(iters: int = 6, mod: int = UNI_MOD) -> str:
             f"FROM sym e JOIN d{t} d ON e.src = d.id) GROUP BY id",
         ))
     return _with(ctes, f"SELECT id, dist FROM d{iters}")
-
-
-def sql_random_split() -> str:
-    """Seeded stratified 50/50 split (SVD.py:57-88 with the unseeded
-    sampling pinned to the Knuth-hash order — SURVEY §7 determinism)."""
-    return _with(
-        [("bip", BIP),
-         ("gt",
-          "SELECT src AS id, MAX(CASE WHEN sign = 2 THEN 1 ELSE 0 END) AS label "
-          "FROM bip GROUP BY src"),
-         ("rk",
-          f"SELECT id, label, ROW_NUMBER() OVER (PARTITION BY label "
-          f"ORDER BY (id * {PRIOR_MULT}) % {PRIOR_MOD}, id) AS rn, "
-          f"COUNT(*) OVER (PARTITION BY label) AS n FROM gt")],
-        "SELECT id, label, CAST(rn <= FLOOR(n / 2) AS BOOLEAN) "
-        "AS is_train FROM rk",
-    )
-
-
-def sql_semi_sample(frac: float = 0.25) -> str:
-    """P5 semi_data stratified seed sample, Knuth-hash order (GANG.py:12-36
-    with the unseeded sampling pinned)."""
-    return _with(
-        [("bip", BIP),
-         ("gt",
-          "SELECT src AS id, MAX(CASE WHEN sign = 2 THEN 1 ELSE 0 END) AS label "
-          "FROM bip GROUP BY src"),
-         ("rk",
-          f"SELECT id, label, ROW_NUMBER() OVER (PARTITION BY label "
-          f"ORDER BY (id * {PRIOR_MULT}) % {PRIOR_MOD}, id) AS rn, "
-          f"COUNT(*) OVER (PARTITION BY label) AS n FROM gt")],
-        f"SELECT id, label FROM rk WHERE rn <= CEIL(n * {frac}::DOUBLE)",
-    )
 
 
 # -------------------------------------------------------------- streaming

@@ -64,8 +64,6 @@ def _round6(df: DataFrame, *cols: str) -> DataFrame:
 
 # ------------------------------------------------------------ graph model
 
-def q_uni_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tables.uni_edges_directed(spark, sf_dir).select("src", "dst")
 
 
 def q_bip_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,8 +79,6 @@ def q_out_degree_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_in_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return degrees.in_degree(tables.uni_edges_directed(spark, sf_dir))
 
 
 def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,9 +147,6 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles.triangles_per_vertex(e)
 
 
-def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = tables.uni_edges_undirected(spark, sf_dir)
-    return triangles.triangle_total(e)
 
 
 def q_gang(spark: SparkSession, sf_dir: str) -> DataFrame:
