@@ -270,10 +270,24 @@ def fraudar_col_weights(edges: DataFrame) -> DataFrame:
     )
 
 
-def bulk_peel(edges: DataFrame, eps: float = 0.1, max_rounds: int = 60) -> DataFrame:
+def bulk_peel(edges: DataFrame, eps: float = 0.1, max_rounds: int = 120) -> DataFrame:
     """Scale-mode ε-peel: per round, drop every vertex (either side) with
-    weighted delta ≤ (1+ε)·(total/|alive|); returns the densest prefix's
-    (id, side) vertex set. O(log V) Spark rounds, no driver state."""
+    weighted delta ≤ (1+ε)·g, g = total/|alive| the current average
+    density. Returns the densest prefix's (id, side) vertex set.
+    O(log V) filter+agg Spark rounds, no driver state.
+
+    Threshold design (both halves matter):
+    - QUALITY rounds use (1+ε)·g — removing only nodes with delta ≤ g
+      RAISES the running average, so the tracked best prefix actually
+      climbs toward the dense core. Any threshold ≥ 2g can only lower
+      the average (each removal sheds up to 2g mass for one vertex), so
+      a pure Charikar 2(1+ε)·g rule degenerates to "best prefix = whole
+      graph".
+    - TERMINATION: on a near-regular core every delta can exceed
+      (1+ε)·g (mean delta is 2g) and a quality round removes nobody;
+      when that happens the NEXT round escalates to 2(1+ε)·g, which by
+      Markov removes ≥ ε/(1+ε) of the survivors. Alternating worst-case
+      gives ≤ 2·log_{1+ε} V rounds."""
     cw = fraudar_col_weights(edges)
     e = (
         edges.select("src", "dst").distinct()
@@ -283,6 +297,7 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1, max_rounds: int = 60) -> DataF
     spark = edges.sparkSession
     best_df = None
     best_avg = -1.0
+    prev_n = None
     for _ in range(max_rounds):
         rd = e.groupBy("src").agg(F.sum("col_weight").alias("delta"))
         cd = e.groupBy("dst").agg(F.sum("col_weight").alias("delta"))
@@ -302,7 +317,9 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1, max_rounds: int = 60) -> DataF
                 .unionAll(cd.select(F.col("dst").alias("id"), F.lit("col").alias("side")))
                 .localCheckpoint(eager=True)
             )
-        thr = (1.0 + eps) * avg
+        stalled = prev_n == n_alive  # last quality round removed nobody
+        prev_n = n_alive
+        thr = (2.0 if stalled else 1.0) * (1.0 + eps) * avg
         keep_r = rd.where(F.col("delta") > thr).select("src")
         keep_c = cd.where(F.col("delta") > thr).select("dst")
         e = (
