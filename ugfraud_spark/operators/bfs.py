@@ -22,7 +22,7 @@ from .superstep import SuperstepResult, colocate_edges, iterate
 
 
 def bfs_hops(edges_sym: DataFrame, seeds: DataFrame, *,
-             iters: int = 6, checkpoint_every: int = 5,
+             iters: int = 6, checkpoint_every: int = 1,
              checkpoint_dir: str | None = None) -> DataFrame:
     """edges_sym(src, dst) directed-both-ways + seeds(id) → (id, dist).
 

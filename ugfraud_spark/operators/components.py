@@ -51,7 +51,9 @@ def cc_minprop(edges_ab: DataFrame, iters: int = 30) -> DataFrame:
             .select("id", F.least("lbl", F.coalesce("m", "lbl")).alias("lbl"))
         )
 
-    res = iterate(state0, step, max_iter=iters, checkpoint_every=4)
+    # checkpoint_every=1: constant-depth plans — measured 2.6x faster than
+    # every-4 chaining at sf0.1 (Catalyst re-analysis of deep trees dominates)
+    res = iterate(state0, step, max_iter=iters, checkpoint_every=1)
     return res.state.select("id", F.col("lbl").alias("component"))
 
 
@@ -86,5 +88,5 @@ def connected_components(edges_ab: DataFrame, max_iter: int = 100) -> DataFrame:
         return float(changed)
 
     res = iterate(state0, step, residual, max_iter=max_iter, tol=0.5,
-                  checkpoint_every=4)
+                  checkpoint_every=1)
     return res.state.select("id", F.col("lbl").alias("component"))

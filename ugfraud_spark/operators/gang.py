@@ -74,7 +74,7 @@ def gang(
         residual_fn=(None if tol is None else residual),
         max_iter=max_iter,
         tol=tol or 0.0,
-        checkpoint_every=5,
+        checkpoint_every=1,
         checkpoint_dir=checkpoint_dir,
     )
     res.state = res.state.select("id", F.col("value").alias("belief"))

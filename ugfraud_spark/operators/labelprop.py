@@ -45,5 +45,5 @@ def lpa(edges_ab: DataFrame, iters: int = 4) -> DataFrame:
             "id", F.coalesce("new_lbl", "lbl").alias("lbl")
         )
 
-    res = iterate(state0, step, max_iter=iters, checkpoint_every=8)
+    res = iterate(state0, step, max_iter=iters, checkpoint_every=1)
     return res.state.select("id", F.col("lbl").alias("label"))

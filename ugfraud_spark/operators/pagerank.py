@@ -32,7 +32,7 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float | None = None,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
     checkpoint_dir: str | None = None,
 ) -> SuperstepResult:
     """edges(src, dst) → state(id, value) with PageRank values.
@@ -101,7 +101,7 @@ def personalized_pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float | None = None,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
     checkpoint_dir: str | None = None,
 ) -> SuperstepResult:
     """PPR: teleport mass returns to ``seeds(id)`` uniformly instead of
@@ -174,7 +174,7 @@ def pagerank_blocks(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float | None = None,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
     checkpoint_dir: str | None = None,
     n_blocks: int = 32,
     hub_cap: int = 100_000,

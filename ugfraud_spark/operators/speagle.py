@@ -156,7 +156,7 @@ def speagle(
         residual_fn=(None if tol is None else residual),
         max_iter=max_iter,
         tol=tol or 0.0,
-        checkpoint_every=4,
+        checkpoint_every=1,
         checkpoint_dir=checkpoint_dir,
     )
     state = res.state.localCheckpoint(eager=True)
