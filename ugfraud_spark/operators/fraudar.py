@@ -299,8 +299,11 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1, max_rounds: int = 120) -> Data
     best_avg = -1.0
     prev_n = None
     for _ in range(max_rounds):
-        rd = e.groupBy("src").agg(F.sum("col_weight").alias("delta"))
-        cd = e.groupBy("dst").agg(F.sum("col_weight").alias("delta"))
+        # rd/cd each feed the stats union, (sometimes) the best-prefix
+        # snapshot, and the keep filters — cache them or the delta agg
+        # over the edge frame runs up to 3x per round
+        rd = e.groupBy("src").agg(F.sum("col_weight").alias("delta")).persist()
+        cd = e.groupBy("dst").agg(F.sum("col_weight").alias("delta")).persist()
         # one combined action per round: Σdelta over the row+col union
         # double-counts the block mass exactly twice, so tot = sum/2
         u = rd.select("delta").unionAll(cd.select("delta"))
@@ -308,6 +311,8 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1, max_rounds: int = 120) -> Data
                     F.sum("delta").alias("s")).collect()[0]
         n_alive = row["n"]
         if n_alive == 0:
+            rd.unpersist()
+            cd.unpersist()
             break
         avg = (row["s"] or 0.0) / 2.0 / n_alive
         if avg > best_avg:
@@ -327,6 +332,8 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1, max_rounds: int = 120) -> Data
             .join(keep_c, "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
+        rd.unpersist()
+        cd.unpersist()
     if best_df is None:  # empty input edge frame
         return spark.createDataFrame([], "id long, side string")
     return best_df

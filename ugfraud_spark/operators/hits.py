@@ -107,10 +107,13 @@ def kcore(edges_sym: DataFrame, k: int, iters: int = 10) -> DataFrame:
     """
     e = colocate_edges(edges_sym.select("src", "dst"))
     for _ in range(iters):
+        # `alive` feeds both semi-joins — cache it or the degree agg over
+        # the (shrinking) edge frame runs twice per round
         alive = (
             e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
             .where(F.col("d") >= k)
             .select("src")
+            .persist()
         )
         e = (
             e.join(alive.hint("shuffle_hash"), "src", "left_semi")
@@ -118,4 +121,5 @@ def kcore(edges_sym: DataFrame, k: int, iters: int = 10) -> DataFrame:
                   "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
+        alive.unpersist()
     return e.select(F.col("src").alias("id")).distinct()
