@@ -104,9 +104,53 @@ def test_multimodal_plumbing(spark, sf_small):
             assert r["n_frames"] == 1
     fs = multimodal.frame_sample(dec, every=5)
     assert fs.where(F.col("frame_idx") % 5 != 0).count() == 0
-    # real decode path is stubbed
-    with pytest.raises(Exception, match="NotImplementedError|real decode"):
+    # real decode on non-BMP/WAV payloads names the unsupported format
+    with pytest.raises(Exception, match="unsupported container"):
         multimodal.decode_assets(assets, fake=False).collect()
+
+
+def _tiny_bmp(width: int, height: int) -> bytes:
+    """Minimal 24bpp bottom-up BMP with a deterministic pixel array."""
+    import struct
+
+    row = ((width * 3 + 3) // 4) * 4  # rows padded to 4 bytes
+    pixels = bytes((x * 7 + 3) % 256 for x in range(row * height))
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                            len(pixels), 2835, 2835, 0, 0))
+    return header + pixels
+
+
+def _tiny_wav(channels: int, bits: int, n_frames: int) -> bytes:
+    """Minimal PCM RIFF/WAVE container."""
+    import struct
+
+    block = channels * bits // 8
+    data = bytes((i * 11 + 5) % 256 for i in range(block * n_frames))
+    fmt = struct.pack("<HHIIHH", 1, channels, 8000, 8000 * block, block, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_real_decode_bmp_wav(spark):
+    """fake=False parses genuine BMP and WAV containers end-to-end
+    through the same Arrow mapInPandas plumbing."""
+    bmp = _tiny_bmp(5, 3)
+    wav = _tiny_wav(channels=2, bits=16, n_frames=40)
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(bmp), ("t", "en")),
+         (2, "audio", bytearray(wav), ("t", "en"))],
+        "asset_id long, kind string, payload binary, "
+        "meta struct<origin string, lang string>",
+    )
+    rows = {r["asset_id"]: r
+            for r in multimodal.decode_assets(assets, fake=False).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["n_frames"]) == (5, 3, 1)
+    assert rows[1]["feature"][0] == pytest.approx(3 / 255.0)
+    # wav: width=channels, height=bits, n_frames=sample frames
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["n_frames"]) == (2, 16, 40)
+    assert rows[2]["feature"][0] == pytest.approx(5 / 255.0)
 
 
 def test_ivf_topk_recall_vs_exact(spark, sf_small):
@@ -132,3 +176,46 @@ def test_ivf_topk_recall_vs_exact(spark, sf_small):
         key = (r["query_id"], r["neighbor_id"])
         if key in ex_cos:
             assert abs(r["cos"] - ex_cos[key]) < 1e-9
+
+
+def test_lsh_bucket_cap_drops_degenerate_band(spark, caplog):
+    """A planted degenerate bucket (1k identical docs -> one band key per
+    band holding all of them) is dropped by the MAX_BUCKET cap instead of
+    exploding into ~500k pairs per band; distinct docs' pairs survive."""
+    import logging
+
+    rows = [(i, "the same boilerplate text repeated every time") for i in range(1000)]
+    # two genuine near-dups outside the degenerate bucket
+    rows.append((5000, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((5001, "alpha beta gamma delta epsilon zeta eta theta"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with caplog.at_level(logging.WARNING, logger="ugfraud_spark.dedup"):
+        pairs = {(r["doc_a"], r["doc_b"])
+                 for r in dedup.lsh_candidate_pairs(docs, max_bucket=100).collect()}
+    assert (5000, 5001) in pairs
+    # nothing from the degenerate bucket: its quadratic blow-up was capped
+    assert all(a >= 5000 for a, _ in pairs), pairs
+    assert any("dropped" in r.message for r in caplog.records)
+
+
+def test_ann_bucket_cap_drops_degenerate_bucket(spark, caplog):
+    """Same cap on the embedding-LSH side: a spike of identical vectors
+    lands in one sign-LSH bucket and is dropped at max_bucket, while a
+    small planted near-dup pair in another bucket survives."""
+    import logging
+
+    rng = np.random.RandomState(11)
+    spike = rng.randn(8).tolist()
+    other = rng.randn(8).tolist()
+    rows = [(i, [float(x) for x in spike]) for i in range(300)]
+    rows.append((9000, [float(x) for x in other]))
+    rows.append((9001, [float(x) for x in other]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    with caplog.at_level(logging.WARNING, logger="ugfraud_spark.ann"):
+        got = ann.lsh_neardup_pairs(emb, threshold=0.999, max_bucket=50).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in got}
+    assert (9000, 9001) in pairs
+    assert all(a >= 9000 for a, _ in pairs), pairs
+    assert any("dropped" in r.message for r in caplog.records)

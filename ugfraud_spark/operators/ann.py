@@ -16,10 +16,17 @@ summation difference can't reorder the oracle comparison.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+log = logging.getLogger("ugfraud_spark.ann")
+
 N_PLANES = 8
+# LSH buckets above this size are dropped before the self-join (skew
+# cap; see lsh_neardup_pairs docstring)
+MAX_BUCKET = 4096
 _G_MULT = 2654435761
 _G_MOD = 1_000_003
 
@@ -100,7 +107,6 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
     """
     import numpy as np
 
-    dim = len(emb.select("embedding").first()["embedding"])
     smp = np.array(
         emb.select("vec_id", "embedding")
         .orderBy(F.pmod(F.col("vec_id") * _G_MULT, F.lit(_G_MOD)), "vec_id")
@@ -119,24 +125,35 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
             if m.any():
                 cents[j] = smp[m].mean(axis=0)
 
-    def nearest_list():
-        best_d, best_j = None, None
-        for j in range(len(cents)):
-            c = F.array(*[F.lit(float(x)) for x in cents[j]])
-            d = F.aggregate(
-                F.zip_with(F.col("embedding"), c,
-                           lambda x, cc: (x - cc) * (x - cc)),
-                F.lit(0.0), lambda a, x: a + x,
-            )
-            if best_d is None:
-                best_d, best_j = d, F.lit(j)
-            else:
-                best_j = F.when(d < best_d, F.lit(j)).otherwise(best_j)
-                best_d = F.least(d, best_d)
-        return best_j
-
-    assigned = emb.select("vec_id", "embedding",
-                          nearest_list().alias("list_id"))
+    # centroid assignment via a broadcast dim table, not an O(n_lists·dim)
+    # literal expression chain: n_lists rows fan out per vector, the
+    # argmin is a map-side-combined min(struct(dist, list_id)) — plan
+    # size O(1) in n_lists·dim, ties broken to the smallest list id
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(j), [float(x) for x in cents[j]]) for j in range(len(cents))],
+        "list_id int, centroid array<double>",
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent_df))
+        .select(
+            "vec_id", "embedding",
+            F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("embedding"), F.col("centroid"),
+                               lambda x, cc: (x - cc) * (x - cc)),
+                    F.lit(0.0), lambda a, x: a + x,
+                ).alias("d"),
+                F.col("list_id"),
+            ).alias("dl"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            # every fanned-out row of a vec_id carries the same embedding
+            F.first("embedding").alias("embedding"),
+            F.min("dl")["list_id"].alias("list_id"),
+        )
+    )
 
     q = assigned.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -168,11 +185,35 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
 
 
 def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
-                      n_planes: int = N_PLANES) -> DataFrame:
+                      n_planes: int = N_PLANES,
+                      max_bucket: int = MAX_BUCKET) -> DataFrame:
     """(vec_a, vec_b, cos): embedding-cosine near-dup pairs restricted to
-    same-LSH-bucket candidates."""
+    same-LSH-bucket candidates.
+
+    Buckets larger than ``max_bucket`` are dropped (logged) before the
+    self-join — the skew cap for a degenerate bucket (e.g. a spike of
+    near-identical embeddings) that would otherwise go quadratic. There
+    are only 2^n_planes buckets, so at corpus scale ``n_planes`` must
+    grow with log2(corpus/expected_bucket) for the cap to be a skew
+    guard rather than a truncation; the DuckDB oracle applies the same
+    integer cap, keeping the gate exact."""
     b = lsh_buckets(emb, n_planes)
-    e = emb.join(b, "vec_id")
+    e = emb.join(b, "vec_id").localCheckpoint(eager=True)  # cap agg + join
+    big = (
+        e.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_bucket)
+        .localCheckpoint(eager=True)
+    )
+    stats = big.agg(F.count(F.lit(1)).alias("k"),
+                    F.sum("n").alias("rows")).collect()[0]
+    if stats["k"]:
+        log.warning(
+            "lsh_neardup_pairs: dropped %d oversized bucket(s) (> %d "
+            "members; %d vectors total) before the self-join — near-dup "
+            "pairs inside them are NOT reported; raise n_planes to "
+            "re-shard", stats["k"], max_bucket, stats["rows"],
+        )
+    e = e.join(big.select("bucket"), "bucket", "left_anti")
     l = e.select(F.col("vec_id").alias("vec_a"),
                  F.col("embedding").alias("ea"), "bucket")
     r = e.select(F.col("vec_id").alias("vec_b"),

@@ -129,13 +129,35 @@ def rank_stats(values: DataFrame, col: str) -> DataFrame:
 
     n = values.count()
     mid = n // 2  # 0-based index int(len/2), matching the reference
-    # two-phase selection: count per distinct value, then a cumulative sum
-    # over the (small) distinct-value distribution — the window runs over
-    # |distinct values| rows, never a full single-partition data sort
-    g = values.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    # two-phase selection, fully partitioned (no global Window.orderBy —
+    # for a continuous column |distinct| ≈ |rows| and a single-task sort
+    # dies at web scale): count per distinct value, RANGE-partition the
+    # distinct-value distribution, cumulative-sum inside each sorted
+    # partition, then add per-partition count offsets (tiny broadcast
+    # join) — the same pattern as linalg.dense_col_index
+    g = (
+        values.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+        .repartitionByRange(32, "v")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partitioning for both consumers
+    )
+    spark = values.sparkSession
+    totals = sorted(
+        (r["_pid"], r["_t"])
+        for r in g.groupBy("_pid").agg(F.sum("c").alias("_t")).collect()
+    )
+    offs, acc = [], 0
+    for pid, t in totals:
+        offs.append((pid, acc))
+        acc += t
+    off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     med = (
-        g.withColumn("_cum", F.sum("c").over(w))
+        g.join(F.broadcast(off_df), "_pid")
+        .withColumn("_cum", F.col("_off") + F.sum("c").over(w))
         .where(F.col("_cum") > mid)  # smallest v whose cum count ≥ mid+1
         .orderBy("v")
         .limit(1)

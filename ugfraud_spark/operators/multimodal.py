@@ -1,13 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode/feature-extract stage is STUBBED (image/audio libraries are
-not in this container): ``decode_assets(..., fake=True)`` produces a
-deterministic fake decode (dimensions/duration derived from the payload
-md5) so the Spark-side plumbing — schema, partitioning, Arrow batch
-shape, UDF signature — is real and tested; ``fake=False`` raises
-``NotImplementedError`` exactly where a real ``PIL.Image.open`` /
-``soundfile.read`` call would go.
+Two decode paths through the same Arrow ``mapInPandas`` plumbing:
+
+- ``fake=True``: deterministic fake decode (dimensions/duration derived
+  from the payload md5) — lets the oracle gate check the full pipeline
+  on synthetic text payloads.
+- ``fake=False``: REAL pure-Python container parsing for the formats a
+  header parse can decode without external libs — BMP images (width/
+  height from the BITMAPINFOHEADER, first pixel bytes as the feature)
+  and RIFF/WAVE audio (channels/bits/sample-count from the fmt+data
+  chunks). Other containers (JPEG/PNG entropy-coded pixels, MP4...)
+  still raise — they genuinely need PIL/soundfile/av, which are absent
+  here; the error names the format so the gap is explicit.
 
 ``asset_metadata`` (byte length + md5 + kind) is pure built-ins and is
 cross-checked against DuckDB.
@@ -61,32 +66,85 @@ def asset_metadata(assets: DataFrame) -> DataFrame:
     )
 
 
+def decode_bmp(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Pure-Python BMP header parse → (width, height, n_frames, feature).
+    BITMAPINFOHEADER: int32 width at 18, int32 height at 22 (negative =
+    top-down), pixel-array offset at 10; feature = first 8 pixel bytes
+    scaled to [0,1]."""
+    import struct
+
+    if len(payload) < 30 or payload[:2] != b"BM":
+        raise ValueError("decode_bmp: not a BMP container (no 'BM' magic)")
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    pix = payload[pix_off:pix_off + 8]
+    feature = [float(b) / 255.0 for b in pix] + [0.0] * (8 - len(pix))
+    return int(width), abs(int(height)), 1, feature
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Pure-Python RIFF/WAVE parse → (channels, bits_per_sample,
+    n_sample_frames, feature); feature = first 8 data bytes in [0,1]."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("decode_wav: not a RIFF/WAVE container")
+    pos, channels, bits, block_align, n_frames, feat = 12, 0, 0, 0, 0, []
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        csz = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + csz]
+        if cid == b"fmt " and len(body) >= 16:
+            channels = struct.unpack_from("<H", body, 2)[0]
+            block_align = struct.unpack_from("<H", body, 12)[0]
+            bits = struct.unpack_from("<H", body, 14)[0]
+        elif cid == b"data":
+            n_frames = len(body) // block_align if block_align else 0
+            feat = [float(b) / 255.0 for b in body[:8]]
+        pos += 8 + csz + (csz % 2)  # RIFF chunks are word-aligned
+    if not channels:
+        raise ValueError("decode_wav: missing fmt chunk")
+    return channels, bits, n_frames, feat + [0.0] * (8 - len(feat))
+
+
 def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas decode stage. Arrow batches of binary payloads in,
-    typed decode records out — the real plumbing; only the innermost
-    decode call is faked/stubbed."""
+    typed decode records out. ``fake=True`` = md5-derived deterministic
+    decode (oracle-checkable); ``fake=False`` = real header parsing for
+    BMP/WAV payloads (other containers raise — see module docstring)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real decode needs PIL/soundfile/av — not in this "
-                    "container; run with fake=True"
-                )
             out = {"asset_id": [], "kind": [], "width": [], "height": [],
                    "n_frames": [], "feature": []}
             for aid, kind, payload in zip(
                 pdf["asset_id"], pdf["kind"], pdf["payload"]
             ):
-                h = hashlib.md5(bytes(payload)).digest()
+                raw = bytes(payload)
+                if fake:
+                    h = hashlib.md5(raw).digest()
+                    w, ht = 16 + h[0] % 64, 16 + h[1] % 64
+                    nf = 1 if kind == "image" else 1 + h[2] % 30
+                    feat = [float(b) / 255.0 for b in h[:8]]
+                elif raw[:2] == b"BM":
+                    w, ht, nf, feat = decode_bmp(raw)
+                elif raw[:4] == b"RIFF":
+                    w, ht, nf, feat = decode_wav(raw)
+                else:
+                    raise ValueError(
+                        f"decode_assets: unsupported container for asset "
+                        f"{int(aid)} (magic {raw[:4]!r}) — real decode "
+                        "covers BMP and RIFF/WAVE; JPEG/PNG/MP4 need "
+                        "PIL/soundfile/av (absent in this container)"
+                    )
                 out["asset_id"].append(int(aid))
                 out["kind"].append(kind)
-                out["width"].append(16 + h[0] % 64)
-                out["height"].append(16 + h[1] % 64)
-                out["n_frames"].append(1 if kind == "image" else 1 + h[2] % 30)
-                out["feature"].append([float(b) / 255.0 for b in h[:8]])
+                out["width"].append(w)
+                out["height"].append(ht)
+                out["n_frames"].append(nf)
+                out["feature"].append(feat)
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(decode, schema=DECODED_SCHEMA)

@@ -132,35 +132,33 @@ def centroid_classify(train: DataFrame, test: DataFrame) -> DataFrame:
     reference's SVC, sklearn absent). Returns (id, pred_label).
 
     Fully distributed: centroids come from one posexplode + groupBy avg
-    (tiny result — n_labels × k), are collected and re-broadcast as
-    literal arrays, and the per-row argmin is a JVM column expression
-    (zip_with + aggregate). Nothing O(|V|) ever reaches the driver."""
-    cent_rows = (
+    (tiny result — n_labels × k), kept as a BROADCAST dim table the test
+    rows fan out against; the argmin is a map-side-combined
+    min(struct(dist, label)) — plan size O(1) in n_labels·k (no literal
+    expression chains), ties → smallest label. Nothing O(|V|) ever
+    reaches the driver."""
+    cent_df = (
         train.select("label", F.posexplode("comps").alias("pos", "x"))
         .groupBy("label", "pos")
         .agg(F.avg("x").alias("c"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select("label", F.transform("pc", lambda s: s["c"]).alias("centroid"))
-        .collect()
     )
-    cents = sorted((r["label"], r["centroid"]) for r in cent_rows)
-
-    def sqdist(centroid: list[float]):
-        carr = F.array(*[F.lit(float(x)) for x in centroid])
-        return F.aggregate(
-            F.zip_with(F.col("comps"), carr, lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
+    return (
+        test.crossJoin(F.broadcast(cent_df.withColumnRenamed("label", "_lb")))
+        .select(
+            "id",
+            F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("comps"), F.col("centroid"),
+                               lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ).alias("d"),
+                F.col("_lb"),
+            ).alias("dl"),
         )
-
-    pred = None
-    best = None
-    for lb, centroid in cents:  # ascending label — argmin ties → smallest
-        d = sqdist(centroid)
-        if pred is None:
-            pred, best = F.lit(int(lb)), d
-        else:
-            pred = F.when(d < best, F.lit(int(lb))).otherwise(pred)
-            best = F.least(d, best)
-    return test.select("id", pred.cast("int").alias("pred_label"))
+        .groupBy("id")
+        .agg(F.min("dl")["_lb"].cast("int").alias("pred_label"))
+    )

@@ -121,6 +121,11 @@ def zoobp_literal(edges: DataFrame, priors: DataFrame, *,
         F.sum(F.when(F.col("sign") == 1, 1).otherwise(0)).alias("n_pos"),
         F.sum(F.when(F.col("sign") == 2, 1).otherwise(0)).alias("n_neg"),
     ).collect()[0]
+    if counts["n_pos"] is None:  # SUM over an empty edge frame is NULL
+        raise ValueError(
+            "zoobp_literal: empty edge frame — the literal closed form "
+            "needs >= 1 edge (and >= 2 distinct users and products)"
+        )
     n_pos, n_neg = float(counts["n_pos"]), float(counts["n_neg"])
 
     pri = priors.select("id", (F.col("prior") - F.lit(0.5)).alias("c"))
@@ -135,6 +140,13 @@ def zoobp_literal(edges: DataFrame, priors: DataFrame, *,
         .join(pri.withColumnRenamed("id", "dst"), "dst")
         .orderBy("fu", "dst").limit(2).collect()
     ]
+    if len(u12) < 2 or len(p12) < 2:
+        raise ValueError(
+            "zoobp_literal: closed form needs >= 2 distinct users and "
+            f">= 2 distinct products (got {len(u12)} users, {len(p12)} "
+            "products with a prior); the reference indexes u1/u2 and p1/p2 "
+            "unconditionally (ZooBP.py:82-83 row assignment)"
+        )
     n_l = pri.count()
 
     c_u1, c_u2 = u12[0], u12[1]

@@ -554,7 +554,11 @@ def sql_simhash(bits: int = 16) -> str:
     )
 
 
-def sql_ngram_jaccard(h: int = 12, bands: int = 4, rows: int = 3) -> str:
+def sql_ngram_jaccard(h: int = 12, bands: int = 4, rows: int = 3,
+                      max_bucket: int = 512) -> str:
+    """``max_bucket`` mirrors dedup.MAX_BUCKET: band buckets above the
+    cap are excluded before the self-join on BOTH engines (integer
+    count — exact)."""
     ctes = _minhash_ctes(h)
     band_selects = []
     for b in range(bands):
@@ -564,9 +568,14 @@ def sql_ngram_jaccard(h: int = 12, bands: int = 4, rows: int = 3) -> str:
         )
     ctes += [
         ("bands", " UNION ALL ".join(band_selects)),
+        ("bands_kept",
+         "SELECT doc_id, band, bkey FROM ("
+         "SELECT doc_id, band, bkey, COUNT(*) OVER (PARTITION BY band, bkey)"
+         f" AS bn FROM bands) WHERE bn <= {max_bucket}"),
         ("pairs",
          "SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
-         "FROM bands l JOIN bands r ON l.band = r.band AND l.bkey = r.bkey "
+         "FROM bands_kept l JOIN bands_kept r "
+         "ON l.band = r.band AND l.bkey = r.bkey "
          "AND l.doc_id < r.doc_id"),
         ("dsh", "SELECT DISTINCT doc_id, sh FROM sh"),
         ("cnt", "SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id"),
@@ -633,11 +642,14 @@ def sql_multimodal_decode() -> str:
     )
 
 
-def sql_ann_lsh_neardup(threshold: float = 0.35, n_planes: int = 8) -> str:
+def sql_ann_lsh_neardup(threshold: float = 0.35, n_planes: int = 8,
+                        max_bucket: int = 4096) -> str:
     """Sign-LSH near-dup pairs: the ±1 hyperplanes are the same
     multiplicative-hash pattern the Spark side generates
     (ann.plane_sign), so both engines bucket identically; cosine is
-    rounded to 6dp before the threshold on both sides."""
+    rounded to 6dp before the threshold on both sides. ``max_bucket``
+    mirrors ann.MAX_BUCKET — oversized buckets excluded on both
+    engines."""
     sgn = ("CASE WHEN ((p * 131 + d * 31) * 2654435761) % 1000003 % 2 = 0 "
            "THEN x ELSE -x END")
     return _with(
@@ -647,9 +659,13 @@ def sql_ann_lsh_neardup(threshold: float = 0.35, n_planes: int = 8) -> str:
          ("dots",
           f"SELECT vec_id, p, SUM({sgn}) AS s FROM dims "
           f"CROSS JOIN (SELECT UNNEST(range({n_planes})) AS p) GROUP BY vec_id, p"),
-         ("buck",
+         ("buck0",
           "SELECT vec_id, STRING_AGG(CASE WHEN s > 0 THEN '1' ELSE '0' END, "
           "'' ORDER BY p) AS bucket FROM dots GROUP BY vec_id"),
+         ("buck",
+          "SELECT vec_id, bucket FROM (SELECT vec_id, bucket, "
+          "COUNT(*) OVER (PARTITION BY bucket) AS bn FROM buck0) "
+          f"WHERE bn <= {max_bucket}"),
          ("pairs",
           "SELECT l.vec_id AS vec_a, r.vec_id AS vec_b FROM buck l "
           "JOIN buck r ON l.bucket = r.bucket AND l.vec_id < r.vec_id"),

@@ -530,13 +530,16 @@ def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_neardup_pairs(e, threshold=0.35)
 
 
-# 49 queries — the round-1 driver recorded exactly the first 50 registry
-# entries of 60 (CORRECTNESS_r01 cut at #50 in insertion order), so the
-# registry is consolidated below that budget by MERGING same-table
-# queries (text features, attr filter/index, sampling, speagle nodes,
-# fbox sides, asset metadata+decode, LSH pairs+jaccard verify) — operator
-# coverage is unchanged, every merged column is still oracle-checked.
-# 48/49 have oracles; the one rows-only entry is the ε-peel approximation.
+# EXACTLY 50 queries — the round-1 driver recorded exactly the first 50
+# registry entries of 60 (CORRECTNESS_r01 cut at #50 in insertion order),
+# so the registry is consolidated AT that budget by MERGING same-table
+# queries (text features+simhash, attr filter/index, sampling, speagle
+# nodes, fbox sides, asset metadata+decode, LSH pairs+jaccard verify) —
+# operator coverage is unchanged, every merged column is still
+# oracle-checked. There is ZERO headroom: adding an entry requires
+# merging two others first, and build_registry() asserts the budget so
+# an overflow fails loudly instead of silently dropping entry #51+.
+DRIVER_BUDGET = 50
 
 # The driver's correctness gate runs at sf0.01 → unipartite modulus 10k
 # (tables.uni_mod_for). Tests re-render the oracles for sf0.001 via
@@ -544,10 +547,37 @@ def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 UNI_MOD_DRIVER = 10_000
 
 
+def _mod_guard(fn: SparkQuery, rendered_mod: int) -> SparkQuery:
+    """Fail loudly when a unipartite query runs against a dataset path the
+    oracle was NOT rendered for (ADVICE r2: a renamed dir / symlink that
+    defeats ``uni_mod_for``'s pattern falls back to the 1k modulus and
+    every unipartite query would silently diverge from its oracle
+    wholesale). Paths that DO carry an sf pattern stay permitted even
+    when they differ from the rendered scale — bench legitimately runs
+    the driver-rendered registry at sf0.1, where the query is
+    self-consistent and no oracle is compared."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import re
+
+        actual = tables.uni_mod_for(sf_dir)
+        if actual != rendered_mod and not re.search(r"sf(\d+(?:\.\d+)?)", sf_dir):
+            raise ValueError(
+                f"registry rendered for unipartite modulus {rendered_mod}, "
+                f"but '{sf_dir}' has no sf marker and falls back to modulus "
+                f"{actual} — results would silently mismatch the rendered "
+                f"oracles; re-render with build_registry(uni_mod={actual}) "
+                "or point at the sf-named dataset directory"
+            )
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def build_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         str, tuple[SparkQuery, str | None]]:
     m = uni_mod
-    return {
+    reg = {
         "bip_edges": (q_bip_edges, oracle.sql_bip_edges()),
         "out_degree_top": (q_out_degree_top, oracle.sql_out_degree_top(20, mod=m)),
         "degree_histogram": (q_degree_histogram, oracle.sql_degree_histogram(5, mod=m)),
@@ -627,6 +657,20 @@ def build_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "multimodal_decode": (q_multimodal_decode, oracle.sql_multimodal_decode()),
         "ann_cosine_topk": (q_cosine_topk, oracle.sql_cosine_topk(ANN_QUERY_IDS, ANN_K)),
         "ann_lsh_neardup": (q_lsh_neardup, oracle.sql_ann_lsh_neardup(0.35)),
+    }
+    assert len(reg) <= DRIVER_BUDGET, (
+        f"registry has {len(reg)} entries > driver budget {DRIVER_BUDGET}: "
+        "entries past #50 are silently never correctness-checked — merge "
+        "same-table queries before adding (see comment above)"
+    )
+    uni_queries = {
+        "out_degree_top", "degree_histogram", "pagerank", "pagerank_blocks",
+        "personalized_pagerank", "connected_components", "label_propagation",
+        "hits", "kcore", "triangles_per_vertex", "bfs_hops", "rank_stats",
+    }
+    return {
+        name: ((_mod_guard(fn, m), sql) if name in uni_queries else (fn, sql))
+        for name, (fn, sql) in reg.items()
     }
 
 
