@@ -44,7 +44,11 @@ def fbox(
     spark = edges.sparkSession
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     cidx = dense_col_index(e).localCheckpoint(eager=True)
-    eidx = e.join(cidx, "dst").select("src", "cidx")
+    # one src-partitioned materialization feeds sketch passes + norms
+    eidx = (
+        e.join(cidx, "dst").select("src", "cidx")
+        .repartition("src").localCheckpoint(eager=True)
+    )
     n_cols = cidx.count()
     kk = min(k, n_cols - 1) if n_cols > 1 else 1
 
@@ -56,13 +60,16 @@ def fbox(
         # needs percentile-grade norm resolution — saves two full passes
         # over the edge set per fbox call (sketch agreement bounds are
         # asserted in tests/test_spectral.py)
-        v, s = randomized_right_factors(eidx, n_cols, kk, q=1)
+        v, s = randomized_right_factors(eidx, n_cols, kk, q=1,
+                                        pre_partitioned=True)
 
     # users: rec out-degree distributed (||U_i·Σ|| = ||A_i·V||, one
     # vectorized partition-local kernel). Materialize once — the
     # threshold join + filter + downstream union would otherwise re-run
     # the projection kernel per consumer.
-    rec_u = row_projection_norms_grouped(eidx, v).localCheckpoint(eager=True)
+    rec_u = row_projection_norms_grouped(
+        eidx, v, pre_partitioned=True
+    ).localCheckpoint(eager=True)
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     u = rec_u.join(out_deg, "src").localCheckpoint(eager=True)
     thr_u = u.groupBy("deg").agg(

@@ -150,6 +150,30 @@ def row_projection_norms(edges_idx: DataFrame, v: np.ndarray) -> DataFrame:
     return sums.select("src", norm_expr.alias("rec"))
 
 
+def _segments(pdf: pd.DataFrame, wc: str | None):
+    """Sort a partition's (src, cidx[, w]) rows by src and return the
+    numpy views every sketch kernel needs."""
+    pdf = pdf.sort_values("src", kind="mergesort")
+    idx = pdf["cidx"].to_numpy()
+    w = pdf[wc].to_numpy(dtype="float64") if wc else np.ones(len(idx))
+    srcs = pdf["src"].to_numpy(dtype="int64")
+    bounds = np.flatnonzero(np.r_[True, srcs[1:] != srcs[:-1]])
+    return srcs, idx, w, bounds
+
+
+def _scatter_rows(acc_shape: tuple[int, int], idx: np.ndarray,
+                  rows: np.ndarray, dtype=np.float64) -> np.ndarray:
+    """Σ per cidx of ``rows`` → dense (n_cols × l) partial, via a stable
+    sort + reduceat (np.add.at is unbuffered and ~10× slower here)."""
+    order = np.argsort(idx, kind="stable")
+    idx_s = idx[order]
+    rows_s = rows[order]
+    b2 = np.flatnonzero(np.r_[True, idx_s[1:] != idx_s[:-1]])
+    acc = np.zeros(acc_shape, dtype=dtype)
+    acc[idx_s[b2]] = np.add.reduceat(rows_s, b2, axis=0)
+    return acc
+
+
 def randomized_right_factors(
     edges_idx: DataFrame,
     n_cols: int,
@@ -158,120 +182,119 @@ def randomized_right_factors(
     l_extra: int = 16,
     q: int = 2,
     seed: int = 42,
+    pre_partitioned: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Randomized-sketch top-k right factors (V[:, :k], s[:k]) — the
     SCALE path promised in this module's docstring (Halko, Martinsson &
     Tropp 2011, Alg. 4.4 + 5.1). The exact-Gram path is O(n_cols²) per
     partition and O(n_cols³) driver eigh — fine at ≤4k columns, fatal at
-    20k+. Here every distributed pass is O(E·l) with l = k + l_extra and
-    the driver never touches anything bigger than (n_cols × l):
+    20k+. Here the whole sketch is q+1 FUSED passes over the (src-
+    partitioned) edge set with NO joins and no per-edge vector shipping:
+    because every src's rows live in one partition, Y = A·M rows are
+    computed partition-locally and immediately consumed by the
+    partition's AᵀY / YᵀY partials —
 
-    1. Y = A·Ω for a seeded Gaussian Ω (n_cols × l) — one join+kernel,
-    2. q power iterations Y ← A·(Aᵀ·Y) with a driver-side QR of the
-       (n_cols × l) intermediate for numerical stability,
-    3. R = chol(YᵀY)  (l × l, from distributed partials), Q = Y·R⁻¹,
-    4. B = Qᵀ·A = R⁻ᵀ·(YᵀA)  ((l × n_cols), distributed partials),
-    5. SVD of B on the driver → V, s.
+    1. pass i (i ≤ q): Z = Aᵀ(A·M) dense (n_cols × l) partials, driver
+       sum + QR → next M  (power iteration),
+    2. final pass: Y = A·M once more, emitting YᵀY (l × l) and AᵀY
+       (n_cols × l) partials together,
+    3. driver: R = chol(YᵀY), B = R⁻ᵀ·(YᵀA), SVD of B → V, s.
+
+    M is shipped once per executor via ``sc.broadcast`` (closure capture
+    would re-serialize the (n_cols × l) matrix per TASK — measured as
+    the dominant cost of the old 5-pass/join formulation). Pass math and
+    partial blobs run in FLOAT32 — the sketch subspace is an
+    approximation whose consumers (percentile thresholds, capped-k
+    aggregate norms) tolerate ~1e-5 relative wiggle, and halving every
+    buffer halves both the memory-bandwidth-bound kernel time and the
+    driver collect; all driver-side accumulation/decomposition stays
+    float64. Per-pass driver traffic is n_parts × (n_cols·l·4 B); past
+    the scale where that matters a tree-aggregate replaces the driver
+    sum (documented, not needed at sandbox scale).
 
     Deterministic: Ω from a fixed PCG64 seed; partials are summed on the
-    driver (order-independent float addition is NOT guaranteed, so
-    results are reproducible-per-plan, and downstream consumers
-    (percentile thresholds) tolerate 1e-9 wiggle).
+    driver in partition order (reproducible-per-plan; downstream
+    consumers tolerate the noise).
     """
     rng = np.random.default_rng(seed)
     l = min(k + l_extra, n_cols)
     omega = rng.standard_normal((n_cols, l))
     wc = weight_col
+    nc = n_cols
 
-    e = edges_idx.repartition("src").localCheckpoint(eager=True)
+    e = (edges_idx if pre_partitioned
+         else edges_idx.repartition("src").localCheckpoint(eager=True))
+    sc = e.sparkSession.sparkContext
 
-    def _project_rows(mat: np.ndarray) -> DataFrame:
-        """(src, yvec = Σ_edges w·mat[cidx]) — one vectorized pass."""
-        m = mat
+    def _pass_ata(mat: np.ndarray) -> np.ndarray:
+        """One fused pass: Aᵀ·(A·mat) partials, summed on the driver."""
+        bc = sc.broadcast(np.ascontiguousarray(mat, dtype=np.float32))
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             chunks = list(batches)
             if not chunks:
                 return
-            pdf = pd.concat(chunks, ignore_index=True).sort_values(
-                "src", kind="mergesort")
-            idx = pdf["cidx"].to_numpy()
-            w = pdf[wc].to_numpy(dtype="float64") if wc else np.ones(len(idx))
-            srcs = pdf["src"].to_numpy(dtype="int64")
-            contrib = m[idx] * w[:, None]
-            bounds = np.flatnonzero(np.r_[True, srcs[1:] != srcs[:-1]])
-            ys = np.add.reduceat(contrib, bounds, axis=0)
-            yield pd.DataFrame({"src": srcs[bounds],
-                                "yvec": [row for row in ys]})
+            m = bc.value
+            srcs, idx, w, bounds = _segments(
+                pd.concat(chunks, ignore_index=True), wc)
+            if len(srcs) == 0:
+                return
+            w32 = w.astype(np.float32)
+            ys = np.add.reduceat(m[idx] * w32[:, None], bounds, axis=0)
+            counts = np.diff(np.r_[bounds, len(srcs)])
+            per_edge = np.repeat(np.arange(len(bounds)), counts)
+            acc = _scatter_rows((nc, m.shape[1]), idx,
+                                ys[per_edge] * w32[:, None],
+                                dtype=np.float32)
+            yield pd.DataFrame({"blob": [acc.tobytes()]})
 
-        return e.mapInPandas(fn, schema="src long, yvec array<double>")
-
-    def _left_project(y_df: DataFrame) -> np.ndarray:
-        """Aᵀ·Y as an (n_cols × l) numpy: per-partition dense partials
-        shipped as bytes, summed on the driver (32 × ~n_cols·l·8 B)."""
-        nc, ll = n_cols, l
-
-        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            acc = np.zeros((nc, ll))
-            got = False
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                got = True
-                idx = pdf["cidx"].to_numpy()
-                w = pdf[wc].to_numpy(dtype="float64") if wc else np.ones(len(idx))
-                yv = np.asarray([np.asarray(v) for v in pdf["yvec"]])
-                np.add.at(acc, idx, yv * w[:, None])
-            if got:
-                yield pd.DataFrame({"blob": [acc.tobytes()]})
-
-        # each task ships a dense (n_cols × l) partial to the driver;
-        # when that blob is large, fewer/bigger tasks win — when small,
-        # keep full scan parallelism
-        j = (
-            e.join(y_df.withColumnRenamed("src", "_s"), e.src == F.col("_s"))
-            .select("cidx", "yvec", *([wc] if wc else []))
-        )
-        if n_cols * l * 8 > 32 * 1024 * 1024:
-            j = j.coalesce(8)
-        parts = j.mapInPandas(fn, schema="blob binary").collect()
-        z = np.zeros((nc, ll))
+        parts = e.mapInPandas(fn, schema="blob binary").collect()
+        bc.unpersist()
+        z = np.zeros((nc, mat.shape[1]))
         for r in parts:
-            z += np.frombuffer(r["blob"]).reshape(nc, ll)
+            z += np.frombuffer(r["blob"], dtype=np.float32).reshape(z.shape)
         return z
 
-    def _gram_small(y_df: DataFrame) -> np.ndarray:
-        """YᵀY (l × l) from distributed partials."""
-        ll = l
+    def _pass_final(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """One fused pass: Y = A·mat, emitting (YᵀY, AᵀY) partials."""
+        bc = sc.broadcast(np.ascontiguousarray(mat, dtype=np.float32))
+        ll = mat.shape[1]
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            acc = np.zeros((ll, ll))
-            got = False
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                got = True
-                yv = np.asarray([np.asarray(v) for v in pdf["yvec"]])
-                acc += yv.T @ yv
-            if got:
-                yield pd.DataFrame({"blob": [acc.tobytes()]})
+            chunks = list(batches)
+            if not chunks:
+                return
+            m = bc.value
+            srcs, idx, w, bounds = _segments(
+                pd.concat(chunks, ignore_index=True), wc)
+            if len(srcs) == 0:
+                return
+            w32 = w.astype(np.float32)
+            ys = np.add.reduceat(m[idx] * w32[:, None], bounds, axis=0)
+            counts = np.diff(np.r_[bounds, len(srcs)])
+            per_edge = np.repeat(np.arange(len(bounds)), counts)
+            yta = _scatter_rows((nc, ll), idx, ys[per_edge] * w32[:, None],
+                                dtype=np.float32)
+            g = (ys.T @ ys).astype(np.float32)
+            yield pd.DataFrame({"g": [g.tobytes()], "yta": [yta.tobytes()]})
 
-        parts = y_df.mapInPandas(fn, schema="blob binary").collect()
+        parts = e.mapInPandas(fn, schema="g binary, yta binary").collect()
+        bc.unpersist()
         g = np.zeros((ll, ll))
+        yta = np.zeros((nc, ll))
         for r in parts:
-            g += np.frombuffer(r["blob"]).reshape(ll, ll)
-        return g
+            g += np.frombuffer(r["g"], dtype=np.float32).reshape(ll, ll)
+            yta += np.frombuffer(r["yta"], dtype=np.float32).reshape(nc, ll)
+        return g, yta
 
-    y = _project_rows(omega).localCheckpoint(eager=True)
+    cur = omega
     for _ in range(q):
-        z = _left_project(y)
-        z, _r = np.linalg.qr(z)  # (n_cols × l) driver QR — stability
-        y = _project_rows(z).localCheckpoint(eager=True)
+        z = _pass_ata(cur)
+        cur, _r = np.linalg.qr(z)  # (n_cols × l) driver QR — stability
 
-    g = _gram_small(y)
+    g, yta = _pass_final(cur)
     # ridge for rank-deficient sketches (all-zero rows etc.)
     r = np.linalg.cholesky(g + 1e-12 * np.eye(l) * max(g.max(), 1.0))
-    yta = _left_project(y)  # (n_cols × l) = AᵀY
     b = np.linalg.solve(r, yta.T)  # R⁻ᵀ·(YᵀA) = B (l × n_cols)
     _ub, s, vt = np.linalg.svd(b, full_matrices=False)
     kk = min(k, vt.shape[0])
@@ -279,36 +302,35 @@ def randomized_right_factors(
 
 
 def row_projection_norms_grouped(edges_idx: DataFrame, v: np.ndarray,
-                                 weight_col: str | None = None) -> DataFrame:
+                                 weight_col: str | None = None,
+                                 pre_partitioned: bool = False) -> DataFrame:
     """(src, rec = ||A_i·V||₂) via ONE per-partition vectorized kernel:
     repartition by src (so a row never spans partitions), then inside
     each Arrow batch set compute all edge contributions ``w·V[cidx]`` as
     a single (E_part × k) slice and segment-sum per src with
     ``np.add.reduceat``. Replaces the k-sum-aggregate plan of
     ``row_projection_norms`` when k is large (SVD detector: k≈0.9·n_cols)
-    — O(E·k) flops, one pass, no per-group Python dispatch."""
+    — O(E·k) flops, one pass, no per-group Python dispatch. V travels as
+    a ``sc.broadcast`` (one copy per executor, not per task)."""
     wc = weight_col
+    e = edges_idx if pre_partitioned else edges_idx.repartition("src")
+    bc = edges_idx.sparkSession.sparkContext.broadcast(v)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks = list(batches)
         if not chunks:
             return
-        pdf = pd.concat(chunks, ignore_index=True).sort_values("src",
-                                                               kind="mergesort")
-        idx = pdf["cidx"].to_numpy()
-        w = pdf[wc].to_numpy(dtype="float64") if wc else np.ones(len(idx))
-        srcs = pdf["src"].to_numpy(dtype="int64")
-        contrib = v[idx] * w[:, None]
-        bounds = np.flatnonzero(np.r_[True, srcs[1:] != srcs[:-1]])
-        comps = np.add.reduceat(contrib, bounds, axis=0)
+        srcs, idx, w, bounds = _segments(
+            pd.concat(chunks, ignore_index=True), wc)
+        if len(srcs) == 0:
+            return
+        comps = np.add.reduceat(bc.value[idx] * w[:, None], bounds, axis=0)
         yield pd.DataFrame({
             "src": srcs[bounds],
             "rec": np.sqrt((comps * comps).sum(axis=1)),
         })
 
-    return edges_idx.repartition("src").mapInPandas(
-        fn, schema="src long, rec double"
-    )
+    return e.mapInPandas(fn, schema="src long, rec double")
 
 
 def row_projection_norms_vvt(edges_idx: DataFrame, v: np.ndarray,
@@ -317,20 +339,22 @@ def row_projection_norms_vvt(edges_idx: DataFrame, v: np.ndarray,
     ||A_i·V||² = w_iᵀ · G[idx_i, idx_i] · w_i — O(Σ deg_i²) flops instead
     of ``row_projection_norms_grouped``'s O(E·k). The win when k ≫ avg
     degree (SVD detector: k ≈ 0.9·n_cols vs review degree ~5): measured
-    38.5s → ~2s at sf0.01. Same algebraic value; float noise ~1e-12."""
-    g = v @ v.T
+    38.5s → ~2s at sf0.01. Same algebraic value; float noise ~1e-12.
+    G (n_cols², possibly tens of MB) is computed once on the driver and
+    shipped per EXECUTOR via ``sc.broadcast`` — closure capture would
+    re-serialize it per task."""
     wc = weight_col
+    bc = edges_idx.sparkSession.sparkContext.broadcast(v @ v.T)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks = list(batches)
         if not chunks:
             return
-        pdf = pd.concat(chunks, ignore_index=True).sort_values("src",
-                                                               kind="mergesort")
-        idx = pdf["cidx"].to_numpy()
-        w = pdf[wc].to_numpy(dtype="float64") if wc else np.ones(len(idx))
-        srcs = pdf["src"].to_numpy(dtype="int64")
-        bounds = np.flatnonzero(np.r_[True, srcs[1:] != srcs[:-1]])
+        g = bc.value
+        srcs, idx, w, bounds = _segments(
+            pd.concat(chunks, ignore_index=True), wc)
+        if len(srcs) == 0:
+            return
         ends = np.r_[bounds[1:], len(srcs)]
         out = np.empty(len(bounds))
         for i, (s, e) in enumerate(zip(bounds, ends)):
@@ -353,24 +377,23 @@ def row_projection_components(edges_idx: DataFrame, v: np.ndarray,
     ``mapInPandas`` pattern as ``row_projection_norms_grouped``: one
     vectorized (E_part × k) slice + ``np.add.reduceat`` per partition —
     NOT one Python dispatch per src group (tens of thousands of
-    single-row pandas groups would dominate at scale)."""
+    single-row pandas groups would dominate at scale). V is shipped per
+    executor via ``sc.broadcast``."""
     wc = weight_col
-    sc = scale
+    scl = scale
+    bc = edges_idx.sparkSession.sparkContext.broadcast(v)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks = list(batches)
         if not chunks:
             return
-        pdf = pd.concat(chunks, ignore_index=True).sort_values("src",
-                                                               kind="mergesort")
-        idx = pdf["cidx"].to_numpy()
-        w = pdf[wc].to_numpy(dtype="float64") if wc else np.ones(len(idx))
-        srcs = pdf["src"].to_numpy(dtype="int64")
-        contrib = v[idx] * w[:, None]
-        bounds = np.flatnonzero(np.r_[True, srcs[1:] != srcs[:-1]])
-        comps = np.add.reduceat(contrib, bounds, axis=0)
-        if sc is not None:
-            comps = comps * sc[None, :]
+        srcs, idx, w, bounds = _segments(
+            pd.concat(chunks, ignore_index=True), wc)
+        if len(srcs) == 0:
+            return
+        comps = np.add.reduceat(bc.value[idx] * w[:, None], bounds, axis=0)
+        if scl is not None:
+            comps = comps * scl[None, :]
         yield pd.DataFrame({"src": srcs[bounds],
                             "comps": [row.tolist() for row in comps]})
 

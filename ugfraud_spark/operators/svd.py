@@ -81,7 +81,13 @@ def svd_user_norms(edges: DataFrame, *, percent: float = 0.9,
         .localCheckpoint(eager=True)
     )
     cidx = dense_col_index(e)
-    eidx = e.join(cidx, "dst").select("src", "cidx", "w")
+    # ONE src-partitioned materialization feeds the sketch passes AND the
+    # final norms kernel (the old plan re-ran the dim join + shuffle per
+    # consumer)
+    eidx = (
+        e.join(cidx, "dst").select("src", "cidx", "w")
+        .repartition("src").localCheckpoint(eager=True)
+    )
     n_cols = cidx.count()
     n_rows = e.select("src").distinct().count()
     k = int(max(round(min(n_rows, n_cols) * percent), 1))
@@ -94,15 +100,16 @@ def svd_user_norms(edges: DataFrame, *, percent: float = 0.9,
         # aggregate norms, not per-factor resolution
         v, _s = randomized_right_factors(
             eidx, n_cols, min(k, scale_k_cap), weight_col="w",
-            l_extra=8, q=1,
+            l_extra=8, q=1, pre_partitioned=True,
         )
     # k here is ~0.9·n_cols ≫ average row degree → the projector-Gram
     # kernel (O(Σdeg²)) beats the O(E·k) per-component pass by ~20×
-    kernel = (row_projection_norms_vvt if v.shape[1] > 256
-              else row_projection_norms_grouped)
-    return kernel(eidx, v, weight_col="w").select(
-        F.col("src").alias("id"), F.col("rec").alias("norm")
-    )
+    if v.shape[1] > 256:
+        proj = row_projection_norms_vvt(eidx, v, weight_col="w")
+    else:
+        proj = row_projection_norms_grouped(eidx, v, weight_col="w",
+                                            pre_partitioned=True)
+    return proj.select(F.col("src").alias("id"), F.col("rec").alias("norm"))
 
 
 def random_split(users_labeled: DataFrame) -> DataFrame:
