@@ -62,8 +62,7 @@ HEADLINE = [
     "prior_eval",
     "dedup_exact",
     "dedup_lsh_pairs",
-    "simhash",
-    "text_features",
+    "text_features",  # includes the merged simhash column
     "ann_cosine_topk",
     "multimodal_decode",
     "sessionize",

@@ -47,9 +47,13 @@ OUT_BASE = os.path.join(os.path.dirname(__file__), "..", "fixtures", "oracle")
 NORM_ROUND = 6  # keep aligned with registry _round6 on svd_user_norms
 
 
-def fraudar_scores(ref, g, maps, helper) -> pd.DataFrame:
+def fraudar_scores(ref, g, maps, helper, densities_out: list | None = None
+                   ) -> pd.DataFrame:
     """detect_blocks verbatim + eval_Fraudar.py:66-113 normalization
-    (wrapper mirrored — :108 hardcodes a YelpChi debug print)."""
+    (wrapper mirrored — :108 hardcodes a YelpChi debug print).
+    ``densities_out``, when given, receives the per-block densities —
+    block 1's density is the exact-peel anchor for the bulk-peel
+    Charikar-bound invariant oracle (fraudar_density fixture)."""
     Fm = ref["Fraudar"]
     u_ids = list(helper.node_attr_filter(g, "types", "user", "types").keys())
     u2i = {u: i for i, u in enumerate(u_ids)}
@@ -63,6 +67,8 @@ def fraudar_scores(ref, g, maps, helper) -> pd.DataFrame:
             ed.append(p2i[p])
     M = Fm.listToSparseMatrix(es, ed)
     res = Fm.detect_blocks(M, Fm.logWeightedAveDegree)
+    if densities_out is not None:
+        densities_out.extend(float(weight) for (_sets, weight) in res)
     detected: dict = {}
     for (rows, _cols), weight in res:
         for i in rows:
@@ -170,8 +176,20 @@ def main():
         os.makedirs(out_dir, exist_ok=True)
         edges = engine_edges_sf(sf_dir)
         g, maps = build_reference_graph(edges)
+        densities: list = []
+
+        def _fraudar_with_density():
+            df = fraudar_scores(ref, g, maps, helper, densities_out=densities)
+            pd.DataFrame(
+                {"block": range(1, len(densities) + 1),
+                 "density": densities}
+            ).astype({"block": "int32", "density": "float64"}).to_parquet(
+                os.path.join(out_dir, "fraudar_density.parquet"), index=False
+            )
+            return df
+
         for name, fn in [
-            ("fraudar_scores", lambda: fraudar_scores(ref, g, maps, helper)),
+            ("fraudar_scores", _fraudar_with_density),
             ("fbox_suspicious", lambda: fbox_suspicious(ref, g, maps)),
             ("svd_user_norms", lambda: svd_user_norms(ref, g, maps)),
             ("svd_classify", lambda: svd_classify(edges)),

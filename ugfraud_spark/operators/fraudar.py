@@ -337,3 +337,43 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1, max_rounds: int = 120) -> Data
     if best_df is None:  # empty input edge frame
         return spark.createDataFrame([], "id long, side string")
     return best_df
+
+
+def bulk_peel_invariant(edges: DataFrame, exact_density: DataFrame,
+                        eps: float = 0.1) -> DataFrame:
+    """1-row correctness gate for the ε-peel approximation: recompute the
+    returned block's weighted average density from scratch (semi-joins of
+    the original edges against the block's row/col sets, original
+    column weights) and assert the Charikar-style bound
+
+        density(bulk block) ≥ OPT / (2(1+ε)) ≥ exact_peel_density / (2(1+ε))
+
+    where ``exact_density`` is a 1-row (density) frame holding the
+    VERBATIM reference peel's densest-block average (the exact greedy is
+    a lower bound of OPT, so the chain is provable — reference anchor:
+    ``Fraudar.py:195-249``). Returns (ok, exact_density): ``ok`` is
+    genuinely computed here; the DuckDB oracle recomputes
+    ``exact_density`` from the same fixture parquet and pins ok = 1."""
+    blk = bulk_peel(edges, eps=eps).localCheckpoint(eager=True)
+    rows = blk.where(F.col("side") == "row").select(F.col("id").alias("src"))
+    cols = blk.where(F.col("side") == "col").select(F.col("id").alias("dst"))
+    cw = fraudar_col_weights(edges).withColumnRenamed("id", "dst")
+    mass = (
+        edges.select("src", "dst").distinct()
+        .join(cw, "dst")
+        .join(rows, "src", "left_semi")
+        .join(cols, "dst", "left_semi")
+        .agg(F.sum("col_weight").alias("mass"))
+    )
+    n = blk.agg(F.count(F.lit(1)).alias("n_alive"))
+    return (
+        mass.crossJoin(n)
+        .crossJoin(exact_density.select(F.col("density").alias("d_exact")))
+        .select(
+            (
+                F.col("mass") / F.col("n_alive")
+                >= F.col("d_exact") / F.lit(2.0 * (1.0 + eps))
+            ).cast("int").alias("ok"),
+            F.round("d_exact", 6).alias("exact_density"),
+        )
+    )

@@ -594,11 +594,13 @@ def sql_ngram_jaccard(h: int = 12, bands: int = 4, rows: int = 3,
     )
 
 
-def sql_text_features() -> str:
+def sql_text_features(bits: int = 16) -> str:
     """One pass over documents with ALL the text-analysis operators:
-    token count, quality stats, language-ID heuristic, fingerprint —
-    each previously its own query (merged to keep the registry within
-    the driver's recording budget; operator coverage unchanged)."""
+    token count, quality stats, language-ID heuristic, fingerprint, AND
+    the 16-bit SimHash — each previously its own query (merged to keep
+    the registry within the driver's recording budget; operator coverage
+    unchanged — the standalone ``sql_simhash`` builder stays for
+    tests)."""
     nt = _tx.sql_token_count("text")
     stop = " + ".join(_tx.sql_word_occurrences("text", w) for w in _tx.STOPWORDS)
     scores = {
@@ -609,7 +611,7 @@ def sql_text_features() -> str:
     case = " ".join(
         f"WHEN ({scores[lang]}) = mx THEN '{lang}'" for lang in sorted(scores)
     )
-    return (
+    tf = (
         "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, "
         f"{nt} AS n_tokens, "
         f"ROUND((LENGTH(text) - ({nt} - 1)) / CAST({nt} AS DOUBLE), 6) "
@@ -618,6 +620,46 @@ def sql_text_features() -> str:
         f"lang, CASE {case} END AS pred_lang, "
         f"{_tx.sql_fingerprint('text')} AS fingerprint "
         f"FROM (SELECT doc_id, lang, text, {mx} AS mx FROM documents)"
+    )
+    votes = ", ".join(
+        f"SUM(CASE WHEN SUBSTRING(MD5(w), {b + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    bitstr = " || ".join(
+        f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END" for b in range(bits)
+    )
+    return _with(
+        [("tf", tf),
+         ("tok",
+          "SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents"),
+         ("simagg", f"SELECT doc_id, {votes} FROM tok GROUP BY doc_id"),
+         ("sim", f"SELECT doc_id, {bitstr} AS simhash FROM simagg")],
+        "SELECT tf.*, sim.simhash FROM tf JOIN sim USING (doc_id)",
+    )
+
+
+def sql_fbox_sketch_check() -> str:
+    """Oracle for the sketch-path agreement gate: the agreement flags are
+    genuinely computed Spark-side (exact-Gram factors vs the randomized
+    sketch that serves bench scale); DuckDB pins them to 1 and
+    independently recomputes the user count the kernels must cover."""
+    return _with(
+        [("bip", BIP)],
+        "SELECT 1 AS ok_sigma, 1 AS ok_corr, "
+        "(SELECT COUNT(DISTINCT src) FROM bip) AS n_users",
+    )
+
+
+def sql_bulk_peel_invariant(fixture_dir: str = None) -> str:
+    """Oracle for the ε-peel density invariant: ok is computed Spark-side
+    (block density ≥ exact/2(1+ε)); DuckDB re-reads the exact density
+    from the same reference-peel fixture, so a fixture swap or a Spark-
+    side misread both surface as a hash mismatch."""
+    d = fixture_dir or FIXTURE_DIR
+    return (
+        "SELECT 1 AS ok, ROUND(density, 6) AS exact_density "
+        f"FROM read_parquet('{d}/fraudar_density.parquet') WHERE block = 1"
     )
 
 
