@@ -129,9 +129,13 @@ def svd_user_norms(ref, g, maps) -> pd.DataFrame:
 
 
 def svd_classify(edges) -> pd.DataFrame:
-    """Independent numpy mirror of q_svd_classify: svds embedding
-    (percent=0.2, U = A·V/s), Knuth-hash stratified 50/50 split, nearest
-    centroid on the test half (ties -> smaller label)."""
+    """Independent numpy mirror of q_svd_classify with SVC SEMANTICS:
+    svds embedding (percent=0.2, U = A·V/s), Knuth-hash stratified 50/50
+    split, deterministic linear-SVC (L2 hinge, full-batch subgradient,
+    w0=0, lr_t=2/(λ(t+100)), λ=0.01, 300 epochs — the published spec
+    the engine and the sklearn shim implement independently), margin
+    sign on the test half. Full-batch + zero init ⇒ the fit is exactly
+    equivariant under the embedding's sign/rotation ambiguity."""
     users = sorted({e[0] for e in edges})
     prods = sorted({e[1] for e in edges})
     ui = {u: i for i, u in enumerate(users)}
@@ -155,14 +159,20 @@ def svd_classify(edges) -> pd.DataFrame:
         n_train = len(idx) // 2
         is_train[order[:n_train]] = True
 
-    cents = {
-        lv: comps[is_train & (lab == lv)].mean(axis=0) for lv in (0, 1)
-    }
+    xtr = comps[is_train]
+    ytr = 2.0 * lab[is_train].astype(np.float64) - 1.0
+    lam, n, d = 0.01, len(xtr), xtr.shape[1]
+    w = np.zeros(d)
+    b = 0.0
+    for t in range(300):
+        lr = 2.0 / (lam * (t + 100.0))
+        active = ytr * (xtr @ w + b) < 1.0
+        w = w - lr * (lam * w - xtr[active].T @ ytr[active] / n)
+        b = b + lr * (ytr[active].sum() / n)
     out = []
     for i in np.where(~is_train)[0]:
-        d0 = ((comps[i] - cents[0]) ** 2).sum()
-        d1 = ((comps[i] - cents[1]) ** 2).sum()
-        out.append((users[i], 0 if d0 <= d1 else 1))
+        dec = float(comps[i] @ w + b)
+        out.append((users[i], 1 if dec > 0 else 0))
     return pd.DataFrame(out, columns=["id", "pred_label"]).astype(
         {"id": "int64", "pred_label": "int32"}
     )

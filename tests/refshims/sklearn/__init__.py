@@ -1,6 +1,7 @@
 """sklearn shim: numpy implementations of the two metrics the reference
-uses (helper.py:1-2) plus an svm.SVC stub (SVD.py:9-10 imports it at
-module level; actually *running* the SVC stage is documented out of
-sandbox scope — SURVEY §2.10 E2)."""
+uses (helper.py:1-2) plus a RUNNABLE deterministic linear-kernel
+svm.SVC (SVD.py:9-10 imports it at module level; SVD.py:97-102
+classify_binary now executes through it — see svm.py for the documented
+linear-for-RBF substitution)."""
 
 from . import metrics, svm  # noqa: F401

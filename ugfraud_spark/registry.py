@@ -394,9 +394,14 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_svd_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2 pipeline: SVD embedding → stratified split → nearest-centroid
-    classification of the test half (sandbox stand-in for the reference's
-    SVC, SVD.py:90-102). Driver-side eigh ⇒ no SQL oracle (rows-only)."""
+    """E2 pipeline with SVC SEMANTICS (round-2 VERDICT #5): SVD
+    embedding → stratified split → deterministic linear-SVC fit on the
+    collected k-dim embedding (mirroring the reference's driver-side
+    sklearn fit, SVD.py:90-102; linear kernel = documented substitution
+    for the RBF default, sklearn absent) → distributed margin scoring.
+    Oracle = independent numpy implementation of the same published
+    spec; the verbatim reference classify stage is additionally driven
+    through the sklearn shim in tests/test_reference_parity.py."""
     e = tables.bipartite_edges(spark, sf_dir)
     emb, _s = svd.svd_user_embedding(e, percent=0.2)
     gt = evalmetrics.ground_truth_users(e).withColumnRenamed("gt", "label")
@@ -404,7 +409,7 @@ def q_svd_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = svd.random_split(lab)
     train = split.where(F.col("is_train"))
     test = split.where(~F.col("is_train"))
-    return svd.centroid_classify(train, test)
+    return svd.svm_classify(train, test)
 
 
 def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
