@@ -26,6 +26,21 @@ from pyspark.sql import functions as F
 from .superstep import SuperstepResult, colocate_edges, iterate, l1_residual
 
 
+def _vertex_base(edges: DataFrame) -> DataFrame:
+    """(id, out_deg) for every vertex — src occurrences counted, dst-only
+    vertices carried with out_deg NULL — via a single shuffle: union the
+    endpoint columns with an is_src marker, one groupBy(id) with partial
+    aggregation. Output is hash-partitioned on id, exactly what the
+    per-superstep state joins need."""
+    marked = edges.select(F.col("src").alias("id"), F.lit(1).alias("is_src")).unionAll(
+        edges.select(F.col("dst").alias("id"), F.lit(0).alias("is_src"))
+    )
+    counted = marked.groupBy("id").agg(F.sum("is_src").alias("_od"))
+    return counted.select(
+        "id", F.when(F.col("_od") > 0, F.col("_od")).alias("out_deg")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -42,18 +57,13 @@ def pagerank(
     """
     edges = colocate_edges(edges.select("src", "dst"))
 
-    verts = (
-        edges.select(F.col("src").alias("id"))
-        .unionAll(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    )
-    # fuse outdeg into the state once; dangling nodes get out_deg = NULL.
-    # persist (not checkpoint) so the id-partitioning stays visible to the
-    # per-superstep left join against contribs (see colocate_edges)
-    base = verts.join(out_deg, "id", "left").repartition("id").persist()
+    # vertex set + out-degree in ONE 2|E|-row shuffle with map-side
+    # combine (was: distinct over the union + a second groupBy + a join
+    # + an id-repartition — three full shuffles; measured as the bulk of
+    # the probe's one-time build at 64M edges). Dangling nodes get
+    # out_deg = NULL. persist (not checkpoint) so the id-partitioning
+    # stays visible to the per-superstep left join against contribs.
+    base = _vertex_base(edges).persist()
     n = base.count()
     teleport = (1.0 - damping) / n
 
@@ -109,23 +119,16 @@ def personalized_pagerank(
     web graphs (e.g. trust propagation from known-good hosts). Same
     superstep plan as ``pagerank``; only the teleport column differs."""
     edges = colocate_edges(edges.select("src", "dst"))
-    verts = (
-        edges.select(F.col("src").alias("id"))
-        .unionAll(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    )
+    vb = _vertex_base(edges).localCheckpoint(eager=True)
     # seeds outside the graph's vertex set get no state row — their teleport
     # mass would silently vanish; normalize by the *effective* seed count
-    seeds = seeds.select("id").join(verts, "id", "left_semi")
+    seeds = seeds.select("id").join(vb.select("id"), "id", "left_semi")
     n_seeds = seeds.count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank: no seed intersects the "
                          "graph's vertex set")
     base = (
-        verts.join(out_deg, "id", "left")
+        vb
         .join(seeds.select("id").withColumn("_seed", F.lit(1)), "id", "left")
         .withColumn(
             "tp",
@@ -189,15 +192,7 @@ def pagerank_blocks(
 
     adj = build_adjacency_blocks(edges.select("src", "dst"), n_blocks=n_blocks,
                                  hub_cap=hub_cap)
-    verts = (
-        edges.select(F.col("src").alias("id"))
-        .unionAll(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    )
-    base = verts.join(out_deg, "id", "left").repartition("id").persist()
+    base = _vertex_base(edges.select("src", "dst")).persist()
     n = base.count()
     teleport = (1.0 - damping) / n
     state0 = base.withColumn("value", F.lit(1.0 / n))
