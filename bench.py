@@ -104,13 +104,30 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, busy) jiffies from /proc/stat — the direct host-noise
+    signal (CPU steal is invisible in loadavg; round-2/3 finding)."""
+    try:
+        with open("/proc/stat") as f:
+            p = f.readline().split()
+        return int(p[8]), int(p[1]) + int(p[3])
+    except Exception:
+        return 0, 0
+
+
 def superstep_throughput(spark, n_edges: int, n_vertices: int,
                          iters: int = SCALE_ITERS,
-                         with_convergence: bool = False) -> dict:
+                         with_convergence: bool = False,
+                         warmup_iters: int = 0) -> dict:
     """PageRank supersteps over the synthetic Zipfian web graph →
     edges-processed/sec; optionally iterations-to-1e-6 L1 convergence.
     A checksum of the top-20 ranks certifies determinism across
-    parallelism levels."""
+    parallelism levels. ``warmup_iters`` runs a short untimed PageRank
+    first so the timed loop measures the engine, not first-run JIT
+    compilation (fresh-JVM scaling workers are otherwise dominated by
+    compile-under-load variance). Steal/busy jiffies around the timed
+    section are reported so the pair protocol can discard
+    steal-contaminated legs directly."""
     from pyspark.sql import functions as F
 
     from ugfraud_spark.operators import pagerank
@@ -126,6 +143,10 @@ def superstep_throughput(spark, n_edges: int, n_vertices: int,
     edges = tables.synthetic_web_edges(spark, n_edges, n_vertices)
     m = edges.count()
 
+    if warmup_iters > 0:
+        pagerank.pagerank(edges, max_iter=warmup_iters, checkpoint_every=1)
+
+    s0, b0 = _cpu_jiffies()
     t0 = time.time()
     # checkpoint_every=1: constant-depth plans keep the serial Catalyst
     # analysis per superstep flat (measured faster than every-4 chaining)
@@ -133,6 +154,7 @@ def superstep_throughput(spark, n_edges: int, n_vertices: int,
     top = (res.state.orderBy(F.desc("value"), F.asc("id")).limit(20)
            .select("id", F.round("value", 10).alias("v")).collect())
     dt_total = time.time() - t0
+    s1, b1 = _cpu_jiffies()
 
     # throughput is SUPERSTEP throughput (BASELINE.json metric): the
     # iterate() loop wall time, excluding the one-time graph layout
@@ -146,6 +168,8 @@ def superstep_throughput(spark, n_edges: int, n_vertices: int,
         "build_s": round(dt_total - dt, 3),
         "edges_per_sec": round(m * iters / dt),
         "rank_checksum": hash(tuple((r["id"], r["v"]) for r in top)) & 0xFFFFFFFF,
+        "steal_jiffies": s1 - s0,
+        "busy_jiffies": b1 - b0,
     }
     if with_convergence:
         conv = pagerank.pagerank(edges, max_iter=60, tol=1e-6, checkpoint_every=6)
@@ -202,17 +226,22 @@ def scaling_worker(cpus: int) -> None:
 
     spark = get_spark(f"scaling_probe_{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=SCALE_PARTITIONS)
-    probe = superstep_throughput(spark, SCALE_EDGES, SCALE_VERTICES)
+    probe = superstep_throughput(spark, SCALE_EDGES, SCALE_VERTICES,
+                                 warmup_iters=2)
     probe["cpus"] = cpus
     print("SCALING_RESULT " + json.dumps(probe))
     spark.stop()
 
 
-SCALE_PAIRS = 5
+SCALE_PAIRS = 7
 # a leg whose one-time build ran > this factor over the per-level median
 # build marks the whole pair as steal-contaminated (round-2 finding: host
 # CPU-steal bursts inflate build_s first and are invisible in loadavg)
 BUILD_S_OUTLIER_FACTOR = 1.5
+# direct criterion: a leg that lost > this share of its timed window to
+# hypervisor steal (measured from /proc/stat around the superstep loop)
+# is contaminated regardless of build_s
+STEAL_SHARE_MAX = 0.02
 
 
 def _run_worker(cpus: int) -> dict:
@@ -254,19 +283,30 @@ def run_scaling(levels=SCALE_LEVELS, pairs: int = SCALE_PAIRS) -> dict:
         side: statistics.median(r[side]["build_s"] for r in runs)
         for side in ("lo", "hi")
     }
-    kept = [
-        r for r in runs
-        if r["lo"]["build_s"] <= BUILD_S_OUTLIER_FACTOR * med_build["lo"]
-        and r["hi"]["build_s"] <= BUILD_S_OUTLIER_FACTOR * med_build["hi"]
-    ]
+
+    def _steal_share(leg: dict) -> float:
+        tot = leg.get("steal_jiffies", 0) + leg.get("busy_jiffies", 0)
+        return leg.get("steal_jiffies", 0) / tot if tot else 0.0
+
+    for r in runs:
+        reasons = []
+        for side in ("lo", "hi"):
+            if _steal_share(r[side]) > STEAL_SHARE_MAX:
+                reasons.append(f"{side} steal {_steal_share(r[side]):.1%}")
+            if r[side]["build_s"] > BUILD_S_OUTLIER_FACTOR * med_build[side]:
+                reasons.append(f"{side} build_s outlier")
+        r["kept"] = not reasons
+        r["discard_reason"] = "; ".join(reasons)
+
+    kept = [r for r in runs if r["kept"]]
     effs = sorted(r["eff"] for r in kept)
     n = len(effs)
     report = {
         "pairs": runs,
         "kept": n,
         "discarded_steal_burst": len(runs) - n,
-        "median_efficiency": round(statistics.median(effs), 3),
-        "iqr": [effs[(n - 1) // 4], effs[(3 * (n - 1)) // 4]],
+        "median_efficiency": round(statistics.median(effs), 3) if n else None,
+        "iqr": [effs[(n - 1) // 4], effs[(3 * (n - 1)) // 4]] if n else None,
         "checksums_identical": len(
             {r[s]["rank_checksum"] for r in runs for s in ("lo", "hi")}
         ) == 1,
@@ -280,7 +320,7 @@ def _write_scaling_md(report: dict, lo: int, hi: int) -> None:
     rows = "\n".join(
         f"| {i} | {r['lo']['edges_per_sec']:,} | {r['hi']['edges_per_sec']:,} "
         f"| {r['eff']} | {r['lo']['build_s']} / {r['hi']['build_s']} "
-        f"| {'kept' if r in _kept(report) else 'DISCARDED (steal burst)'} |"
+        f"| {'kept' if r.get('kept', True) else 'DISCARDED: ' + r['discard_reason']} |"
         for i, r in enumerate(report["pairs"])
     )
     n_edges = report["pairs"][0]["lo"]["edges"]
@@ -298,9 +338,13 @@ Protocol (scripted, `python bench.py --scaling`): {len(report['pairs'])}
 TIME-COHERENT pairs — each pair runs local[{lo}] (N) then local[{hi}]
 (4N) back-to-back in fresh JVMs, so both legs see the same ambient host
 load (single legs measured minutes apart move by up to ~40% from host
-CPU-steal alone — the round-2 finding this protocol scripts). Pairs
-whose one-time build ran > {BUILD_S_OUTLIER_FACTOR}x the per-level
-median build_s are discarded as steal-contaminated.
+CPU-steal alone — the round-2 finding this protocol scripts). Each leg
+runs a 2-superstep untimed warmup first (fresh-JVM JIT compilation
+under load otherwise dominates the short 4N leg). A pair is discarded
+when either leg lost > {STEAL_SHARE_MAX:.0%} of its timed window to
+hypervisor steal (measured directly from /proc/stat around the
+superstep loop) or its one-time build ran > {BUILD_S_OUTLIER_FACTOR}x
+the per-level median build_s.
 
 | pair | N edges/s | 4N edges/s | efficiency | build_s N / 4N | status |
 |---|---|---|---|---|---|
@@ -335,19 +379,6 @@ Generated by `python bench.py --scaling` on {time.strftime('%Y-%m-%d')}.
         f.write(md)
 
 
-def _kept(report: dict) -> list:
-    import statistics
-
-    runs = report["pairs"]
-    med_build = {
-        side: statistics.median(r[side]["build_s"] for r in runs)
-        for side in ("lo", "hi")
-    }
-    return [
-        r for r in runs
-        if r["lo"]["build_s"] <= BUILD_S_OUTLIER_FACTOR * med_build["lo"]
-        and r["hi"]["build_s"] <= BUILD_S_OUTLIER_FACTOR * med_build["hi"]
-    ]
 
 
 def main() -> None:

@@ -299,41 +299,45 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1, max_rounds: int = 120) -> Data
     best_avg = -1.0
     prev_n = None
     for _ in range(max_rounds):
-        # rd/cd each feed the stats union, (sometimes) the best-prefix
-        # snapshot, and the keep filters — cache them or the delta agg
-        # over the edge frame runs up to 3x per round
-        rd = e.groupBy("src").agg(F.sum("col_weight").alias("delta")).persist()
-        cd = e.groupBy("dst").agg(F.sum("col_weight").alias("delta")).persist()
+        # BOTH sides' deltas in ONE 2|E|-row shuffle with map-side
+        # combine (round-3: was two separate groupBy shuffles); the
+        # persisted frame feeds the stats agg, (sometimes) the
+        # best-prefix snapshot, and both keep filters
+        deltas = (
+            e.select(F.col("src").alias("id"), F.lit("row").alias("side"),
+                     "col_weight")
+            .unionAll(e.select(F.col("dst").alias("id"),
+                               F.lit("col").alias("side"), "col_weight"))
+            .groupBy("id", "side")
+            .agg(F.sum("col_weight").alias("delta"))
+            .persist()
+        )
         # one combined action per round: Σdelta over the row+col union
         # double-counts the block mass exactly twice, so tot = sum/2
-        u = rd.select("delta").unionAll(cd.select("delta"))
-        row = u.agg(F.count(F.lit(1)).alias("n"),
-                    F.sum("delta").alias("s")).collect()[0]
+        row = deltas.agg(F.count(F.lit(1)).alias("n"),
+                         F.sum("delta").alias("s")).collect()[0]
         n_alive = row["n"]
         if n_alive == 0:
-            rd.unpersist()
-            cd.unpersist()
+            deltas.unpersist()
             break
         avg = (row["s"] or 0.0) / 2.0 / n_alive
         if avg > best_avg:
             best_avg = avg
-            best_df = (
-                rd.select(F.col("src").alias("id"), F.lit("row").alias("side"))
-                .unionAll(cd.select(F.col("dst").alias("id"), F.lit("col").alias("side")))
-                .localCheckpoint(eager=True)
-            )
+            best_df = deltas.select("id", "side").localCheckpoint(eager=True)
         stalled = prev_n == n_alive  # last quality round removed nobody
         prev_n = n_alive
         thr = (2.0 if stalled else 1.0) * (1.0 + eps) * avg
-        keep_r = rd.where(F.col("delta") > thr).select("src")
-        keep_c = cd.where(F.col("delta") > thr).select("dst")
+        keep = deltas.where(F.col("delta") > thr)
+        keep_r = keep.where(F.col("side") == "row").select(
+            F.col("id").alias("src"))
+        keep_c = keep.where(F.col("side") == "col").select(
+            F.col("id").alias("dst"))
         e = (
             e.join(keep_r, "src", "left_semi")
             .join(keep_c, "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
-        rd.unpersist()
-        cd.unpersist()
+        deltas.unpersist()
     if best_df is None:  # empty input edge frame
         return spark.createDataFrame([], "id long, side string")
     return best_df
