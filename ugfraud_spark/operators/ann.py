@@ -153,6 +153,9 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
             F.first("embedding").alias("embedding"),
             F.min("dl")["list_id"].alias("list_id"),
         )
+        # three consumers (query-side collect, probe join, broadcast) —
+        # materialize once or the fan-out + shuffle reruns per consumer
+        .localCheckpoint(eager=True)
     )
 
     q = assigned.where(F.col("vec_id").isin(query_ids)).select(

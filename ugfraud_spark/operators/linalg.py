@@ -293,8 +293,11 @@ def randomized_right_factors(
         cur, _r = np.linalg.qr(z)  # (n_cols × l) driver QR — stability
 
     g, yta = _pass_final(cur)
-    # ridge for rank-deficient sketches (all-zero rows etc.)
-    r = np.linalg.cholesky(g + 1e-12 * np.eye(l) * max(g.max(), 1.0))
+    # ridge for rank-deficient sketches (all-zero rows etc.) — sized to
+    # the FLOAT32 partial-summation noise floor (~1e-7·g.max per entry;
+    # a 1e-12 ridge would sit below the noise and cholesky could still
+    # see a negative eigenvalue)
+    r = np.linalg.cholesky(g + 1e-6 * np.eye(l) * max(g.max(), 1.0))
     b = np.linalg.solve(r, yta.T)  # R⁻ᵀ·(YᵀA) = B (l × n_cols)
     _ub, s, vt = np.linalg.svd(b, full_matrices=False)
     kk = min(k, vt.shape[0])

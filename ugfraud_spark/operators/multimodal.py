@@ -89,7 +89,7 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("decode_wav: not a RIFF/WAVE container")
-    pos, channels, bits, block_align, n_frames, feat = 12, 0, 0, 0, 0, []
+    pos, channels, bits, block_align, data_len, feat = 12, 0, 0, 0, None, []
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         csz = struct.unpack_from("<I", payload, pos + 4)[0]
@@ -99,11 +99,16 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, list[float]]:
             block_align = struct.unpack_from("<H", body, 12)[0]
             bits = struct.unpack_from("<H", body, 14)[0]
         elif cid == b"data":
-            n_frames = len(body) // block_align if block_align else 0
+            data_len = len(body)
             feat = [float(b) / 255.0 for b in body[:8]]
         pos += 8 + csz + (csz % 2)  # RIFF chunks are word-aligned
     if not channels:
         raise ValueError("decode_wav: missing fmt chunk")
+    if data_len is None:
+        raise ValueError("decode_wav: missing data chunk")
+    # frame count computed AFTER the scan: RIFF does not mandate
+    # fmt-before-data chunk order
+    n_frames = data_len // block_align if block_align else 0
     return channels, bits, n_frames, feat + [0.0] * (8 - len(feat))
 
 
