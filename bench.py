@@ -152,24 +152,27 @@ def superstep_throughput(spark, n_edges: int, n_vertices: int,
     # way; the query suite keeps AQE (it benefits scans/joins there).
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        if warmup_iters > 0:
+            pagerank.pagerank(edges, max_iter=warmup_iters, checkpoint_every=1)
+            # drop the warmup's persisted frames (colocated edges + vertex
+            # base) so the timed leg doesn't run with a doubled storage
+            # footprint — the N and 4N legs must see the same memory headroom
+            spark.catalog.clearCache()
 
-    if warmup_iters > 0:
-        pagerank.pagerank(edges, max_iter=warmup_iters, checkpoint_every=1)
-        # drop the warmup's persisted frames (colocated edges + vertex
-        # base) so the timed leg doesn't run with a doubled storage
-        # footprint — the N and 4N legs must see the same memory headroom
-        spark.catalog.clearCache()
-
-    s0, b0 = _cpu_jiffies()
-    t0 = time.time()
-    # checkpoint_every=1: constant-depth plans keep the serial Catalyst
-    # analysis per superstep flat (measured faster than every-4 chaining)
-    res = pagerank.pagerank(edges, max_iter=iters, checkpoint_every=1)
-    top = (res.state.orderBy(F.desc("value"), F.asc("id")).limit(20)
-           .select("id", F.round("value", 10).alias("v")).collect())
-    dt_total = time.time() - t0
-    s1, b1 = _cpu_jiffies()
-    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        s0, b0 = _cpu_jiffies()
+        t0 = time.time()
+        # checkpoint_every=1: constant-depth plans keep the serial Catalyst
+        # analysis per superstep flat (measured faster than every-4 chaining)
+        res = pagerank.pagerank(edges, max_iter=iters, checkpoint_every=1)
+        top = (res.state.orderBy(F.desc("value"), F.asc("id")).limit(20)
+               .select("id", F.round("value", 10).alias("v")).collect())
+        dt_total = time.time() - t0
+        s1, b1 = _cpu_jiffies()
+    finally:
+        # restore even when the probe raises (ADVICE r3: a raise left
+        # AQE off for everything else on the session)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     # throughput is SUPERSTEP throughput (BASELINE.json metric): the
     # iterate() loop wall time, excluding the one-time graph layout
@@ -200,12 +203,29 @@ def run_suite(sf_dir: str) -> dict:
 
     spark = get_spark("ugfraud_spark_bench")
     qmap = entrymod.queries()
+    # min-of-2 per query, with per-attempt steal/busy jiffies recorded:
+    # this host shows hypervisor-steal bursts that inflate single runs up
+    # to ~3x (BENCH_r03's 60% "regression" reproduced as pure host noise
+    # — see PLANS.md §6), so the reported number is the best attempt and
+    # the steal shares make any residual contamination visible in the
+    # artifact itself instead of needing a post-hoc bisect.
     times: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    steal: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qmap[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
+        runs[name] = []
+        steal[name] = []
+        for _ in range(2):
+            s0, b0 = _cpu_jiffies()
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            s1, b1 = _cpu_jiffies()
+            tot = (s1 - s0) + (b1 - b0)
+            runs[name].append(dt)
+            steal[name].append(round((s1 - s0) / tot, 4) if tot else 0.0)
+        times[name] = min(runs[name])
 
     # headline throughput on the SAME graph the scaling report uses
     # (32M edges; the small probe under-reports, being overhead-bound);
@@ -223,10 +243,12 @@ def run_suite(sf_dir: str) -> dict:
     probe["converged"] = conv["converged"]
     total = round(sum(times.values()), 3)
     out = {
-        "metric": "headline-suite wall time (sum of per-query sec)",
+        "metric": "headline-suite wall time (sum of per-query min-of-2 sec)",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "query_runs": runs,
+        "query_steal_share": steal,
         "sf": _sf_of(sf_dir),
         "superstep_edges_per_sec": probe["edges_per_sec"],
         "superstep_probe": probe,

@@ -170,9 +170,26 @@ def svd_classify(edges) -> pd.DataFrame:
         w = w - lr * (lam * w - xtr[active].T @ ytr[active] / n)
         b = b + lr * (ytr[active].sum() / n)
     out = []
+    decisions = []
     for i in np.where(~is_train)[0]:
         dec = float(comps[i] @ w + b)
+        decisions.append(abs(dec))
         out.append((users[i], 1 if dec > 0 else 0))
+    # hash-exact gate safety (ADVICE r3): the driver compares INTEGER
+    # predictions from three independently-coded optimizers (JVM fold
+    # scoring, this numpy mirror, the sklearn-shim reference), safe only
+    # while the minimum |decision| margin dwarfs cross-implementation
+    # float drift (~1e-12). Assert it at generation time, at the gate's
+    # own scale, so a margin collapse fails HERE and not as an opaque
+    # driver hash mismatch. Measured min margin ≈ 0.95 at sf0.01.
+    min_margin = min(decisions) if decisions else 1.0
+    if min_margin < 1e-3:
+        raise AssertionError(
+            f"svd_classify margin collapsed: min |decision| = "
+            f"{min_margin:.2e} < 1e-3 — integer-prediction hash parity "
+            "across independent SVM implementations is no longer safe; "
+            "revisit the fixture/gate design before shipping this fixture"
+        )
     return pd.DataFrame(out, columns=["id", "pred_label"]).astype(
         {"id": "int64", "pred_label": "int32"}
     )

@@ -184,3 +184,38 @@ def test_randomized_sketch_matches_exact_norms(spark):
     # projection norms (what fBox thresholds consume): close in aggregate
     assert np.corrcoef(a, b)[0, 1] > 0.98
     assert abs(a.mean() - b.mean()) / a.mean() < 0.05
+
+
+def test_svm_classify_scale_fallback(spark):
+    """VERDICT r3 #5: past SVM_FIT_MAX_CELLS the driver fit collects a
+    deterministic hash sample instead of the full train embedding. On a
+    cleanly separable embedding the sampled fit must produce IDENTICAL
+    predictions; below the cap the path is byte-identical (same code)."""
+    n, k = 3000, 4
+    rows = []
+    for i in range(1, n + 1):
+        lab = i % 2
+        base = 1.0 if lab else -1.0
+        jit = ((i * 2654435761) % 1000) / 10000.0  # deterministic jitter
+        rows.append((i, [base + jit, base - jit, base, base + 2 * jit], lab))
+    train = spark.createDataFrame(
+        rows, "id long, comps array<double>, label int")
+    test = spark.createDataFrame(
+        [(10_000 + i, [s, s, s, s], i % 2) for i, s in
+         ((j, 1.0 if j % 2 else -1.0) for j in range(60))],
+        "id long, comps array<double>, label int")
+
+    full = {r["id"]: r["pred_label"]
+            for r in svd.svm_classify(train, test).collect()}
+    # cap at half the training cells -> cutoff keeps ~n/2 rows
+    capped = {r["id"]: r["pred_label"]
+              for r in svd.svm_classify(
+                  train, test, max_fit_cells=(n // 2) * k).collect()}
+    assert full == capped
+    # sanity: the fallback really fit on fewer rows (not a no-op cap)
+    from ugfraud_spark.sources.tables import PRIOR_MOD, PRIOR_MULT
+    cap_rows = max(((n // 2) * k) // k, 1000)
+    cutoff = max(int(PRIOR_MOD * cap_rows / n), 1)
+    kept = sum(1 for i in range(1, n + 1)
+               if (i * PRIOR_MULT) % PRIOR_MOD < cutoff)
+    assert kept < n and kept > 0

@@ -74,13 +74,33 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 3) -> DataFrame:
     )
 
 
+def _plane_sign_col(p: int, i: Column) -> Column:
+    """Column mirror of ``plane_sign`` for dim-index column ``i``."""
+    v = (F.lit(p * 131).cast("long") + i.cast("long") * 31) * F.lit(_G_MULT)
+    return F.when(
+        F.pmod(F.pmod(v, F.lit(_G_MOD)), F.lit(2)) == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+
+
 def lsh_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """(vec_id, bucket): sign-LSH bucket string."""
-    dim = len(emb.select("embedding").first()["embedding"])
+    """(vec_id, bucket): sign-LSH bucket string.
+
+    The plane sign is computed inline from (plane, dim-index) with the
+    same multiplicative hash as ``plane_sign`` — the plan is O(n_planes)
+    regardless of embedding dim (no per-plane literal arrays) and there
+    is no driver ``.first()`` dim probe (VERDICT r3 #8). The fold keeps
+    the same sequential summation order as the old zip_with+aggregate,
+    so buckets are bit-identical."""
+    def _signed(p: int):
+        return lambda x, i: x.cast("double") * _plane_sign_col(p, i)
+
     bits = []
     for p in range(n_planes):
-        g = F.array(*[F.lit(float(plane_sign(p, d))) for d in range(dim)])
-        s = _dot(F.col("embedding"), g)
+        s = F.aggregate(
+            F.transform(F.col("embedding"), _signed(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
     return emb.select("vec_id", F.concat(*bits).alias("bucket"))
 

@@ -4,7 +4,8 @@ Four operators over ``documents(doc_id, text, ...)``, all pure
 DataFrame compositions (JVM-side, codegen) with exact DuckDB mirrors:
 
 - **exact**: md5(text) hash-groupBy, keep the min doc_id per group.
-- **MinHash + LSH**: word-3-gram shingles (lead window) → H salted-md5
+- **MinHash + LSH**: word-3-gram shingles (narrow array exprs, zero
+  shuffle) → H salted-md5
   min-hashes (min over *hex strings* — a valid uniform min-hash that is
   bit-identical across engines, avoiding engine-specific int hashing) →
   B bands of R rows → band-key self-join → candidate pairs.
@@ -30,7 +31,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 log = logging.getLogger("ugfraud_spark.dedup")
@@ -57,27 +58,32 @@ def exact_dups(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh): word 3-gram shingles via posexplode + lead window."""
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        tok.select(
-            "doc_id",
-            F.concat_ws(
-                " ", "w", F.lead("w", 1).over(w), F.lead("w", 2).over(w)
-            ).alias("sh"),
-            F.lead("w", 2).over(w).alias("_ok"),
-        )
-        .where(F.col("_ok").isNotNull())
-        .select("doc_id", "sh")
-    )
+    """(doc_id, sh): word 3-gram shingles as a pure narrow map.
+
+    ``split`` once, then build every consecutive n-gram with
+    ``transform`` over an index ``sequence`` + ``slice`` — zero shuffle
+    (the old plan posexploded tokens and ran a per-doc ``lead`` window,
+    i.e. a full shuffle+sort of the tokenized corpus just to form
+    3-grams; VERDICT r3 #3)."""
+    toks = F.split("text", " ")
+    sh_arr = F.when(
+        F.size(toks) >= SHINGLE_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (SHINGLE_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(sh_arr).alias("sh"))
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, mh0..mh{H-1}): min over salted md5 hex strings."""
-    sh = shingles(docs)
+def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
+    """(doc_id, mh0..mh{H-1}): min over salted md5 hex strings.
+
+    ``sh`` lets a caller reuse an already-materialized shingle frame
+    (min over a multiset equals min over its distinct set, so a distinct
+    or non-distinct frame both give identical signatures)."""
+    if sh is None:
+        sh = shingles(docs)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"mh{j}")
         for j in range(MINHASH_H)
@@ -86,13 +92,14 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def lsh_candidate_pairs(docs: DataFrame,
-                        max_bucket: int = MAX_BUCKET) -> DataFrame:
+                        max_bucket: int = MAX_BUCKET,
+                        sh: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b): distinct candidate near-dup pairs from banded LSH.
 
     Buckets larger than ``max_bucket`` are dropped (and logged) before
     the self-join — the skew cap that keeps one degenerate band key from
     going quadratic at corpus scale."""
-    sig = minhash_signatures(docs)
+    sig = minhash_signatures(docs, sh=sh)
     bands = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
@@ -156,9 +163,14 @@ def simhash(docs: DataFrame) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.0,
                         max_bucket: int = MAX_BUCKET) -> DataFrame:
     """(doc_a, doc_b, jaccard): exact shingle-set Jaccard for the LSH
-    candidate pairs (round 6)."""
-    pairs = lsh_candidate_pairs(docs, max_bucket=max_bucket)
-    sh = shingles(docs).distinct()
+    candidate pairs (round 6).
+
+    The shingle frame is computed ONCE and materialized
+    (``localCheckpoint``) so the LSH stage and the Jaccard verify stage
+    share it instead of re-tokenizing the corpus (VERDICT r3 #3)."""
+    sh_raw = shingles(docs).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(docs, max_bucket=max_bucket, sh=sh_raw)
+    sh = sh_raw.distinct()
     a = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha")
     b = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb")
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

@@ -26,12 +26,15 @@ Two modes (SURVEY §7/M5):
 
 from __future__ import annotations
 
+import logging
 import math
 from dataclasses import dataclass
 
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger("ugfraud_spark.fraudar")
 
 
 # ------------------------------------------------------------ min structure
@@ -270,7 +273,8 @@ def fraudar_col_weights(edges: DataFrame) -> DataFrame:
     )
 
 
-def bulk_peel(edges: DataFrame, eps: float = 0.1, max_rounds: int = 120) -> DataFrame:
+def bulk_peel(edges: DataFrame, eps: float = 0.1,
+              max_rounds: int | None = None) -> DataFrame:
     """Scale-mode ε-peel: per round, drop every vertex (either side) with
     weighted delta ≤ (1+ε)·g, g = total/|alive| the current average
     density. Returns the densest prefix's (id, side) vertex set.
@@ -287,7 +291,12 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1, max_rounds: int = 120) -> Data
       (1+ε)·g (mean delta is 2g) and a quality round removes nobody;
       when that happens the NEXT round escalates to 2(1+ε)·g, which by
       Markov removes ≥ ε/(1+ε) of the survivors. Alternating worst-case
-      gives ≤ 2·log_{1+ε} V rounds."""
+      gives ≤ 2·log_{1+ε} V rounds.
+
+    ``max_rounds`` defaults to that bound, sized from the FIRST round's
+    alive count (2·⌈log_{1+ε} V⌉ + 2) — so no graph size is silently
+    truncated (VERDICT r3 #5-minor); hitting the cap logs a warning (the
+    best-prefix result stays valid, the peel just stops early)."""
     cw = fraudar_col_weights(edges)
     e = (
         edges.select("src", "dst").distinct()
@@ -298,7 +307,9 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1, max_rounds: int = 120) -> Data
     best_df = None
     best_avg = -1.0
     prev_n = None
-    for _ in range(max_rounds):
+    rounds = 0
+    cap = max_rounds  # sized from the first round's alive count if None
+    while True:
         # BOTH sides' deltas in ONE 2|E|-row shuffle with map-side
         # combine (round-3: was two separate groupBy shuffles); the
         # persisted frame feeds the stats agg, (sometimes) the
@@ -320,6 +331,9 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1, max_rounds: int = 120) -> Data
         if n_alive == 0:
             deltas.unpersist()
             break
+        if cap is None:
+            cap = 2 * math.ceil(math.log(max(n_alive, 2))
+                                / math.log(1.0 + eps)) + 2
         avg = (row["s"] or 0.0) / 2.0 / n_alive
         if avg > best_avg:
             best_avg = avg
@@ -338,6 +352,15 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1, max_rounds: int = 120) -> Data
             .localCheckpoint(eager=True)
         )
         deltas.unpersist()
+        rounds += 1
+        if rounds >= cap:
+            log.warning(
+                "bulk_peel: round cap %d (2*log_{1+eps} V bound) reached "
+                "with %d vertices alive — best-prefix result is still "
+                "valid, the peel was truncated", cap, n_alive,
+            )
+            break
+    log.info("bulk_peel: finished after %d rounds (cap %s)", rounds, cap)
     if best_df is None:  # empty input edge frame
         return spark.createDataFrame([], "id long, side string")
     return best_df

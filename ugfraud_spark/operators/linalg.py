@@ -337,7 +337,8 @@ def row_projection_norms_grouped(edges_idx: DataFrame, v: np.ndarray,
 
 
 def row_projection_norms_vvt(edges_idx: DataFrame, v: np.ndarray,
-                             weight_col: str | None = None) -> DataFrame:
+                             weight_col: str | None = None,
+                             pre_partitioned: bool = False) -> DataFrame:
     """(src, rec = ||A_i·V||₂) via the PROJECTOR Gram G = V·Vᵀ:
     ||A_i·V||² = w_iᵀ · G[idx_i, idx_i] · w_i — O(Σ deg_i²) flops instead
     of ``row_projection_norms_grouped``'s O(E·k). The win when k ≫ avg
@@ -367,9 +368,8 @@ def row_projection_norms_vvt(edges_idx: DataFrame, v: np.ndarray,
         yield pd.DataFrame({"src": srcs[bounds],
                             "rec": np.sqrt(np.maximum(out, 0.0))})
 
-    return edges_idx.repartition("src").mapInPandas(
-        fn, schema="src long, rec double"
-    )
+    e = edges_idx if pre_partitioned else edges_idx.repartition("src")
+    return e.mapInPandas(fn, schema="src long, rec double")
 
 
 def row_projection_components(edges_idx: DataFrame, v: np.ndarray,

@@ -71,11 +71,15 @@ class SuperstepResult:
 
 def _write_checkpoint(state: DataFrame, checkpoint_dir: str, step: int,
                       residual: float, t0: float) -> dict:
-    path = os.path.join(checkpoint_dir, f"step={step:06d}")
-    state.write.mode("overwrite").parquet(path)
+    # substrate swap point (north_star: Iceberg) lives in
+    # sources/catalog.py — parquet here, Iceberg overwritePartitions
+    # when UGFRAUD_SPARK_ICEBERG=1 and the runtime carries the jars
+    from ..sources import catalog
+
+    path = catalog.write_state(state, checkpoint_dir, step)
     # per-partition lineage: rows per output file (partition) of the state
     part_counts = (
-        state.sparkSession.read.parquet(path)
+        catalog.read_state(state.sparkSession, path)
         .groupBy(F.spark_partition_id().alias("pid"))
         .count()
         .collect()
@@ -106,7 +110,9 @@ def latest_checkpoint(spark: SparkSession, checkpoint_dir: str):
                 last = json.loads(line)
     if last is None:
         return None, 0
-    return spark.read.parquet(last["path"]), last["superstep"]
+    from ..sources import catalog
+
+    return catalog.read_state(spark, last["path"]), last["superstep"]
 
 
 def iterate(

@@ -655,24 +655,34 @@ def _mod_guard(fn: SparkQuery, rendered_mod: int) -> SparkQuery:
     return wrapped
 
 
+class _UniEntry(tuple):
+    """Definition-site tag for unipartite-graph queries: build_registry
+    wraps tagged entries in ``_mod_guard`` (ADVICE r3: a hand-maintained
+    name set silently skipped the guard for new entries)."""
+
+
+def _uni(fn: SparkQuery, sql: str | None) -> "_UniEntry":
+    return _UniEntry((fn, sql))
+
+
 def build_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         str, tuple[SparkQuery, str | None]]:
     m = uni_mod
     reg = {
         "bip_edges": (q_bip_edges, oracle.sql_bip_edges()),
-        "out_degree_top": (q_out_degree_top, oracle.sql_out_degree_top(20, mod=m)),
-        "degree_histogram": (q_degree_histogram, oracle.sql_degree_histogram(5, mod=m)),
-        "pagerank": (q_pagerank, oracle.sql_pagerank(PR_ITERS, mod=m)),
-        "pagerank_blocks": (q_pagerank_blocks, oracle.sql_pagerank(PR_ITERS, mod=m)),
-        "personalized_pagerank": (q_ppr, oracle.sql_ppr(PR_ITERS,
-                                                        seed_mod=PPR_SEED_MOD,
-                                                        mod=m)),
-        "connected_components": (q_cc, oracle.sql_cc_minprop(CC_ITERS, mod=m)),
-        "label_propagation": (q_lpa, oracle.sql_lpa(LPA_ITERS, mod=m)),
-        "hits": (q_hits, oracle.sql_hits(HITS_ITERS, mod=m)),
-        "kcore": (q_kcore, oracle.sql_kcore(KCORE_K, KCORE_ITERS, mod=m)),
-        "triangles_per_vertex": (q_triangles, oracle.sql_triangles(mod=m)),
-        "bfs_hops": (q_bfs_hops, oracle.sql_bfs_hops(6, mod=m)),
+        "out_degree_top": _uni(q_out_degree_top, oracle.sql_out_degree_top(20, mod=m)),
+        "degree_histogram": _uni(q_degree_histogram, oracle.sql_degree_histogram(5, mod=m)),
+        "pagerank": _uni(q_pagerank, oracle.sql_pagerank(PR_ITERS, mod=m)),
+        "pagerank_blocks": _uni(q_pagerank_blocks, oracle.sql_pagerank(PR_ITERS, mod=m)),
+        "personalized_pagerank": _uni(q_ppr, oracle.sql_ppr(PR_ITERS,
+                                                            seed_mod=PPR_SEED_MOD,
+                                                            mod=m)),
+        "connected_components": _uni(q_cc, oracle.sql_cc_minprop(CC_ITERS, mod=m)),
+        "label_propagation": _uni(q_lpa, oracle.sql_lpa(LPA_ITERS, mod=m)),
+        "hits": _uni(q_hits, oracle.sql_hits(HITS_ITERS, mod=m)),
+        "kcore": _uni(q_kcore, oracle.sql_kcore(KCORE_K, KCORE_ITERS, mod=m)),
+        "triangles_per_vertex": _uni(q_triangles, oracle.sql_triangles(mod=m)),
+        "bfs_hops": _uni(q_bfs_hops, oracle.sql_bfs_hops(6, mod=m)),
         "gang_lbp": (q_gang, oracle.sql_gang(GANG_ITERS)),
         # gang_semi runs on the YelpChi-shaped graph (201-product tiny side)
         "gang_semi": (q_gang_semi, oracle.sql_gang_semi(GANG_ITERS,
@@ -722,7 +732,7 @@ def build_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "attr_index": (q_attr_index, oracle.sql_attr_index()),
         "subset_above_degree": (q_subset_above_degree,
                                 oracle.sql_subset_above_degree()),
-        "rank_stats": (q_rank_stats, oracle.sql_rank_stats(mod=m)),
+        "rank_stats": _uni(q_rank_stats, oracle.sql_rank_stats(mod=m)),
         "sampling_splits": (q_sampling_splits, oracle.sql_sampling_splits(0.25)),
         "events_windowed_stats": (q_events_windowed,
                                   oracle.sql_windowed_event_stats(60)),
@@ -746,19 +756,16 @@ def build_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "ann_cosine_topk": (q_cosine_topk, oracle.sql_cosine_topk(ANN_QUERY_IDS, ANN_K)),
         "ann_lsh_neardup": (q_lsh_neardup, oracle.sql_ann_lsh_neardup(0.35)),
     }
-    assert len(reg) <= DRIVER_BUDGET, (
-        f"registry has {len(reg)} entries > driver budget {DRIVER_BUDGET}: "
-        "entries past #50 are silently never correctness-checked — merge "
-        "same-table queries before adding (see comment above)"
-    )
-    uni_queries = {
-        "out_degree_top", "degree_histogram", "pagerank", "pagerank_blocks",
-        "personalized_pagerank", "connected_components", "label_propagation",
-        "hits", "kcore", "triangles_per_vertex", "bfs_hops", "rank_stats",
-    }
+    if len(reg) > DRIVER_BUDGET:  # not assert: must survive python -O
+        raise RuntimeError(
+            f"registry has {len(reg)} entries > driver budget {DRIVER_BUDGET}: "
+            "entries past #50 are silently never correctness-checked — merge "
+            "same-table queries before adding (see comment above)"
+        )
     return {
-        name: ((_mod_guard(fn, m), sql) if name in uni_queries else (fn, sql))
-        for name, (fn, sql) in reg.items()
+        name: ((_mod_guard(entry[0], m), entry[1])
+               if isinstance(entry, _UniEntry) else tuple(entry))
+        for name, entry in reg.items()
     }
 
 
