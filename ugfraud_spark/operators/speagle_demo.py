@@ -52,6 +52,22 @@ def _lse(a: np.ndarray) -> float:
     return m + math.log(np.exp(a - m).sum())
 
 
+class _Cost:
+    """Heap entry comparing on cost only — mirrors ``myTuple``
+    (``SpEagle.py:15-21``) so heap tie order matches the reference's
+    bit-for-bit (equal costs are incomparable both ways, leaving heapq's
+    internal sift order, which is deterministic given push sequence)."""
+
+    __slots__ = ("cost", "node")
+
+    def __init__(self, cost: int, node: int):
+        self.cost = cost
+        self.node = node
+
+    def __lt__(self, other: "_Cost") -> bool:
+        return self.cost < other.cost
+
+
 def speagle_demo(
     edge_list: list[tuple],
     user_priors: dict,
@@ -63,6 +79,8 @@ def speagle_demo(
     max_iters: int = 2,
     tol: float = 1e-3,
     early_stop_at: float = 1.0,
+    starting_nodes: list | None = None,
+    num_hops: int = 2,
     max_edges: int = DEMO_MAX_EDGES,
 ) -> tuple[dict, dict, dict]:
     """Run the reference demo's exact BP schedule on an ORDERED edge
@@ -73,6 +91,15 @@ def speagle_demo(
     reference's node insertion order comes from its graph's adjacency
     order): users enter at first appearance, products/reviews in
     per-user appearance order (``SpEagle.py:249-281``).
+
+    ``starting_nodes`` switches to the reference's LOCAL schedule
+    (``SpEagle.py:381-421`` — Dijkstra over uniform hop costs from the
+    given seeds, nodes within ``num_hops`` in heap-pop order; the
+    reference's incremental-update path). Keys are the same shape the
+    outputs use: ``("u", user)``, ``("p", prod)`` or ``("r", user,
+    prod)``; nodes outside the schedule keep their zero messages, so
+    their beliefs read as normalized priors, exactly like the
+    reference.
     """
     if len(edge_list) > max_edges:
         raise ValueError(
@@ -162,22 +189,49 @@ def speagle_demo(
             oi[t, 1] = n1
         return diff
 
-    # ---- BFS-from-degree-desc schedule (SpEagle.py:339-378): stable
-    # degree-desc over insertion order seeds BFS; components drain fully
-    order = sorted(range(n), key=lambda i: -len(nbrs[i]))
-    mark = [True] * n
-    sched: list[int] = []
-    for i in order:
-        if mark[i]:
-            mark[i] = False
-            sched.append(i)
-            head = len(sched) - 1
-            while head < len(sched):
-                for j in nbrs[sched[head]]:
-                    if mark[j]:
-                        mark[j] = False
-                        sched.append(j)
-                head += 1
+    if starting_nodes is not None:
+        # ---- local (Dijkstra, uniform hop cost) schedule
+        # (SpEagle.py:381-421): seeds at cost 0, heap-pop order, keep
+        # nodes with cost <= num_hops; stdlib heapq + cost-only
+        # comparison reproduce the reference's tie order exactly
+        import heapq
+
+        q = [_Cost(0, index[k]) for k in starting_nodes]
+        min_costs = {t.node: 0 for t in q}
+        heapq.heapify(q)
+        seen: set[int] = set()
+        sched = []
+        while q:
+            t = heapq.heappop(q)
+            v, cost = t.node, t.cost
+            if cost <= num_hops:
+                sched.append(v)
+            if v not in seen:
+                seen.add(v)
+                for j in nbrs[v]:
+                    if j not in seen:
+                        nxt = cost + 1
+                        if min_costs.get(j) is None or nxt < min_costs[j]:
+                            min_costs[j] = nxt
+                            heapq.heappush(q, _Cost(nxt, j))
+    else:
+        # ---- BFS-from-degree-desc schedule (SpEagle.py:339-378): stable
+        # degree-desc over insertion order seeds BFS; components drain
+        # fully
+        order = sorted(range(n), key=lambda i: -len(nbrs[i]))
+        mark = [True] * n
+        sched = []
+        for i in order:
+            if mark[i]:
+                mark[i] = False
+                sched.append(i)
+                head = len(sched) - 1
+                while head < len(sched):
+                    for j in nbrs[sched[head]]:
+                        if mark[j]:
+                            mark[j] = False
+                            sched.append(j)
+                    head += 1
 
     # ---- run_bp (SpEagle.py:424-463): even iters sweep the schedule in
     # REVERSE, odd iters forward; mean |Δmessage| < tol breaks
