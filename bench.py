@@ -449,13 +449,16 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-worker", action="store_true")
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--pairs", type=int, default=SCALE_PAIRS,
+                    help="coherent N/4N pairs for --scaling (more pairs "
+                         "buys robustness against steal-burst discards)")
     args = ap.parse_args()
 
     if args.scaling_worker:
         scaling_worker(args.cpus)
         return
     if args.scaling:
-        print(json.dumps(run_scaling()))
+        print(json.dumps(run_scaling(pairs=args.pairs)))
         return
     print(json.dumps(run_suite(args.sf_dir)))
 
