@@ -119,3 +119,12 @@ def test_bulk_peel_finds_planted(spark):
     planted_r = {1000 + i for i in range(25)}
     # the dense prefix found by bulk peel should be dominated by the block
     assert len(got_rows & planted_r) / max(len(got_rows), 1) > 0.5
+
+
+def test_bulk_peel_zero_rounds_is_noop(spark):
+    """max_rounds=0 must run zero peel rounds (the dry-run contract) and
+    return the empty sentinel, not execute a full round first."""
+    edges = spark.createDataFrame([(1, 10), (2, 10)], "src long, dst long")
+    out = fraudar.bulk_peel(edges, max_rounds=0)
+    assert out.count() == 0
+    assert out.columns == ["id", "side"]

@@ -182,3 +182,16 @@ def test_iceberg_substrate_real():
     ref = catalog.write_state(df, "/tmp/unused", 1)
     assert ref.startswith("iceberg:")
     assert catalog.read_state(spark, ref).count() == 5
+
+
+def test_iceberg_state_table_isolation():
+    """Two jobs with different checkpoint_dirs must map to DIFFERENT
+    Iceberg state tables (the parquet layout's per-directory isolation,
+    preserved on the Iceberg substrate); the same dir must be stable."""
+    from ugfraud_spark.sources import catalog
+
+    a = catalog.state_table_for("/jobs/a/ck")
+    b = catalog.state_table_for("/jobs/b/ck")
+    assert a != b
+    assert a == catalog.state_table_for("/jobs/a/ck")
+    assert a.startswith(catalog.STATE_NAMESPACE + ".superstep_state_")

@@ -532,3 +532,24 @@ def test_svd_classify_svc_parity(ref, spark):
         f"svd_classify margin {min_margin} too thin for an exact-match "
         "oracle — revisit the gate before it flakes"
     )
+
+
+def test_speagle_demo_hub_readout_finite():
+    """Hub nodes whose log-belief magnitude exceeds the float64 exp
+    range (~|total| > 745, i.e. degree ≳ 1075 at near-uniform messages)
+    must still read out a finite posterior: the classify stage uses the
+    max-stabilized softmax, equal in real arithmetic to the reference's
+    unstabilized exp readout (SpEagle.py:466-510) but immune to its
+    0/0 = NaN underflow."""
+    from ugfraud_spark.operators.speagle_demo import speagle_demo
+
+    n_prods = 1500  # hub degree far past the exp underflow threshold
+    edges = [("hub", f"p{i}") for i in range(n_prods)]
+    u_pri = {"hub": 0.5}
+    p_pri = {f"p{i}": 0.5 for i in range(n_prods)}
+    r_pri = {("hub", f"p{i}"): 0.5 for i in range(n_prods)}
+    u_out, p_out, r_out = speagle_demo(edges, u_pri, p_pri, r_pri)
+    assert np.isfinite(u_out["hub"])
+    assert 0.0 <= u_out["hub"] <= 1.0
+    assert all(np.isfinite(v) for v in p_out.values())
+    assert all(np.isfinite(v) for v in r_out.values())

@@ -219,3 +219,34 @@ def test_svm_classify_scale_fallback(spark):
     kept = sum(1 for i in range(1, n + 1)
                if (i * PRIOR_MULT) % PRIOR_MOD < cutoff)
     assert kept < n and kept > 0
+
+
+def test_svm_classify_capped_fit_keeps_minority_label(spark):
+    """The capped fit stratifies the hash sample PER LABEL: a rare
+    positive class whose id-hashes happen to land in the upper hash
+    range (which a label-blind cutoff would drop wholesale) must still
+    reach the fit, so the capped model cannot degenerate to a constant
+    classifier."""
+    from ugfraud_spark.sources.tables import PRIOR_MOD, PRIOR_MULT
+
+    # negatives: any ids; positives: 20 ids whose hash sits in the TOP
+    # 10% of the hash range -> a uniform keep-lowest-hash cutoff at
+    # cap_rows/n would drop every one of them
+    pos_ids = [i for i in range(1, 200_000)
+               if (i * PRIOR_MULT) % PRIOR_MOD > 0.9 * PRIOR_MOD][:20]
+    neg_ids = [i for i in range(200_000, 203_000)]
+    k = 4
+    rows = [(i, [1.0, 1.0, 1.0, 1.0], 1) for i in pos_ids]
+    rows += [(i, [-1.0, -1.0, -1.0, -1.0], 0) for i in neg_ids]
+    train = spark.createDataFrame(
+        rows, "id long, comps array<double>, label int")
+    test = spark.createDataFrame(
+        [(500_000, [1.0, 1.0, 1.0, 1.0], 1),
+         (500_001, [-1.0, -1.0, -1.0, -1.0], 0)],
+        "id long, comps array<double>, label int")
+    # cap_rows = max(cells//k, 1000) -> force sampling with cap_rows
+    # well below n_train
+    capped = {r["id"]: r["pred_label"]
+              for r in svd.svm_classify(
+                  train, test, max_fit_cells=1500 * k).collect()}
+    assert capped == {500_000: 1, 500_001: 0}

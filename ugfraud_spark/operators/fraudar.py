@@ -309,7 +309,7 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1,
     prev_n = None
     rounds = 0
     cap = max_rounds  # sized from the first round's alive count if None
-    while True:
+    while cap is None or rounds < cap:  # honors max_rounds<=0 = no rounds
         # BOTH sides' deltas in ONE 2|E|-row shuffle with map-side
         # combine (round-3: was two separate groupBy shuffles); the
         # persisted frame feeds the stats agg, (sometimes) the

@@ -257,7 +257,13 @@ def speagle_demo(
     r_out: dict = {}
     for i in range(n):
         total = lp[i] + _incoming(i).sum(axis=0)
-        e = np.exp(total)
+        # max-stabilized softmax: equal to exp(total)[1]/sum(exp(total))
+        # in real arithmetic, but stays finite for hub nodes whose
+        # log-belief magnitude exceeds ~709 (np.exp underflows both
+        # entries to 0.0 and the reference's unstabilized readout
+        # returns 0/0 = NaN there — SpEagle.py:466-510; parity on the
+        # non-underflowing range is unchanged)
+        e = np.exp(total - total.max())
         post = float(e[1] / e.sum())
         k = keys[i]
         if types[i] == U:

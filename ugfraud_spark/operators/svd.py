@@ -187,32 +187,63 @@ def svm_classify(train: DataFrame, test: DataFrame,
     O(1) in k, nothing O(|V|) returns to the driver after the fit.
 
     Scale switch (VERDICT r3 #5): if n_train × k would exceed
-    ``max_fit_cells`` the collect is capped to a deterministic sample —
-    rows whose Knuth-multiplicative id-hash falls below cap_rows/n_train
-    of the hash range. A narrow filter (no shuffle, no window, no RNG;
-    the hash is label-independent so every label stratum is thinned by
-    the same factor in expectation), logged as an approximation. Below
-    the cap the path is byte-identical to the uncapped fit."""
+    ``max_fit_cells`` the collect is capped to a deterministic
+    PER-LABEL stratified sample — within each label, rows whose
+    Knuth-multiplicative id-hash falls below that label's keep
+    fraction of the hash range. A narrow filter (no shuffle, no
+    window, no RNG); stratifying per label (cap split evenly, unused
+    headroom from a small stratum rebalanced to the other) means an
+    extreme class imbalance can never thin the minority label away and
+    degenerate the fit to a constant classifier. Logged as an
+    approximation. Below the cap the path is byte-identical to the
+    uncapped fit."""
     import logging
 
     from ..sources.tables import PRIOR_MOD, PRIOR_MULT
 
-    stats = train.agg(F.count(F.lit(1)).alias("n"),
-                      F.max(F.size("comps")).alias("k")).collect()[0]
-    n_train, k = stats["n"], stats["k"] or 0
-    fit_src = train
-    if k and n_train * k > max_fit_cells:
-        cap_rows = max(int(max_fit_cells // k), 1000)
-        cutoff = max(int(PRIOR_MOD * cap_rows / n_train), 1)
-        logging.getLogger("ugfraud_spark.svd").warning(
-            "svm_classify: train embedding %d rows x %d comps exceeds "
-            "max_fit_cells=%d; fitting on a deterministic hash sample "
-            "(~%d rows)", n_train, k, max_fit_cells, cap_rows,
-        )
-        fit_src = train.where(
-            F.pmod(F.col("id") * PRIOR_MULT, F.lit(PRIOR_MOD)) < cutoff
-        )
-    pdf = fit_src.select("id", "comps", "label").orderBy("id").toPandas()
+    # One action computes every driver-side scalar; persist so this
+    # action and the fit collect below don't each re-evaluate the
+    # upstream embedding/join/split pipeline.
+    train = train.persist()
+    try:
+        stats = train.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.size("comps")).alias("k"),
+            F.sum(F.col("label").cast("long")).alias("n_pos"),
+        ).collect()[0]
+        n_train, k = stats["n"], stats["k"] or 0
+        n_pos = int(stats["n_pos"] or 0)
+        fit_src = train
+        if k and n_train * k > max_fit_cells:
+            cap_rows = max(int(max_fit_cells // k), 1000)
+            per_label = {1: n_pos, 0: n_train - n_pos}
+            half = cap_rows // 2
+            # even split; a stratum smaller than its half donates the
+            # unused headroom to the other
+            keep = {}
+            for lbl in (0, 1):
+                other = per_label[1 - lbl]
+                keep[lbl] = min(per_label[lbl],
+                                half + max(half - min(other, half), 0))
+            logging.getLogger("ugfraud_spark.svd").warning(
+                "svm_classify: train embedding %d rows x %d comps "
+                "exceeds max_fit_cells=%d; fitting on a deterministic "
+                "per-label hash sample (~%d neg + ~%d pos rows)",
+                n_train, k, max_fit_cells, keep[0], keep[1],
+            )
+            hash_col = F.pmod(F.col("id") * PRIOR_MULT, F.lit(PRIOR_MOD))
+            cuts = {
+                lbl: max(int(PRIOR_MOD * keep[lbl] / per_label[lbl]), 1)
+                if per_label[lbl] else 0
+                for lbl in (0, 1)
+            }
+            fit_src = train.where(
+                ((F.col("label") == 0) & (hash_col < cuts[0]))
+                | ((F.col("label") == 1) & (hash_col < cuts[1]))
+            )
+        pdf = fit_src.select("id", "comps", "label").orderBy("id").toPandas()
+    finally:
+        train.unpersist()
     x = np.asarray(pdf["comps"].tolist(), dtype=np.float64)
     y = pdf["label"].to_numpy()
     w, b = linear_svm_fit(x, y)

@@ -6,10 +6,12 @@ Iceberg runtime jars, so the swap point is kept CONTAINED here: superstep
 checkpoints (and anything else that persists state) call ``write_state``
 / ``read_state`` and get
 
-- an Iceberg table (``<catalog>.<ns>.superstep_state`` partitioned by
-  ``step``, written with ``overwritePartitions`` — idempotent per-step
-  replace, snapshot isolation for readers) when the flag AND the runtime
-  are both present, else
+- an Iceberg table (``<catalog>.<ns>.superstep_state_<job>`` — one table
+  per checkpoint_dir so concurrent jobs stay isolated, partitioned by
+  ``step``, created on first write and thereafter written with
+  ``overwritePartitions`` — idempotent per-step replace, snapshot
+  isolation for readers) when the flag AND the runtime are both
+  present, else
 - the parquet layout used everywhere else (graceful fallback, logged
   once).
 
@@ -37,9 +39,25 @@ log = logging.getLogger("ugfraud_spark.catalog")
 
 ICEBERG_ENV = "UGFRAUD_SPARK_ICEBERG"
 CATALOG_CONF = "spark.sql.catalog.ugfraud"
-STATE_TABLE = "ugfraud.state.superstep_state"
+STATE_NAMESPACE = "ugfraud.state"
 
 _warned = False
+
+
+def state_table_for(checkpoint_dir: str) -> str:
+    """Per-job state table name, keyed by checkpoint_dir.
+
+    The parquet layout isolates jobs by directory; the Iceberg substrate
+    must preserve that isolation or two concurrent jobs would overwrite
+    each other's ``step`` partitions in one shared table and a resume
+    could silently load the OTHER job's state. The ref recorded in
+    metrics.jsonl carries the full table name, so reads never depend on
+    re-deriving this mapping.
+    """
+    import hashlib
+
+    digest = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    return f"{STATE_NAMESPACE}.superstep_state_{digest}"
 
 
 def iceberg_enabled(spark: SparkSession) -> bool:
@@ -67,12 +85,17 @@ def write_state(state: DataFrame, checkpoint_dir: str, step: int) -> str:
     recorded in metrics.jsonl."""
     spark = state.sparkSession
     if iceberg_enabled(spark):
-        spark.sql(
-            f"CREATE NAMESPACE IF NOT EXISTS "
-            f"{STATE_TABLE.rsplit('.', 1)[0]}")
-        (state.withColumn("step", F.lit(step))
-         .writeTo(STATE_TABLE).overwritePartitions())
-        return f"iceberg:{STATE_TABLE}@step={step}"
+        table = state_table_for(checkpoint_dir)
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {STATE_NAMESPACE}")
+        stamped = state.withColumn("step", F.lit(step))
+        # DataFrameWriterV2.overwritePartitions() requires an existing
+        # table — the first checkpoint of a fresh warehouse must create
+        # it (partitioned by step so per-step replace stays idempotent).
+        if spark.catalog.tableExists(table):
+            stamped.writeTo(table).overwritePartitions()
+        else:
+            stamped.writeTo(table).partitionedBy(F.col("step")).create()
+        return f"iceberg:{table}@step={step}"
     path = os.path.join(checkpoint_dir, f"step={step:06d}")
     state.write.mode("overwrite").parquet(path)
     return path
