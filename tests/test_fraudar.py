@@ -128,3 +128,20 @@ def test_bulk_peel_zero_rounds_is_noop(spark):
     out = fraudar.bulk_peel(edges, max_rounds=0)
     assert out.count() == 0
     assert out.columns == ["id", "side"]
+
+
+def test_bulk_peel_broadcast_and_shuffle_paths_agree(spark):
+    """The bcast_ids auto-switch (broadcast anti-join on the removed set
+    vs shuffle semi-join on the keep set) must be a pure physical-plan
+    choice: identical (id, side) output either way."""
+    ri, ci = _planted()
+    edges = spark.createDataFrame(
+        [(int(r) + 1000, int(c) + 2_000_000) for r, c in zip(ri, ci)],
+        "src long, dst long",
+    )
+    bcast = {(r["id"], r["side"])
+             for r in fraudar.bulk_peel(edges, eps=0.2).collect()}
+    shuffle = {(r["id"], r["side"])
+               for r in fraudar.bulk_peel(edges, eps=0.2,
+                                          bcast_ids=0).collect()}
+    assert bcast == shuffle and len(bcast) > 0

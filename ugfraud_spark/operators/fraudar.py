@@ -273,8 +273,19 @@ def fraudar_col_weights(edges: DataFrame) -> DataFrame:
     )
 
 
+# bulk_peel: below this alive-vertex count the per-round edge filter
+# switches from two shuffle semi-joins on the KEEP set to two broadcast
+# anti-joins on the REMOVED set (removed ⊆ alive, so the broadcast is
+# bounded by n_alive ids) — zero edge-set shuffles per round. The alive
+# count is already collected every round, so the switch costs nothing;
+# above the cap (early rounds at 10^9-vertex scale) the shuffle path
+# keeps the plan broadcast-free.
+BULK_PEEL_BCAST_IDS = 1_000_000
+
+
 def bulk_peel(edges: DataFrame, eps: float = 0.1,
-              max_rounds: int | None = None) -> DataFrame:
+              max_rounds: int | None = None,
+              bcast_ids: int = BULK_PEEL_BCAST_IDS) -> DataFrame:
     """Scale-mode ε-peel: per round, drop every vertex (either side) with
     weighted delta ≤ (1+ε)·g, g = total/|alive| the current average
     density. Returns the densest prefix's (id, side) vertex set.
@@ -304,7 +315,8 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1,
         .localCheckpoint(eager=True)
     )
     spark = edges.sparkSession
-    best_df = None
+    best_deltas = None
+    prev_deltas = None
     best_avg = -1.0
     prev_n = None
     rounds = 0
@@ -323,13 +335,21 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1,
             .agg(F.sum("col_weight").alias("delta"))
             .persist()
         )
-        # one combined action per round: Σdelta over the row+col union
-        # double-counts the block mass exactly twice, so tot = sum/2
+        # the ONE action per round: Σdelta over the row+col union
+        # double-counts the block mass exactly twice, so tot = sum/2.
+        # The best-prefix snapshot rides as a retained persisted frame
+        # instead of an eager localCheckpoint — one fewer driver-
+        # synchronized action on improving rounds
         row = deltas.agg(F.count(F.lit(1)).alias("n"),
                          F.sum("delta").alias("s")).collect()[0]
+        # last round's deltas fed this round's edge set (materialized
+        # eagerly last round); it is dead unless it holds the best prefix
+        if prev_deltas is not None and prev_deltas is not best_deltas:
+            prev_deltas.unpersist()
         n_alive = row["n"]
         if n_alive == 0:
             deltas.unpersist()
+            prev_deltas = None
             break
         if cap is None:
             cap = 2 * math.ceil(math.log(max(n_alive, 2))
@@ -337,21 +357,41 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1,
         avg = (row["s"] or 0.0) / 2.0 / n_alive
         if avg > best_avg:
             best_avg = avg
-            best_df = deltas.select("id", "side").localCheckpoint(eager=True)
+            if best_deltas is not None:
+                best_deltas.unpersist()
+            best_deltas = deltas  # stays persisted past this round
         stalled = prev_n == n_alive  # last quality round removed nobody
         prev_n = n_alive
         thr = (2.0 if stalled else 1.0) * (1.0 + eps) * avg
-        keep = deltas.where(F.col("delta") > thr)
-        keep_r = keep.where(F.col("side") == "row").select(
-            F.col("id").alias("src"))
-        keep_c = keep.where(F.col("side") == "col").select(
-            F.col("id").alias("dst"))
-        e = (
-            e.join(keep_r, "src", "left_semi")
-            .join(keep_c, "dst", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-        deltas.unpersist()
+        if n_alive <= bcast_ids:
+            # removed = alive ∧ delta ≤ thr — every endpoint of e is in
+            # deltas (deltas was built from e), so anti-join(removed)
+            # ≡ semi-join(keep) with no shuffle of the edge set
+            removed = deltas.where(F.col("delta") <= thr)
+            rem_r = removed.where(F.col("side") == "row").select(
+                F.col("id").alias("src"))
+            rem_c = removed.where(F.col("side") == "col").select(
+                F.col("id").alias("dst"))
+            e = (
+                e.join(F.broadcast(rem_r), "src", "left_anti")
+                .join(F.broadcast(rem_c), "dst", "left_anti")
+                # eager: the deltas union scans e TWICE (src+dst
+                # branches) — a lazy checkpoint would compute the filter
+                # join twice inside the next stats job (measured +30%)
+                .localCheckpoint(eager=True)
+            )
+        else:
+            keep = deltas.where(F.col("delta") > thr)
+            keep_r = keep.where(F.col("side") == "row").select(
+                F.col("id").alias("src"))
+            keep_c = keep.where(F.col("side") == "col").select(
+                F.col("id").alias("dst"))
+            e = (
+                e.join(keep_r, "src", "left_semi")
+                .join(keep_c, "dst", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        prev_deltas = deltas  # unpersisted next round, after e realizes
         rounds += 1
         if rounds >= cap:
             log.warning(
@@ -360,10 +400,12 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1,
                 "valid, the peel was truncated", cap, n_alive,
             )
             break
+    if prev_deltas is not None and prev_deltas is not best_deltas:
+        prev_deltas.unpersist()
     log.info("bulk_peel: finished after %d rounds (cap %s)", rounds, cap)
-    if best_df is None:  # empty input edge frame
+    if best_deltas is None:  # empty input edge frame
         return spark.createDataFrame([], "id long, side string")
-    return best_df
+    return best_deltas.select("id", "side")
 
 
 def bulk_peel_invariant(edges: DataFrame, exact_density: DataFrame,
