@@ -93,6 +93,13 @@ def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
     return state.select("id", "hub", F.col("auth").alias("authority"))
 
 
+# kcore: below this per-round casualty count the edge filter switches
+# from shuffle semi-joins on the alive set to broadcast anti-joins on
+# the removed set (same scale rationale as fraudar.BULK_PEEL_BCAST_IDS;
+# the removed count is collected anyway for early termination)
+KCORE_BCAST_IDS = 1_000_000
+
+
 def kcore(edges_sym: DataFrame, k: int, iters: int = 10) -> DataFrame:
     """k-core: vertices surviving iterated removal of degree < k nodes.
 
@@ -106,19 +113,36 @@ def kcore(edges_sym: DataFrame, k: int, iters: int = 10) -> DataFrame:
     """
     e = colocate_edges(edges_sym.select("src", "dst"))
     for _ in range(iters):
-        # `alive` feeds both semi-joins — cache it or the degree agg over
-        # the (shrinking) edge frame runs twice per round
-        alive = (
+        # the degree frame feeds the removed-count probe AND the filter —
+        # cache it or the agg over the (shrinking) edge frame runs twice
+        degs = (
             e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-            .where(F.col("d") >= k)
-            .select("src")
             .persist()
         )
-        e = (
-            e.join(alive.hint("shuffle_hash"), "src", "left_semi")
-            .join(alive.withColumnRenamed("src", "dst").hint("shuffle_hash"),
-                  "dst", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-        alive.unpersist()
+        removed = degs.where(F.col("d") < k).select("src")
+        n_removed = removed.count()
+        if n_removed == 0:
+            # fixpoint: every further round is a no-op, so stopping here
+            # is output-identical to running out the fixed iters (the
+            # oracle unrolls all of them)
+            degs.unpersist()
+            break
+        if n_removed <= KCORE_BCAST_IDS:
+            # few casualties (every round after the first, typically):
+            # broadcast anti-joins — zero shuffles of the edge set
+            e = (
+                e.join(F.broadcast(removed), "src", "left_anti")
+                .join(F.broadcast(removed.withColumnRenamed("src", "dst")),
+                      "dst", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            alive = degs.where(F.col("d") >= k).select("src")
+            e = (
+                e.join(alive.hint("shuffle_hash"), "src", "left_semi")
+                .join(alive.withColumnRenamed("src", "dst")
+                      .hint("shuffle_hash"), "dst", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        degs.unpersist()
     return e.select(F.col("src").alias("id")).distinct()
