@@ -31,8 +31,14 @@ def _sym(edges_ab: DataFrame) -> DataFrame:
 
 
 def cc_minprop(edges_ab: DataFrame, iters: int = 30) -> DataFrame:
-    """edges(a, b) canonical undirected → (id, component) after exactly
-    ``iters`` synchronous min-propagation rounds."""
+    """edges(a, b) canonical undirected → (id, component) after at most
+    ``iters`` synchronous min-propagation rounds, stopping early at the
+    fixpoint. Min-prop labels only ever DECREASE (lbl ← least(lbl, …)),
+    so an unchanged Σlbl — one exact-integer scalar agg per round, no
+    old⋈new join — proves no label moved and every further round is a
+    no-op: the early exit is output-identical to running out the fixed
+    count the SQL oracle unrolls (sf0.1 measured: fixpoint at round 6
+    of 10)."""
     sym = colocate_edges(_sym(edges_ab))
     verts = sym.select(F.col("src").alias("id")).distinct()
     state0 = verts.withColumn("lbl", F.col("id"))
@@ -51,9 +57,18 @@ def cc_minprop(edges_ab: DataFrame, iters: int = 30) -> DataFrame:
             .select("id", F.least("lbl", F.coalesce("m", "lbl")).alias("lbl"))
         )
 
+    prev_sum = [None]
+
+    def residual(_old: DataFrame, new: DataFrame) -> float:
+        cur = new.agg(F.sum("lbl")).collect()[0][0] or 0
+        r = float("inf") if prev_sum[0] is None else float(prev_sum[0] - cur)
+        prev_sum[0] = cur
+        return r
+
     # checkpoint_every=1: constant-depth plans — measured 2.6x faster than
     # every-4 chaining at sf0.1 (Catalyst re-analysis of deep trees dominates)
-    res = iterate(state0, step, max_iter=iters, checkpoint_every=1)
+    res = iterate(state0, step, residual, max_iter=iters, tol=0.5,
+                  checkpoint_every=1)
     return res.state.select("id", F.col("lbl").alias("component"))
 
 
