@@ -140,8 +140,26 @@ def test_bulk_peel_broadcast_and_shuffle_paths_agree(spark):
         "src long, dst long",
     )
     bcast = {(r["id"], r["side"])
-             for r in fraudar.bulk_peel(edges, eps=0.2).collect()}
+             for r in fraudar.bulk_peel(edges, eps=0.2,
+                                        finish_max_edges=0).collect()}
     shuffle = {(r["id"], r["side"])
-               for r in fraudar.bulk_peel(edges, eps=0.2,
-                                          bcast_ids=0).collect()}
+               for r in fraudar.bulk_peel(edges, eps=0.2, bcast_ids=0,
+                                          finish_max_edges=0).collect()}
     assert bcast == shuffle and len(bcast) > 0
+
+
+def test_bulk_peel_driver_finish_agrees(spark):
+    """The driver finisher (numpy tail over the collected alive subgraph)
+    must reproduce the pure-Spark round loop: same thresholds, same
+    best-prefix vertex set."""
+    ri, ci = _planted()
+    edges = spark.createDataFrame(
+        [(int(r) + 1000, int(c) + 2_000_000) for r, c in zip(ri, ci)],
+        "src long, dst long",
+    )
+    finished = {(r["id"], r["side"])
+                for r in fraudar.bulk_peel(edges, eps=0.2).collect()}
+    pure = {(r["id"], r["side"])
+            for r in fraudar.bulk_peel(edges, eps=0.2,
+                                       finish_max_edges=0).collect()}
+    assert finished == pure and len(finished) > 0

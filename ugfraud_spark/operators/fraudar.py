@@ -281,11 +281,46 @@ def fraudar_col_weights(edges: DataFrame) -> DataFrame:
 # above the cap (early rounds at 10^9-vertex scale) the shuffle path
 # keeps the plan broadcast-free.
 BULK_PEEL_BCAST_IDS = 1_000_000
+# switch to the driver finisher once the alive subgraph fits this many
+# edges — same order as PARITY_MAX_EDGES: a bounded O(E) scalar transfer
+BULK_PEEL_FINISH_EDGES = PARITY_MAX_EDGES
+
+
+def _peel_rounds_np(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
+                    eps: float, best_avg: float, prev_n: int | None,
+                    rounds: int, cap: int):
+    """Run the remaining ε-peel rounds in numpy over a collected alive
+    subgraph — the SAME per-round rule as the Spark loop (avg = tot/n,
+    quality threshold (1+ε)·g, 2(1+ε)·g escalation on stall, best-prefix
+    tracking), just without a distributed round per shrink step.
+
+    Returns ``(best_rows, best_cols, best_avg, rounds)`` where the id
+    arrays are ``None`` when no numpy round beat the incoming
+    ``best_avg`` (caller keeps its Spark-phase snapshot)."""
+    best_rows = best_cols = None
+    while rounds < cap and len(src) > 0:
+        us, si = np.unique(src, return_inverse=True)
+        ps, di = np.unique(dst, return_inverse=True)
+        n_alive = len(us) + len(ps)
+        rdel = np.bincount(si, weights=w, minlength=len(us))
+        cdel = np.bincount(di, weights=w, minlength=len(ps))
+        avg = float(w.sum()) / n_alive
+        if avg > best_avg:
+            best_avg = avg
+            best_rows, best_cols = us.copy(), ps.copy()
+        stalled = prev_n == n_alive
+        prev_n = n_alive
+        thr = (2.0 if stalled else 1.0) * (1.0 + eps) * avg
+        mask = (rdel > thr)[si] & (cdel > thr)[di]
+        src, dst, w = src[mask], dst[mask], w[mask]
+        rounds += 1
+    return best_rows, best_cols, best_avg, rounds
 
 
 def bulk_peel(edges: DataFrame, eps: float = 0.1,
               max_rounds: int | None = None,
-              bcast_ids: int = BULK_PEEL_BCAST_IDS) -> DataFrame:
+              bcast_ids: int = BULK_PEEL_BCAST_IDS,
+              finish_max_edges: int = BULK_PEEL_FINISH_EDGES) -> DataFrame:
     """Scale-mode ε-peel: per round, drop every vertex (either side) with
     weighted delta ≤ (1+ε)·g, g = total/|alive| the current average
     density. Returns the densest prefix's (id, side) vertex set.
@@ -307,7 +342,14 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1,
     ``max_rounds`` defaults to that bound, sized from the FIRST round's
     alive count (2·⌈log_{1+ε} V⌉ + 2) — so no graph size is silently
     truncated (VERDICT r3 #5-minor); hitting the cap logs a warning (the
-    best-prefix result stays valid, the peel just stops early)."""
+    best-prefix result stays valid, the peel just stops early).
+
+    Once the alive subgraph's edge count (free off the same stats row)
+    drops to ``finish_max_edges``, the remaining rounds run on the
+    driver over one bounded Arrow transfer (``_peel_rounds_np``) — at
+    that size each distributed round is a whole job + checkpoint for a
+    frame that fits in a single task. Set ``finish_max_edges=0`` to
+    force the pure-Spark loop."""
     cw = fraudar_col_weights(edges)
     e = (
         edges.select("src", "dst").distinct()
@@ -332,16 +374,19 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1,
             .unionAll(e.select(F.col("dst").alias("id"),
                                F.lit("col").alias("side"), "col_weight"))
             .groupBy("id", "side")
-            .agg(F.sum("col_weight").alias("delta"))
+            .agg(F.sum("col_weight").alias("delta"),
+                 F.count(F.lit(1)).alias("cnt"))
             .persist()
         )
         # the ONE action per round: Σdelta over the row+col union
-        # double-counts the block mass exactly twice, so tot = sum/2.
+        # double-counts the block mass exactly twice, so tot = sum/2
+        # (and Σcnt = 2·|E_alive|, the driver-finish trigger below).
         # The best-prefix snapshot rides as a retained persisted frame
         # instead of an eager localCheckpoint — one fewer driver-
         # synchronized action on improving rounds
         row = deltas.agg(F.count(F.lit(1)).alias("n"),
-                         F.sum("delta").alias("s")).collect()[0]
+                         F.sum("delta").alias("s"),
+                         F.sum("cnt").alias("ec")).collect()[0]
         # last round's deltas fed this round's edge set (materialized
         # eagerly last round); it is dead unless it holds the best prefix
         if prev_deltas is not None and prev_deltas is not best_deltas:
@@ -354,6 +399,34 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1,
         if cap is None:
             cap = 2 * math.ceil(math.log(max(n_alive, 2))
                                 / math.log(1.0 + eps)) + 2
+        if finish_max_edges and row["ec"] // 2 <= finish_max_edges:
+            # the alive subgraph fits the documented driver cap: one
+            # bounded Arrow transfer replaces the remaining O(log V)
+            # distributed rounds, which at this size are pure scheduler
+            # overhead (each is a full job + checkpoint over a frame
+            # that fits in one task). Same per-round rule, run in numpy.
+            deltas.unpersist()
+            pdf = e.select("src", "dst", "col_weight").toPandas()
+            np_rows, np_cols, np_best, rounds = _peel_rounds_np(
+                pdf["src"].to_numpy(), pdf["dst"].to_numpy(),
+                pdf["col_weight"].to_numpy(np.float64),
+                eps, best_avg, prev_n, rounds, cap,
+            )
+            prev_deltas = None
+            if np_rows is not None and np_best > best_avg:
+                if best_deltas is not None:
+                    best_deltas.unpersist()
+                log.info("bulk_peel: driver finisher took the best prefix "
+                         "after %d total rounds (cap %d)", rounds, cap)
+                import pandas as pd
+                out = pd.DataFrame({
+                    "id": np.concatenate([np_rows, np_cols]),
+                    "side": ["row"] * len(np_rows) + ["col"] * len(np_cols),
+                })
+                return spark.createDataFrame(out, schema="id long, side string")
+            log.info("bulk_peel: driver finisher kept the Spark-phase "
+                     "prefix after %d total rounds (cap %d)", rounds, cap)
+            break
         avg = (row["s"] or 0.0) / 2.0 / n_alive
         if avg > best_avg:
             best_avg = avg
