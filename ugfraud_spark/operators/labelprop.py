@@ -8,7 +8,14 @@ label; isolated vertices keep their own. Deterministic by construction
 Physical plan per round: join sym-edges⋈labels on src (1 shuffle unless
 labels broadcast), count per (dst, lbl) with map-side partials, then a
 per-dst argmax via ``max_by``-style struct-max — an aggregation, not a
-window, so no per-group sort at scale.
+window, so no per-group sort at scale. The winner aggregation covers
+EVERY vertex (``verts`` are endpoints of the symmetrized edge set, so
+each appears as a dst and receives ≥1 message): the next state IS the
+winner frame — no per-round join back to the previous state, which
+would add a |V|-row shuffle per round for a fallback that never fires.
+Isolated vertices cannot occur here by construction; a caller with
+degree-0 vertices must seed them separately (they keep their own label
+forever regardless).
 """
 
 from __future__ import annotations
@@ -37,13 +44,12 @@ def lpa(edges_ab: DataFrame, iters: int = 4) -> DataFrame:
             .groupBy(F.col("dst").alias("id"), "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        # argmax by (c desc, lbl asc) == max of struct(c, -lbl)
-        winner = counts.groupBy("id").agg(
+        # argmax by (c desc, lbl asc) == max of struct(c, -lbl); every
+        # vertex gets >=1 message (symmetrized edges), so this IS the
+        # full next state — no join back to `state` needed
+        return counts.groupBy("id").agg(
             F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("w")
-        ).select("id", (-F.col("w.neg")).alias("new_lbl"))
-        return state.join(winner, "id", "left").select(
-            "id", F.coalesce("new_lbl", "lbl").alias("lbl")
-        )
+        ).select("id", (-F.col("w.neg")).alias("lbl"))
 
     res = iterate(state0, step, max_iter=iters, checkpoint_every=1)
     return res.state.select("id", F.col("lbl").alias("label"))
