@@ -98,6 +98,19 @@ def test_svd_user_norms_match_numpy(spark, small_matrix):
             assert abs(got[10 + i] - round(float(want[i]), 6)) < 2e-6
 
 
+def test_dense_col_index_paths_agree(spark, small_matrix):
+    """The bounded driver fast path and the distributed two-phase rank
+    must produce the identical (dst, cidx) mapping — small tests and the
+    sf0.01 gate now take the fast path, so the scale path is pinned
+    here by forcing it with collect_max=0."""
+    edges, _a = small_matrix
+    e = edges.select("src", "dst").distinct()
+    fast = {(r["dst"], r["cidx"]) for r in dense_col_index(e).collect()}
+    twophase = {(r["dst"], r["cidx"])
+                for r in dense_col_index(e, collect_max=0).collect()}
+    assert fast == twophase and len(fast) == e.select("dst").distinct().count()
+
+
 def test_auc_ap_match_reference_definitions(spark):
     rng = np.random.RandomState(9)
     scores = np.round(rng.rand(400), 2)  # ties guaranteed

