@@ -10,6 +10,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+from pyspark.sql import functions as F
+
 from ugfraud_spark.operators import ann, dedup
 
 
@@ -67,3 +69,28 @@ def test_lsh_buckets_plan_dim_independent(spark):
     # strip plan ids/digits: identical structure regardless of dim
     tr = str.maketrans("", "", string.digits)
     assert p4.translate(tr) == p64.translate(tr)
+
+
+def test_block_spmv_edge_side_stays_put(spark):
+    """The per-superstep cogroup must read the cached CSR blocks
+    WITHOUT an Exchange above them: the one-time build repartitions on
+    block_id and persists, so EnsureRequirements sees the partitioning
+    and only the state-sized routed side shuffles each superstep. (A
+    localCheckpoint here scans as ExistingRDD[UnknownPartitioning] and
+    silently re-shuffles the |E| payload every iteration.)"""
+    from ugfraud_spark.operators.adjacency import (
+        build_adjacency_blocks,
+        spmv_arrow,
+    )
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 11) for i in range(60)], "src long, dst long"
+    ).where("src != dst")
+    adj = build_adjacency_blocks(edges, n_blocks=4)
+    state = adj.routes.select("id").distinct().withColumn("c", F.lit(1.0))
+    plan = spmv_arrow(adj, state)._jdf.queryExecution().executedPlan().toString()
+    cogroup_at = plan.find("FlatMapCoGroupsInArrow")
+    assert cogroup_at >= 0, plan
+    block_branch = plan[cogroup_at:plan.find("InMemoryTableScan")]
+    assert "Exchange" not in block_branch, plan
+    adj.blocks.unpersist()

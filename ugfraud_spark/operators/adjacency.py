@@ -57,8 +57,16 @@ def build_adjacency_blocks(
 
     ``salt = pmod(xxhash64(dst), ceil(out_deg(src)/hub_cap))`` splits a
     hub's edge list deterministically; ``block_id = pmod(xxhash64(src,
-    salt), n_blocks)`` scatters the splits. Both DataFrames are eagerly
-    localCheckpoint-ed: iterative clients reuse them every superstep.
+    salt), n_blocks)`` scatters the splits. The packed blocks are
+    repartitioned on block_id and pinned with ``persist()`` (NOT
+    localCheckpoint — an ExistingRDD scan reports UnknownPartitioning
+    and the per-superstep cogroup would re-Exchange the |E|-sized block
+    payload every iteration, exactly the movement this layout exists to
+    avoid; InMemoryRelation keeps the HashPartitioning visible so
+    EnsureRequirements elides the block-side exchange, same mechanism as
+    ``superstep.colocate_edges``). ``routes`` is joined on id each
+    superstep and re-keyed to block_id regardless, so checkpointing it
+    is fine.
     """
     w = (
         edges.select("src", "dst", "weight")
@@ -94,8 +102,13 @@ def build_adjacency_blocks(
         salted.select("block_id", "src", "dst", "weight")
         .groupBy("block_id")
         .applyInPandas(pack, schema=BLOCK_SCHEMA)
-        .localCheckpoint(eager=True)
+        # the pack UDF's output attrs are fresh, so the groupBy's own
+        # hash partitioning is not provable on them — re-key once here
+        # (one-time build cost) to make it visible through the cache
+        .repartition(n_blocks, "block_id")
+        .persist()
     )
+    blocks.count()
     routes = (
         salted.select(F.col("src").alias("id"), "block_id")
         .distinct()
