@@ -35,8 +35,6 @@ def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
     )
     verts.count()
 
-    state = verts.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
-
     def _propagate(edge_df: DataFrame, state_df: DataFrame,
                    src_col: str, out_name: str) -> DataFrame:
         msg = (
@@ -54,43 +52,58 @@ def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
         raise ValueError("hits: empty edge set — hub/authority undefined "
                          "(the L2 norms would be 0)")
 
+    # Message-only state between half-steps: a vertex that receives no
+    # message has score EXACTLY 0, contributes 0 to both the L2 norm
+    # (computed over the raw message rows, like the oracle's ar{t}/hr{t}
+    # CTEs) and the next propagation (join drops it = adding 0) — so the
+    # per-half-step |V| left-join back to the full vertex frame bought
+    # nothing and is done ONCE at the end instead. Per-dst sums keep the
+    # same terms in the same edge-cache probe order, so the output is
+    # bit-identical to the joined formulation. Saves 2 |V|-row
+    # shuffle-joins per iteration.
+    hub = verts.select("id", F.lit(1.0).alias("hub"))
+    auth = None
     for i in range(iters):
         # authorities from hubs (follow edges forward); the L2 norm rides
         # along as a crossJoin'd 1-row subframe so the superstep stays lazy
         # (no blocking driver collect per half-step). persist() each
-        # propagation: its subtree feeds BOTH the norm agg and the state
-        # join, and without the cache Spark evaluates the |E|-join twice
-        # per half-step (measured 21-26s → 9-13s for 5 iters at sf0.1;
-        # lazy cache preserves partitioning, unlike localCheckpoint)
-        a = _propagate(fwd, state, "hub", "a_raw").persist()
+        # propagation: its subtree feeds BOTH the norm agg and the next
+        # propagation, and without the cache Spark evaluates the |E|-join
+        # twice per half-step (measured 21-26s → 9-13s for 5 iters at
+        # sf0.1; lazy cache preserves partitioning)
+        a = _propagate(fwd, hub, "hub", "a_raw").persist()
         a_n = a.agg(F.sqrt(F.sum(F.col("a_raw") ** 2)).alias("_n"))
-        state = (
-            state.join(a.hint("shuffle_hash"), "id", "left")
-            .crossJoin(a_n)
-            .select(
-                "id", "hub",
-                (F.coalesce("a_raw", F.lit(0.0)) / F.col("_n")).alias("auth"),
-            )
+        auth = a.crossJoin(a_n).select(
+            "id", (F.col("a_raw") / F.col("_n")).alias("auth")
         )
         # hubs from authorities (follow edges backward)
-        h = _propagate(rev, state, "auth", "h_raw").persist()
+        h = _propagate(rev, auth, "auth", "h_raw").persist()
         h_n = h.agg(F.sqrt(F.sum(F.col("h_raw") ** 2)).alias("_n"))
-        state = (
-            state.join(h.hint("shuffle_hash"), "id", "left")
-            .crossJoin(h_n)
-            .select(
-                "id",
-                (F.coalesce("h_raw", F.lit(0.0)) / F.col("_n")).alias("hub"),
-                "auth",
-            )
-        ).localCheckpoint(eager=True)
+        hub = (
+            h.crossJoin(h_n)
+            .select("id", (F.col("h_raw") / F.col("_n")).alias("hub"))
+            .localCheckpoint(eager=True)
+        )
+        if i == iters - 1:
+            # the final output still needs this iteration's auth frame
+            # after `a` is unpersisted below — pin it now
+            auth = auth.localCheckpoint(eager=True)
         # the eager localCheckpoint above materialized both half-steps —
         # this iteration's propagation frames are dead; unpersist NOW so
         # executor storage stays constant in iters instead of linear
         a.unpersist()
         h.unpersist()
 
-    return state.select("id", "hub", F.col("auth").alias("authority"))
+    # one zero-fill join at the end instead of two per iteration
+    return (
+        verts.join(hub, "id", "left")
+        .join(auth, "id", "left")
+        .select(
+            "id",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("auth", F.lit(0.0)).alias("authority"),
+        )
+    )
 
 
 # kcore: below this per-round casualty count the edge filter switches
