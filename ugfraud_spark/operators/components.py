@@ -38,23 +38,30 @@ def cc_minprop(edges_ab: DataFrame, iters: int = 30) -> DataFrame:
     old⋈new join — proves no label moved and every further round is a
     no-op: the early exit is output-identical to running out the fixed
     count the SQL oracle unrolls (sf0.1 measured: fixpoint at round 6
-    of 10)."""
-    sym = colocate_edges(_sym(edges_ab))
-    verts = sym.select(F.col("src").alias("id")).distinct()
-    state0 = verts.withColumn("lbl", F.col("id"))
+    of 10).
+
+    Self-loops are unioned into the colocated edge set once (|V| rows
+    next to 2|E|), which folds the ``least(own, neighbor-min)`` update
+    into the message reduce itself — min over (neighbors ∪ self) — so a
+    round is ONE gather join + groupBy-min, with no per-round |V| state
+    join."""
+    sym_raw = _sym(edges_ab)
+    verts_raw = sym_raw.select(F.col("src").alias("id")).distinct()
+    sym = colocate_edges(
+        sym_raw.unionAll(verts_raw.select(F.col("id").alias("src"),
+                                          F.col("id").alias("dst")))
+    )
+    state0 = sym.select(F.col("src").alias("id")).distinct().withColumn(
+        "lbl", F.col("id"))
 
     def step(state: DataFrame, _i: int) -> DataFrame:
-        nbr_min = (
+        return (
             sym.join(
                 state.select(F.col("id").alias("src"), "lbl").hint("shuffle_hash"),
                 "src",
             )
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("lbl").alias("m"))
-        )
-        return (
-            state.join(nbr_min.hint("shuffle_hash"), "id", "left")
-            .select("id", F.least("lbl", F.coalesce("m", "lbl")).alias("lbl"))
+            .agg(F.min("lbl").alias("lbl"))
         )
 
     prev_sum = [None]
