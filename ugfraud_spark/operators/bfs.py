@@ -33,10 +33,19 @@ def bfs_hops(edges_sym: DataFrame, seeds: DataFrame, *,
     edges_sym = colocate_edges(edges_sym.select("src", "dst"))
     state0 = seeds.select("id", F.lit(0).alias("dist"))
 
-    def step(state: DataFrame, _i: int) -> DataFrame:
+    def step(state: DataFrame, i: int) -> DataFrame:
+        # frontier-delta relaxation: with unit hops, a vertex's dist is
+        # final the round it is first reached, and a vertex first reached
+        # at round i carries dist == i exactly — so the frontier is a
+        # pure FILTER on the state (no old⋈new comparison join), and the
+        # gather join sees |frontier| rows instead of the whole reached
+        # set. Re-propagating already-settled vertices only re-derives
+        # minima that already won; output is identical to the full
+        # relaxation the oracle unrolls.
         relaxed = (
             edges_sym.join(
-                state.select(F.col("id").alias("src"), "dist").hint("shuffle_hash"),
+                state.where(F.col("dist") == i)
+                .select(F.col("id").alias("src"), "dist").hint("shuffle_hash"),
                 "src",
             )
             .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
