@@ -42,18 +42,13 @@ def fbox(
     rec_deg, threshold), suspicious_products(id, in_deg, rec_deg,
     threshold))."""
     spark = edges.sparkSession
-    # persist (not checkpoint): consumed twice (column index, indexed
-    # build), both before the sketch; degrees are derived from eidx below
-    e = edges.select("src", "dst").distinct().persist()
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     cidx = dense_col_index(e).localCheckpoint(eager=True)
-    # one src-partitioned materialization feeds sketch passes + norms +
-    # both degree aggregates (groupBy src needs NO exchange on it; the
-    # product side aggregates by cidx and maps back through the dim)
+    # one src-partitioned materialization feeds sketch passes + norms
     eidx = (
         e.join(cidx, "dst").select("src", "cidx")
         .repartition("src").localCheckpoint(eager=True)
     )
-    e.unpersist()
     n_cols = cidx.count()
     kk = min(k, n_cols - 1) if n_cols > 1 else 1
 
@@ -76,7 +71,7 @@ def fbox(
     rec_u = row_projection_norms_grouped(
         eidx, v, pre_partitioned=True
     ).localCheckpoint(eager=True)
-    out_deg = eidx.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     u = rec_u.join(out_deg, "src").localCheckpoint(eager=True)
     thr_u = u.groupBy("deg").agg(
         F.percentile("rec", tau / 100.0).alias("threshold")
@@ -97,8 +92,8 @@ def fbox(
         [(int(j), float(vs_norms[j])) for j in range(n_cols)],
         "cidx int, rec double",
     )
-    in_deg = eidx.groupBy("cidx").agg(F.count(F.lit(1)).alias("deg"))
-    p = cidx.join(rec_p, "cidx").join(in_deg, "cidx")
+    in_deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("deg"))
+    p = cidx.join(rec_p, "cidx").join(in_deg, "dst")
     thr_p = p.groupBy("deg").agg(
         F.percentile("rec", tau / 100.0).alias("threshold")
     )

@@ -74,15 +74,11 @@ def svd_user_norms(edges: DataFrame, *, percent: float = 0.9,
         row_projection_norms_vvt,
     )
 
-    # persist (not a second checkpoint): the deduped frame is consumed
-    # exactly twice (column index, then the indexed build below) and both
-    # land before the sketch starts — a full write+re-read
-    # materialization bought nothing over the in-memory cache
     e = (
         edges.select("src", "dst", F.col(rating_col).cast("double").alias("w"))
         .groupBy("src", "dst")
         .agg(F.min("w").alias("w"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     cidx = dense_col_index(e)
     # ONE src-partitioned materialization feeds the sketch passes AND the
@@ -92,11 +88,8 @@ def svd_user_norms(edges: DataFrame, *, percent: float = 0.9,
         e.join(cidx, "dst").select("src", "cidx", "w")
         .repartition("src").localCheckpoint(eager=True)
     )
-    e.unpersist()
     n_cols = cidx.count()
-    # distinct src over the src-partitioned eidx: partial distinct per
-    # partition, no exchange (vs the old full-shuffle distinct over e)
-    n_rows = eidx.select("src").distinct().count()
+    n_rows = e.select("src").distinct().count()
     k = int(max(round(min(n_rows, n_cols) * percent), 1))
 
     if n_cols <= EXACT_GRAM_MAX_COLS:
