@@ -36,6 +36,47 @@ def test_bfs_matches_python_bfs(spark, sf_small):
     assert got == dist
 
 
+def test_bfs_frontier_resume_round_index(spark, sf_small, tmp_path):
+    """The frontier filter selects dist == absolute round index, so a
+    mid-run resume (iterate with start_iteration=k over the durable
+    checkpoint) must keep expanding from the right frontier — pinned
+    against the single-shot run."""
+    from ugfraud_spark.operators.superstep import (
+        colocate_edges, iterate, latest_checkpoint,
+    )
+
+    sym = tables.symmetrize(tables.uni_edges_undirected(spark, sf_small))
+    seed = sym.agg(F.min("src")).collect()[0][0]
+    seeds = spark.createDataFrame([(seed,)], "id long")
+    want = {r["id"]: r["dist"]
+            for r in bfs.bfs_hops(sym, seeds, iters=6).collect()}
+
+    ckdir = str(tmp_path / "bfs_ck")
+    bfs.bfs_hops(sym, seeds, iters=3, checkpoint_every=3,
+                 checkpoint_dir=ckdir)
+    state, step = latest_checkpoint(spark, ckdir)
+    assert step == 3 and state is not None
+
+    edges_sym = colocate_edges(sym.select("src", "dst"))
+
+    def step_fn(st, i):
+        relaxed = (
+            edges_sym.join(
+                st.where(F.col("dist") == i)
+                .select(F.col("id").alias("src"), "dist"),
+                "src",
+            )
+            .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+        )
+        return st.unionAll(relaxed).groupBy("id").agg(
+            F.min("dist").alias("dist"))
+
+    res = iterate(state, step_fn, max_iter=6, start_iteration=3,
+                  checkpoint_every=3)
+    got = {r["id"]: r["dist"] for r in res.state.collect()}
+    assert got == want
+
+
 def test_random_split_halves_each_stratum(spark, sf_small):
     e = tables.bipartite_edges(spark, sf_small)
     gt = evalmetrics.ground_truth_users(e).withColumnRenamed("gt", "label")
