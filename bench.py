@@ -216,7 +216,7 @@ def run_suite(sf_dir: str) -> dict:
         fn = qmap[name]
         runs[name] = []
         steal[name] = []
-        for _ in range(2):
+        def _attempt():
             s0, b0 = _cpu_jiffies()
             t0 = time.time()
             fn(spark, sf_dir).count()
@@ -225,6 +225,16 @@ def run_suite(sf_dir: str) -> dict:
             tot = (s1 - s0) + (b1 - b0)
             runs[name].append(dt)
             steal[name].append(round((s1 - s0) / tot, 4) if tot else 0.0)
+
+        _attempt()
+        _attempt()
+        # min-of-2 defends against a steal burst hitting ONE attempt; a
+        # burst spanning both still poisons the min (observed: 8s query
+        # reported at 19.5s with ~9% steal on each attempt). If the BEST
+        # attempt itself lost >3% of its cycles, buy exactly one retry —
+        # bounded extra wall, and only for provably-contaminated entries.
+        if steal[name][runs[name].index(min(runs[name]))] > 0.03:
+            _attempt()
         times[name] = min(runs[name])
 
     # headline throughput on the SAME graph the scaling report uses
@@ -243,7 +253,8 @@ def run_suite(sf_dir: str) -> dict:
     probe["converged"] = conv["converged"]
     total = round(sum(times.values()), 3)
     out = {
-        "metric": "headline-suite wall time (sum of per-query min-of-2 sec)",
+        "metric": ("headline-suite wall time (sum of per-query min-of-2 "
+                   "sec; +1 retry when the best attempt carried >3% steal)"),
         "value": total,
         "unit": "sec",
         "queries": times,
