@@ -61,6 +61,10 @@ def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
     # same terms in the same edge-cache probe order, so the output is
     # bit-identical to the joined formulation. Saves 2 |V|-row
     # shuffle-joins per iteration.
+    if iters < 1:  # degenerate: the pre-iteration all-ones state
+        return verts.select("id", F.lit(1.0).alias("hub"),
+                            F.lit(1.0).alias("authority"))
+
     hub = verts.select("id", F.lit(1.0).alias("hub"))
     auth = None
     for i in range(iters):
