@@ -42,6 +42,33 @@ def _package_zip() -> str:
     return out
 
 
+def _scratch_dir() -> str | None:
+    """Shuffle/spill scratch location (``spark.local.dir``).
+
+    On a real cluster this is provisioned node-local NVMe; in this
+    sandbox the default (/tmp) sits on a virtual disk that is both slow
+    and noisy-neighbor-contended, while /dev/shm is a large tmpfs.
+    Alternating A/B on the 32M-edge superstep probe: 12.5-15.1M edges/s
+    on disk scratch vs 16.5-17.2M on tmpfs (~14% quiet-host win), and
+    the disk runs carry the IO-contention variance that tmpfs removes
+    entirely. Only used when /dev/shm has >32 GiB free (the probe's
+    shuffle footprint is a few GiB; a constrained host falls back to
+    the Spark default). ``UGFRAUD_SPARK_LOCAL_DIR`` overrides — set it
+    to an empty string to force the default."""
+    env = os.environ.get("UGFRAUD_SPARK_LOCAL_DIR")
+    if env is not None:
+        return env or None
+    if os.path.isdir("/dev/shm"):
+        try:
+            import shutil
+
+            if shutil.disk_usage("/dev/shm").free > 32 * 1024**3:
+                return "/dev/shm/ugfraud-spark-scratch"
+        except OSError:
+            pass
+    return None
+
+
 def get_spark(
     app_name: str = "ugfraud_spark",
     master: str | None = None,
@@ -71,6 +98,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    scratch = _scratch_dir()
+    if scratch:
+        b = b.config("spark.local.dir", scratch)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
