@@ -272,8 +272,21 @@ def scaling_worker(cpus: int) -> None:
     """Child process: run ONLY the superstep probe at local[cpus]."""
     from ugfraud_spark.plans.session import get_spark
 
+    # Pin the JVM's perceived CPU count to the leg's core count: in
+    # local mode the JVM otherwise sizes GC/JIT/ForkJoin threads from
+    # the HOST's vCPUs (32 here), so a local[8] leg runs ~23 parallel-GC
+    # threads against 8 task threads — measured 85-90k busy jiffies vs
+    # 60k pinned for the identical job, a ~35% throughput hit on the 4N
+    # leg while the 2-core leg free-rides (GC pauses amortized by 23
+    # collector threads it wouldn't have as a real 2-core node). Each
+    # leg must be an honest N-core-executor proxy: a real 4N cluster
+    # brings 4N GC threads with its cores, exactly what this restores.
     spark = get_spark(f"scaling_probe_{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=SCALE_PARTITIONS)
+                      shuffle_partitions=SCALE_PARTITIONS,
+                      extra_conf={
+                          "spark.driver.extraJavaOptions":
+                              f"-XX:ActiveProcessorCount={cpus}",
+                      })
     probe = superstep_throughput(spark, SCALE_EDGES, SCALE_VERTICES,
                                  warmup_iters=2)
     probe["cpus"] = cpus
@@ -403,7 +416,14 @@ under load otherwise dominates the short 4N leg), then drops the
 warmup's caches so both legs see the same memory headroom. The probe
 runs with AQE OFF (the superstep plan is fixed and explicitly hinted;
 AQE's per-stage re-planning is pure driver-serial overhead repeated
-every superstep — measured ~10% of the 4N leg). A pair is discarded
+every superstep — measured ~10% of the 4N leg). Each leg's JVM is
+pinned to its core count (`-XX:ActiveProcessorCount=N`): in local mode
+the JVM otherwise sizes GC/JIT threads from the host's 32 vCPUs, so
+the 4N leg ran ~23 parallel-GC threads against 8 task threads
+(measured: ~30% extra busy jiffies, a ~35% throughput hit) while the
+N leg free-rode on collector parallelism a real 2-core executor would
+not have — a real 4N cluster brings 4N GC threads along with its
+cores, which is exactly what pinning restores. A pair is discarded
 when either leg lost > {STEAL_SHARE_MAX:.0%} of its timed window to
 hypervisor steal (measured directly from /proc/stat around the timed
 superstep loop; steal on the N leg inflates measured efficiency, steal
