@@ -36,6 +36,58 @@ def test_bfs_matches_python_bfs(spark, sf_small):
     assert got == dist
 
 
+def test_sssp_weighted_matches_python_bellman_ford(spark, sf_small):
+    """Frontier-delta weighted SSSP == full synchronous Bellman–Ford at
+    the SAME round count (the oracle's recurrence), and == exact Dijkstra
+    distances once run to the fixpoint round."""
+    import heapq
+
+    und = tables.uni_edges_undirected(spark, sf_small)
+    sym = tables.symmetrize(und)
+    edges_w = sym.select(
+        "src", "dst",
+        (F.lit(1) + (F.col("src") + F.col("dst")) % 5).alias("w"))
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for r in edges_w.collect():
+        adj.setdefault(r["src"], []).append((r["dst"], r["w"]))
+    seed = min(adj)
+
+    # full (non-frontier) synchronous Bellman–Ford to the fixpoint,
+    # keeping each round's frame — the spec the engine must match per-K
+    frames = [{seed: 0}]
+    while True:
+        prev, nxt = frames[-1], dict(frames[-1])
+        for u, d in prev.items():
+            for v, w in adj.get(u, []):
+                if d + w < nxt.get(v, float("inf")):
+                    nxt[v] = d + w
+        if nxt == prev:
+            break
+        frames.append(nxt)
+    fix_round = len(frames) - 1
+
+    seeds = spark.createDataFrame([(seed,)], "id long")
+    k = min(6, fix_round)
+    got_k = {r["id"]: r["dist"]
+             for r in bfs.sssp_weighted(edges_w, seeds, iters=k).collect()}
+    assert got_k == frames[k]
+
+    got_fix = {r["id"]: r["dist"]
+               for r in bfs.sssp_weighted(edges_w, seeds,
+                                          iters=fix_round).collect()}
+    dist = {seed: 0}
+    heap = [(0, seed)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            if d + w < dist.get(v, float("inf")):
+                dist[v] = d + w
+                heapq.heappush(heap, (d + w, v))
+    assert got_fix == dist
+
+
 def test_bfs_frontier_resume_round_index(spark, sf_small, tmp_path):
     """The frontier filter selects dist == absolute round index, so a
     mid-run resume (iterate with start_iteration=k over the durable

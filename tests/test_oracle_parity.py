@@ -10,12 +10,15 @@ import math
 import duckdb
 import pytest
 
-from ugfraud_spark.registry import build_registry
+from ugfraud_spark.registry import build_registry, build_shadow_registry
 from ugfraud_spark.sources.tables import TABLES, uni_mod_for
 
 # re-render the oracles for sf0.001 (unipartite modulus 1000; the
-# driver-facing REGISTRY is rendered for sf0.01 / modulus 10000)
-REGISTRY = build_registry(uni_mod=uni_mod_for("/root/testdata/sf0.001"))
+# driver-facing REGISTRY is rendered for sf0.01 / modulus 10000);
+# shadow entries are oracle-checked here but don't consume one of the
+# driver's 50 CORRECTNESS slots
+_MOD = uni_mod_for("/root/testdata/sf0.001")
+REGISTRY = build_registry(uni_mod=_MOD) | build_shadow_registry(uni_mod=_MOD)
 
 
 def _duck(sf_dir: str):

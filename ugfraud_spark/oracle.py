@@ -858,6 +858,31 @@ def sql_bfs_hops(iters: int = 6, mod: int = UNI_MOD) -> str:
     return _with(ctes, f"SELECT id, dist FROM d{iters}")
 
 
+def sql_sssp_weighted(iters: int = 6, mod: int = UNI_MOD) -> str:
+    """Unrolled synchronous Bellman–Ford from the min-id vertex over the
+    symmetrized uni graph with deterministic integer weights
+    ``1 + (src + dst) % 5`` (symmetric in the endpoints, so both
+    directions of an undirected edge carry the same cost — identical
+    expression on the Spark side, operators/bfs.py:sssp_weighted)."""
+    ctes = [
+        ("uni", uni_frag(mod)),
+        ("und", UND),
+        ("sym", SYM),
+        ("symw", "SELECT src, dst, 1 + (src + dst) % 5 AS w FROM sym"),
+        ("v", VERTS),
+        ("d0", "SELECT MIN(id) AS id, CAST(0 AS BIGINT) AS dist FROM v"),
+    ]
+    for t in range(iters):
+        ctes.append((
+            f"d{t + 1}",
+            f"SELECT id, MIN(dist) AS dist FROM ("
+            f"SELECT id, dist FROM d{t} UNION ALL "
+            f"SELECT e.dst AS id, d.dist + e.w AS dist "
+            f"FROM symw e JOIN d{t} d ON e.src = d.id) GROUP BY id",
+        ))
+    return _with(ctes, f"SELECT id, dist FROM d{iters}")
+
+
 # -------------------------------------------------------------- streaming
 
 def sql_windowed_event_stats(minutes: int = 60) -> str:

@@ -420,6 +420,20 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs.bfs_hops(sym, seeds, iters=6)
 
 
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP (Bellman–Ford supersteps) — the distributed analog of
+    the reference's Dijkstra local_schedule selection (SpEagle.py:389-422);
+    deterministic symmetric weights 1 + (src+dst) % 5."""
+    und = tables.uni_edges_undirected(spark, sf_dir)
+    sym = tables.symmetrize(und)
+    edges_w = sym.select(
+        "src", "dst",
+        (F.lit(1) + (F.col("src") + F.col("dst")) % 5).alias("w"))
+    verts = tables.vertices_of(sym)
+    seeds = verts.agg(F.min("id").alias("id"))
+    return bfs.sssp_weighted(edges_w, seeds, iters=6)
+
+
 # --------------------------------------------------------------- streaming
 
 def _stats_as_text(df: DataFrame) -> DataFrame:
@@ -770,3 +784,23 @@ def build_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
 
 
 REGISTRY: dict[str, tuple[SparkQuery, str | None]] = build_registry()
+
+
+def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
+        str, tuple[SparkQuery, str | None]]:
+    """Oracle-checked queries NOT registered with the driver (its
+    CORRECTNESS gate caps at DRIVER_BUDGET entries; all 50 slots are
+    taken). tests/test_oracle_parity.py runs these through the SAME
+    cross-engine gate as the registered set, so they carry equivalent
+    correctness evidence — they just don't consume a driver slot
+    (same status as ann.ivf_topk)."""
+    m = uni_mod
+    reg = {
+        "sssp_weighted": _uni(q_sssp_weighted,
+                              oracle.sql_sssp_weighted(6, mod=m)),
+    }
+    return {
+        name: ((_mod_guard(entry[0], m), entry[1])
+               if isinstance(entry, _UniEntry) else tuple(entry))
+        for name, entry in reg.items()
+    }
