@@ -94,3 +94,35 @@ def test_block_spmv_edge_side_stays_put(spark):
     block_branch = plan[cogroup_at:plan.find("InMemoryTableScan")]
     assert "Exchange" not in block_branch, plan
     adj.blocks.unpersist()
+
+
+def test_sssp_superstep_edge_side_stays_put(spark):
+    """sssp_weighted's per-superstep gather must probe the colocated
+    edge cache without re-shuffling it: ShuffledHashJoin whose edge
+    branch is a bare InMemoryTableScan (no Exchange between them), so
+    only the frontier-sized state side moves each round — same contract
+    test_block_spmv pins for the CSR path."""
+    from ugfraud_spark.operators.superstep import colocate_edges
+
+    edges_w = spark.createDataFrame(
+        [(i % 7, (i * 3) % 11, 1 + (i % 5)) for i in range(60)],
+        "src long, dst long, w long",
+    ).where("src != dst")
+    ew = colocate_edges(edges_w)
+    state = spark.createDataFrame([(0, 0, 0)], "id long, dist long, upd int")
+    relaxed = (
+        ew.join(
+            state.where(F.col("upd") == 0)
+            .select(F.col("id").alias("src"), "dist").hint("shuffle_hash"),
+            "src",
+        )
+        .select(F.col("dst").alias("id"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+                F.lit(1).alias("upd"))
+    )
+    plan = relaxed._jdf.queryExecution().executedPlan().toString()
+    join_at = plan.find("ShuffledHashJoin")
+    assert join_at >= 0, plan
+    edge_branch = plan[join_at:plan.find("InMemoryTableScan")]
+    assert "Exchange" not in edge_branch, plan
+    ew.unpersist()
