@@ -625,6 +625,54 @@ def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_neardup_pairs(e, threshold=0.35)
 
 
+def q_ivf_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated invariants for the IVF coarse-quantizer ANN path
+    (``ann.ivf_topk``), the sketch-check pattern: IVF is approximate by
+    design (a true neighbor can live in an unprobed list), so instead of
+    hash-matching its rows against brute force, the gate pins what IVF
+    *guarantees* deterministically (seeded k-means, deterministic
+    sample): full result shape (k rows per query, ranks 1..k), scores
+    that are the EXACT cosines (IVF prunes candidates, never rescores),
+    and recall@k >= 0.8 vs the exact top-k on the hard near-uniform
+    synthetic embeddings. One row of ints a literal-SQL oracle pins."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    got = ann.ivf_topk(emb, ANN_QUERY_IDS, k=ANN_K, n_lists=16, n_probe=6)
+    qe = emb.where(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    ne = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("ne"))
+    checked = (
+        got.join(F.broadcast(qe), "query_id").join(ne, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", "cos", "rank",
+            F.round(ann.cosine(F.col("qe"), F.col("ne")), 6).alias("cos_ex"),
+        )
+        .localCheckpoint(eager=True)  # feeds 3 aggregations below
+    )
+    hits = checked.join(
+        ann.cosine_topk(emb, ANN_QUERY_IDS, k=ANN_K)
+        .select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"], "left_semi",
+    ).count()
+    per_q = checked.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("mr"))
+    ranks_valid = per_q.agg(F.min(
+        ((F.col("n") == ANN_K) & (F.col("mr") == ANN_K)).cast("long")
+    ).alias("ranks_valid"))
+    return (
+        checked.agg(
+            F.count_distinct(F.col("query_id")).alias("n_queries"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min((F.col("cos") == F.col("cos_ex")).cast("long"))
+            .alias("scores_exact"),
+        )
+        .crossJoin(ranks_valid)
+        .withColumn("recall_ok", F.lit(
+            1 if hits >= int(0.8 * len(ANN_QUERY_IDS) * ANN_K) else 0
+        ).cast("long"))
+    )
+
+
 # EXACTLY 50 queries — the round-1 driver recorded exactly the first 50
 # registry entries of 60 (CORRECTNESS_r01 cut at #50 in insertion order),
 # so the registry is consolidated AT that budget by MERGING same-table
@@ -798,6 +846,16 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
     reg = {
         "sssp_weighted": _uni(q_sssp_weighted,
                               oracle.sql_sssp_weighted(6, mod=m)),
+        # the embeddings table is identical at both gate scales (500
+        # vectors), so the pinned invariants are sf-independent
+        "ann_ivf_invariants": (
+            q_ivf_invariants,
+            "SELECT CAST(5 AS BIGINT) AS n_queries, "
+            "CAST(15 AS BIGINT) AS n_rows, "
+            "CAST(1 AS BIGINT) AS scores_exact, "
+            "CAST(1 AS BIGINT) AS ranks_valid, "
+            "CAST(1 AS BIGINT) AS recall_ok",
+        ),
     }
     return {
         name: ((_mod_guard(entry[0], m), entry[1])
