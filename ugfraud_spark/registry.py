@@ -22,6 +22,7 @@ from . import oracle
 from .functions import text as tx
 from .operators import (
     ann,
+    asof,
     attrs,
     bfs,
     components,
@@ -625,6 +626,35 @@ def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_neardup_pairs(e, threshold=0.35)
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join gate: every purchase event gains the user's most
+    recent click at or before it (id + value; nulls when none).
+    DuckDB's native ASOF LEFT JOIN is the oracle — the one operator
+    here whose reference semantics another engine ships as a keyword,
+    making the cross-engine gate unusually direct."""
+    ev = tables.load(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value")
+    out = asof.asof_join(left, right, by=["user_id"], ts="ts",
+                         right_cols=["event_id", "value"])
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_event_id").alias("click_id"),
+        F.round("asof_value", 6).alias("click_value"),
+    )
+
+
+SQL_EVENTS_ASOF = """
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS click_id, ROUND(r.value, 6) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_ivf_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-gated invariants for the IVF coarse-quantizer ANN path
     (``ann.ivf_topk``), the sketch-check pattern: IVF is approximate by
@@ -856,6 +886,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
             "CAST(1 AS BIGINT) AS ranks_valid, "
             "CAST(1 AS BIGINT) AS recall_ok",
         ),
+        "events_asof_join": (q_events_asof, SQL_EVENTS_ASOF),
     }
     return {
         name: ((_mod_guard(entry[0], m), entry[1])
