@@ -24,6 +24,7 @@ from .operators import (
     ann,
     asof,
     attrs,
+    ranges,
     bfs,
     components,
     hits,
@@ -655,6 +656,40 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
 """
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-join gate: every click inside the hour BEFORE an error of
+    the same user (clicks-leading-up-to-failure, the classic diagnostic
+    interval join). Spark side runs the bucketed equi-join plan
+    (operators/ranges.py); DuckDB runs the literal inequality join."""
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"),
+        (F.col("ts") - F.expr("INTERVAL 60 MINUTES")).alias("start"),
+        F.col("ts").alias("end"),
+    )
+    out = ranges.interval_point_join(
+        clicks, errors, by=["user_id"], ts="ts",
+        start="start", end="end", bucket_s=3600,
+    )
+    return out.select(
+        "user_id", "click_id", "error_id",
+        F.col("ts").alias("click_ts"), F.col("end").alias("error_ts"),
+    )
+
+
+SQL_EVENTS_RANGE = """
+SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+       c.ts AS click_ts, e.ts AS error_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id
+ AND c.ts >= e.ts - INTERVAL 60 MINUTE
+ AND c.ts < e.ts
+"""
+
+
 def q_ivf_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-gated invariants for the IVF coarse-quantizer ANN path
     (``ann.ivf_topk``), the sketch-check pattern: IVF is approximate by
@@ -887,6 +922,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
             "CAST(1 AS BIGINT) AS recall_ok",
         ),
         "events_asof_join": (q_events_asof, SQL_EVENTS_ASOF),
+        "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE),
     }
     return {
         name: ((_mod_guard(entry[0], m), entry[1])
