@@ -25,6 +25,7 @@ from .operators import (
     asof,
     attrs,
     ranges,
+    rollup,
     bfs,
     components,
     hits,
@@ -690,6 +691,31 @@ JOIN (SELECT * FROM events WHERE event_type = 'error') e
 """
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-rollup gate: count/sum/avg of event value per
+    event_type at hour AND day grain, where the Spark side computes the
+    day grain by re-aggregating the hourly PARTIALS (raw scanned once)
+    and the oracle computes both grains directly from raw — proving the
+    partial-merge path exact, not just plausible."""
+    ev = tables.load(spark, sf_dir, "events")
+    return rollup.hierarchical_rollup(
+        ev, ts="ts", by=["event_type"], value="value",
+        grains=("hour", "day"),
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value,
+       ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', date_trunc('day', ts), event_type,
+       COUNT(*), ROUND(SUM(value), 6), ROUND(SUM(value) / COUNT(*), 6)
+FROM events GROUP BY 2, 3
+"""
+
+
 def q_ivf_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-gated invariants for the IVF coarse-quantizer ANN path
     (``ann.ivf_topk``), the sketch-check pattern: IVF is approximate by
@@ -923,6 +949,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         ),
         "events_asof_join": (q_events_asof, SQL_EVENTS_ASOF),
         "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE),
+        "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
     }
     return {
         name: ((_mod_guard(entry[0], m), entry[1])
