@@ -1,0 +1,45 @@
+"""TF-IDF/BM25 known-value semantics (operators/tfidf.py). The full
+cross-engine gate (tokenize → tf → df → idf → BM25 → rank vs DuckDB)
+runs in test_oracle_parity via the shadow registry (tfidf_topk)."""
+
+from __future__ import annotations
+
+import math
+
+from ugfraud_spark.operators.tfidf import BM25_B, BM25_K1, tfidf_topk
+
+
+def test_tfidf_known_values_and_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(0, "apple apple banana"),   # apple tf=2 rare-ish, banana everywhere
+         (1, "banana banana banana"),
+         (2, "cherry banana")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["rank"]): r for r in tfidf_topk(docs, k=2).collect()}
+
+    # doc 0: apple df=1, banana df=3, N=3
+    apple = out[(0, 1)]
+    assert apple["term"] == "apple" and apple["tf"] == 2
+    assert apple["score"] == round(2 * (math.log(4 / 2) + 1), 6)
+    assert out[(0, 2)]["term"] == "banana"
+
+    # doc 2: cherry (df=1) outranks banana (df=3) despite equal tf
+    assert out[(2, 1)]["term"] == "cherry"
+
+    # BM25 known value for doc 1's banana: tf=3, df=3, dl=3, avg_dl=8/3
+    b = out[(1, 1)]
+    idf = math.log(1 + (3 - 3 + 0.5) / (3 + 0.5))
+    tf_part = (3 * (BM25_K1 + 1)) / (
+        3 + BM25_K1 * (1 - BM25_B + BM25_B * 3 / (8 / 3)))
+    assert b["bm25"] == round(idf * tf_part, 6)
+
+
+def test_tfidf_equal_scores_break_by_term(spark):
+    docs = spark.createDataFrame(
+        [(0, "zeta alpha"), (1, "zeta alpha")], "doc_id long, text string")
+    out = {(r["doc_id"], r["rank"]): r["term"]
+           for r in tfidf_topk(docs, k=2).collect()}
+    # identical tf and df → identical score → lexicographic term order
+    assert out[(0, 1)] == "alpha" and out[(0, 2)] == "zeta"
+    assert out[(1, 1)] == "alpha" and out[(1, 2)] == "zeta"

@@ -52,8 +52,12 @@ def hierarchical_rollup(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
+    # avg derives from the ROUNDED sum: the raw sums differ across
+    # engines in their last ulps (summation order), and dividing them
+    # can land on opposite sides of a 6dp round boundary — dividing the
+    # already-rounded (hence gate-identical) sum cannot
     return out.select(
         "grain", "bucket", *by, "n",
         F.round("sv", 6).alias("sum_value"),
-        F.round(F.col("sv") / F.col("n"), 6).alias("avg_value"),
+        F.round(F.round("sv", 6) / F.col("n"), 6).alias("avg_value"),
     )

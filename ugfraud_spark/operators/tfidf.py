@@ -1,0 +1,70 @@
+"""TF-IDF / BM25 term scoring over the documents corpus — the ranking
+layer of the training-data pipeline (next to dedup/quality/lang-ID in
+functions/text.py).
+
+Everything is plain DataFrame algebra in one linear flow:
+tokenize (split, narrow map) → per-(doc, term) counts → vocabulary
+document frequencies → smooth-idf / BM25 weights → top-k terms per doc.
+
+Scale notes: the only shuffles are the two groupBys (on (doc_id, term)
+and term) and the term-keyed join of counts against the vocabulary
+frame — vocabulary is corpus-distinct-terms sized, so Catalyst/AQE
+broadcasts it when small and hash-joins on term when not; corpus-level
+scalars (N docs, mean doc length) ride as crossJoin'd 1-row aggregates
+(no driver collect); the per-doc top-k window partitions by doc_id —
+never a global window. Scores are rounded to 6dp BEFORE ranking with a
+term tiebreak, so both engines of the cross-engine gate order
+identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def tfidf_topk(docs: DataFrame, k: int = 2) -> DataFrame:
+    """docs(doc_id, text) → (doc_id, rank, term, tf, score, bm25): the
+    top-``k`` terms per document by smooth TF-IDF
+    (``tf · (ln((N+1)/(df+1)) + 1)``), with the Okapi BM25 weight
+    (k1=1.2, b=0.75) carried alongside."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    avg_dl = dlen.agg(F.avg("dl").alias("avg_dl"))
+
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dlen, "doc_id")
+        .crossJoin(n_docs)
+        .crossJoin(avg_dl)
+    )
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    bm25_idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    bm25_tf = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avg_dl"))
+    )
+    scored = scored.select(
+        "doc_id", "term", "tf",
+        F.round(F.col("tf") * idf, 6).alias("score"),
+        F.round(bm25_idf * bm25_tf, 6).alias("bm25"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "score", "bm25")
+    )

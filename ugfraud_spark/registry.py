@@ -26,6 +26,7 @@ from .operators import (
     attrs,
     ranges,
     rollup,
+    tfidf,
     bfs,
     components,
     hits,
@@ -707,12 +708,58 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_ROLLUP = """
 SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,
        COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value,
-       ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+       ROUND(ROUND(SUM(value), 6) / COUNT(*), 6) AS avg_value
 FROM events GROUP BY 2, 3
 UNION ALL
 SELECT 'day', date_trunc('day', ts), event_type,
-       COUNT(*), ROUND(SUM(value), 6), ROUND(SUM(value) / COUNT(*), 6)
+       COUNT(*), ROUND(SUM(value), 6),
+       ROUND(ROUND(SUM(value), 6) / COUNT(*), 6)
 FROM events GROUP BY 2, 3
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF/BM25 gate: top-2 terms per document with both weights,
+    hash-matched against DuckDB recomputing the whole pipeline
+    (tokenize → tf → df → smooth idf → BM25 → ranked) from raw text."""
+    d = tables.load(spark, sf_dir, "documents")
+    return tfidf.tfidf_topk(d, k=2)
+
+
+SQL_TFIDF_TOPK = """
+WITH tok AS MATERIALIZED (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS MATERIALIZED (
+    SELECT doc_id, term, COUNT(*) AS tf FROM tok
+    WHERE term <> '' GROUP BY 1, 2
+),
+dfreq AS MATERIALIZED (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+dlen AS MATERIALIZED (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+a AS (SELECT AVG(dl) AS avg_dl FROM dlen),
+scored AS (
+    SELECT t.doc_id, t.term, t.tf,
+           ROUND(t.tf * (LN((n.n_docs + CAST(1.0 AS DOUBLE))
+                            / (d.df + CAST(1.0 AS DOUBLE)))
+                         + CAST(1.0 AS DOUBLE)), 6) AS score,
+           ROUND(LN(CAST(1.0 AS DOUBLE)
+                    + (n.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                      / (d.df + CAST(0.5 AS DOUBLE)))
+                 * (t.tf * CAST(2.2 AS DOUBLE))
+                   / (t.tf + CAST(1.2 AS DOUBLE)
+                      * (CAST(0.25 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE) * l.dl / a.avg_dl)),
+                 6) AS bm25
+    FROM tf t JOIN dfreq d USING (term) JOIN dlen l USING (doc_id)
+    CROSS JOIN n CROSS JOIN a
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term
+    ) AS rank FROM scored
+)
+SELECT doc_id, rank, term, tf, score, bm25 FROM ranked WHERE rank <= 2
 """
 
 
@@ -950,6 +997,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "events_asof_join": (q_events_asof, SQL_EVENTS_ASOF),
         "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE),
         "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
+        "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     }
     return {
         name: ((_mod_guard(entry[0], m), entry[1])
