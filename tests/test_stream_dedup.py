@@ -1,0 +1,40 @@
+"""Streaming exact dedup (streaming/events.py:run_stream_dedup). The
+cross-engine gate (doubled delivery → recover the raw events view) runs
+in test_oracle_parity; this test proves the redelivery is REAL — the
+un-deduped drain of the same symlinked source sees deliveries×N rows —
+so the gate can't pass by silently reading one copy."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from ugfraud_spark.streaming.events import EVENT_SCHEMA, run_stream_dedup
+
+SRC = "/root/testdata/sf0.001/events.parquet"
+
+
+def test_stream_dedup_recovers_batch_and_redelivery_is_real(spark):
+    batch = spark.read.parquet(SRC)
+    n = batch.count()
+
+    # control: the same symlink fan-out WITHOUT dropDuplicates yields 3N
+    tmp = tempfile.mkdtemp(prefix="dedup_ctrl_")
+    for i in range(3):
+        os.symlink(SRC, os.path.join(tmp, f"d{i}_events.parquet"))
+    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(tmp)
+    q = (raw.writeStream.format("memory").queryName("dedup_ctrl")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.table("dedup_ctrl").count() == 3 * n
+
+    out = run_stream_dedup(spark, SRC, deliveries=3)
+    got = {tuple(sorted(r.asDict().items())) for r in out.collect()}
+    exp = {
+        tuple(sorted(r.asDict().items()))
+        for r in spark.sql(
+            f"SELECT event_id, ts, user_id, event_type, "
+            f"ROUND(value, 6) AS value FROM parquet.`{SRC}`"
+        ).collect()
+    }
+    assert got == exp

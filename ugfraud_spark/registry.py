@@ -461,6 +461,21 @@ def q_events_stream_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stats_as_text(out)
 
 
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup gate: every event delivered TWICE to a real
+    readStream (symlinked source), watermark + dropDuplicates(event_id)
+    must recover the batch table exactly — the oracle is a plain SELECT
+    of the raw events view."""
+    return streaming_events.run_stream_dedup(
+        spark, f"{sf_dir}/events.parquet")
+
+
+SQL_EVENTS_STREAM_DEDUP = """
+SELECT event_id, ts, user_id, event_type, ROUND(value, 6) AS value
+FROM events
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     return streaming_events.sessionize(ev, gap_minutes=30)
@@ -998,6 +1013,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE),
         "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
         "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+        "events_stream_dedup": (q_events_stream_dedup,
+                                SQL_EVENTS_STREAM_DEDUP),
     }
     return {
         name: ((_mod_guard(entry[0], m), entry[1])

@@ -158,6 +158,64 @@ def stateful_user_stats_stream(spark: SparkSession, parquet_path: str) -> DataFr
     )
 
 
+def run_stream_dedup(spark: SparkSession, parquet_path: str,
+                     key_cols: tuple[str, ...] = ("event_id",),
+                     watermark: str = "90 days",
+                     deliveries: int = 2) -> DataFrame:
+    """Streaming exact dedup — at-least-once delivery made effectively-
+    once: the source is exposed to the stream ``deliveries`` times (the
+    sandbox stand-in for redelivery; symlinks, zero copies), and
+    ``withWatermark + dropDuplicates`` on the event key must recover the
+    original table EXACTLY — first delivery wins, later ones hit state.
+
+    At scale the state store keeps one entry per key inside the
+    watermark horizon (size it to the redelivery window — here it
+    covers the whole input so nothing is ever late-dropped), backed by
+    RocksDB; the key is the state-shuffle key, so dedup scales like any
+    keyed aggregation. Append mode: each key emits once, on first
+    sight."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tmp_dir = tempfile.mkdtemp(prefix="events_dedup_src_")
+    files = (
+        [parquet_path] if os.path.isfile(parquet_path)
+        else [os.path.join(parquet_path, f)
+              for f in sorted(os.listdir(parquet_path))
+              if f.endswith(".parquet")]
+    )
+    for i in range(deliveries):
+        for f in files:
+            os.symlink(f, os.path.join(
+                tmp_dir, f"delivery{i}_{os.path.basename(f)}"))
+
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(tmp_dir)
+        .withWatermark("ts", watermark)
+    )
+    deduped = src.dropDuplicates(list(key_cols))
+    tag = hashlib.md5(f"{parquet_path}:{deliveries}".encode()).hexdigest()[:10]
+    name = f"events_stream_dedup_{tag}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return spark.table(name).select(
+        "event_id", "ts", "user_id", "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
 def run_stream_once(spark: SparkSession, parquet_path: str,
                     minutes: int = 60, watermark: str = "2 hours") -> DataFrame:
     """Execute the windowed aggregation as a REAL Structured Streaming
