@@ -51,6 +51,36 @@ def test_ngram_jaccard_ranks_neardups_high(spark, docs_with_dups):
     assert exact and all(v == 1.0 for v in exact)
 
 
+def test_dedup_clusters_transitive_chain(spark):
+    """A→B→C edit chain where A~C alone falls BELOW the pair threshold
+    must still land in one cluster (closure, not pairwise), canonical =
+    least doc_id; untouched docs don't appear at all."""
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(300)]
+    base = list(rng.choice(vocab, size=100))
+    b = base.copy()
+    b[10], b[40] = "X1", "X2"
+    c = b.copy()
+    c[70], c[90] = "X3", "X4"
+    other = list(rng.choice(vocab, size=100))
+    rows = [(1, " ".join(base)), (2, " ".join(b)), (3, " ".join(c)),
+            (10, " ".join(other)), (11, " ".join(other)),
+            (20, " ".join(list(rng.choice(vocab, size=100))))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+         for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    assert j[(1, 2)] >= 0.8 and j[(2, 3)] >= 0.8
+    assert j.get((1, 3), 0.0) < 0.8  # the chain link LSH can't shortcut
+
+    out = {r["doc_id"]: r for r in dedup.dedup_clusters(docs).collect()}
+    assert [out[i]["canonical_id"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert out[1]["cluster_size"] == 3 and out[1]["is_canonical"] == 1
+    assert out[2]["is_canonical"] == 0 and out[3]["is_canonical"] == 0
+    assert out[10]["canonical_id"] == 10 and out[10]["cluster_size"] == 2
+    assert 20 not in out
+
+
 def test_simhash_close_for_neardups(spark, docs_with_dups):
     s = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs_with_dups).collect()}
     def ham(a, b):

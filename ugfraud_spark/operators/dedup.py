@@ -142,6 +142,44 @@ def lsh_candidate_pairs(docs: DataFrame,
     )
 
 
+def dedup_clusters(docs: DataFrame, threshold: float = 0.8,
+                   max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(doc_id, canonical_id, cluster_size, is_canonical): duplicate
+    CLUSTERS — the pipeline step that consumes the near-dup pairs.
+
+    Verified pairs (exact shingle Jaccard >= ``threshold``) form a
+    graph; its exact connected components (min-label propagation to
+    fixpoint, ``components.connected_components``) are the duplicate
+    clusters, and the canonical survivor of each cluster is its least
+    doc_id — the deterministic keep-one rule a training-data dedup
+    pass applies before writing the corpus back out.
+
+    Scale: the pair graph holds ONLY near-dup docs (a small fraction
+    of the corpus even at 100 TB) and its components have tiny
+    diameter (dup clusters are near-cliques), so the CC fixpoint runs
+    few rounds over a frame orders of magnitude smaller than the
+    corpus. cluster_size is a ``Window.partitionBy(component)`` count
+    — one shuffle keyed by cluster, no global ordering, and no skew
+    risk because the band-bucket cap upstream already bounds any one
+    cluster's pair count."""
+    from pyspark.sql import Window
+
+    from .components import connected_components
+
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold,
+                                max_bucket=max_bucket)
+    edges = pairs.select(F.col("doc_a").alias("a"),
+                         F.col("doc_b").alias("b"))
+    cc = connected_components(edges)
+    w = Window.partitionBy("component")
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("id") == F.col("component")).cast("int").alias("is_canonical"),
+    )
+
+
 def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 16-char '0'/'1' signature string."""
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))

@@ -554,11 +554,10 @@ def sql_simhash(bits: int = 16) -> str:
     )
 
 
-def sql_ngram_jaccard(h: int = 12, bands: int = 4, rows: int = 3,
-                      max_bucket: int = 512) -> str:
-    """``max_bucket`` mirrors dedup.MAX_BUCKET: band buckets above the
-    cap are excluded before the self-join on BOTH engines (integer
-    count — exact)."""
+def _ngram_jaccard_ctes(h: int = 12, bands: int = 4, rows: int = 3,
+                        max_bucket: int = 512) -> tuple[list, str]:
+    """(ctes, final select) for the full near-dup pipeline — shared by
+    ``sql_ngram_jaccard`` and ``sql_dedup_clusters``."""
     ctes = _minhash_ctes(h)
     band_selects = []
     for b in range(bands):
@@ -585,12 +584,58 @@ def sql_ngram_jaccard(h: int = 12, bands: int = 4, rows: int = 3,
          "JOIN dsh b ON b.doc_id = p.doc_b AND b.sh = a.sh "
          "GROUP BY p.doc_a, p.doc_b"),
     ]
-    return _with(
-        ctes,
+    final = (
         "SELECT p.doc_a, p.doc_b, ROUND(COALESCE(i.i, 0) "
         "/ CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE), 6) AS jaccard "
         "FROM pairs p LEFT JOIN isect i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b "
-        "JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b",
+        "JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b"
+    )
+    return ctes, final
+
+
+def sql_ngram_jaccard(h: int = 12, bands: int = 4, rows: int = 3,
+                      max_bucket: int = 512) -> str:
+    """``max_bucket`` mirrors dedup.MAX_BUCKET: band buckets above the
+    cap are excluded before the self-join on BOTH engines (integer
+    count — exact)."""
+    ctes, final = _ngram_jaccard_ctes(h, bands, rows, max_bucket)
+    return _with(ctes, final)
+
+
+def sql_dedup_clusters(threshold: float = 0.8, h: int = 12, bands: int = 4,
+                       rows: int = 3, max_bucket: int = 512) -> str:
+    """Duplicate CLUSTERS: verified near-dup pairs (jaccard >=
+    ``threshold``) -> exact transitive closure via a recursive CTE ->
+    canonical = least doc_id reachable (incl. self). Mirrors
+    dedup.dedup_clusters, whose engine-side closure is min-label
+    propagation to fixpoint — both are the exact connected components
+    of the thresholded pair graph, independently computed."""
+    ctes, jfinal = _ngram_jaccard_ctes(h, bands, rows, max_bucket)
+    ctes = ctes + [
+        ("jp", jfinal),
+        ("dup",
+         f"SELECT doc_a, doc_b FROM jp WHERE jaccard >= {threshold!r}"),
+        ("e",
+         "SELECT doc_a AS u, doc_b AS v FROM dup "
+         "UNION ALL SELECT doc_b AS u, doc_a AS v FROM dup"),
+    ]
+    body = ",\n".join(f"{n} AS MATERIALIZED (\n{s}\n)" for n, s in ctes)
+    # the recursive member cannot be MATERIALIZED; UNION (set) semantics
+    # bound the closure and guarantee termination
+    return (
+        "WITH RECURSIVE " + body + ",\n"
+        "reach(u, v) AS (\n"
+        "  SELECT u, v FROM e\n"
+        "  UNION\n"
+        "  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v\n"
+        "),\n"
+        "canon AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS canonical_id "
+        "FROM reach GROUP BY u),\n"
+        "sizes AS (SELECT canonical_id, COUNT(*) AS cluster_size "
+        "FROM canon GROUP BY canonical_id)\n"
+        "SELECT c.doc_id, c.canonical_id, s.cluster_size, "
+        "CAST(c.doc_id = c.canonical_id AS INT) AS is_canonical "
+        "FROM canon c JOIN sizes s USING (canonical_id)"
     )
 
 

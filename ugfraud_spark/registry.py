@@ -597,6 +597,13 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(tables.load(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → exact connected components → canonical doc per
+    cluster: the keep-one dedup decision a training-data pipeline
+    writes back out (oracle: recursive-CTE transitive closure)."""
+    return dedup.dedup_clusters(tables.load(spark, sf_dir, "documents"))
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token count + quality stats + language-ID + fingerprint + SimHash
     in one frame (merged text-analysis queries — simhash folded in to
@@ -1015,6 +1022,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
         "events_stream_dedup": (q_events_stream_dedup,
                                 SQL_EVENTS_STREAM_DEDUP),
+        "dedup_clusters": (q_dedup_clusters, oracle.sql_dedup_clusters()),
     }
     return {
         name: ((_mod_guard(entry[0], m), entry[1])
