@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from ugfraud_spark.operators import ann, dedup, multimodal
+from ugfraud_spark.operators import ann, dedup, mix, multimodal
 
 
 @pytest.fixture(scope="module")
@@ -49,6 +49,34 @@ def test_ngram_jaccard_ranks_neardups_high(spark, docs_with_dups):
     assert planted and min(planted) > 0.8
     exact = [j[(i, 2000 + i)] for i in [0, 15, 30, 45] if (i, 2000 + i) in j]
     assert exact and all(v == 1.0 for v in exact)
+
+
+def test_corpus_sample_mix_rates_and_stability(spark, sf_small):
+    """rate=1.0 keeps a stratum exactly; fractional rates land near
+    their target; and the keep decision is PER-DOC deterministic — the
+    kept set of a subset equals the subset of the kept set (no RNG, no
+    dependence on corpus composition or partitioning)."""
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    rates = {"en": 0.25, "zh": 1.0}
+    kept = mix.corpus_sample(docs, rates, default_rate=0.5).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert len(by_lang["zh"]) == totals["zh"]  # rate 1.0 keeps all
+    en_frac = len(by_lang.get("en", ())) / totals["en"]
+    assert 0.1 < en_frac < 0.4  # hash uniformity at ~tens of docs
+    for lang in totals:
+        if lang not in rates:
+            frac = len(by_lang.get(lang, ())) / totals[lang]
+            assert 0.25 < frac < 0.75
+
+    sub = docs.where(F.col("doc_id") % 3 == 0)
+    kept_sub = {r["doc_id"] for r in
+                mix.corpus_sample(sub, rates, default_rate=0.5).collect()}
+    kept_all = {r["doc_id"] for r in kept}
+    assert kept_sub == {i for i in kept_all if i % 3 == 0}
 
 
 def test_dedup_clusters_transitive_chain(spark):

@@ -1,0 +1,54 @@
+"""Corpus mixing: deterministic per-stratum sampling for training-data
+mixture weighting ("keep all of lang A, a quarter of lang B, ...").
+
+Beyond the reference (training-data pipeline layer, task brief): the
+reference's only sampling is `semi_data` / `random_split` over users
+(`Utils/helper.py`); this is the documents-table analog a pretraining
+pipeline runs to hit target language/source proportions.
+
+Mechanics: a document is kept iff its Knuth-multiplicative id hash
+falls below its stratum's integer cut ``floor(rate * PRIOR_MOD)`` —
+the same deterministic, shuffle-free decision rule `random_split` and
+the svm_classify fit cap already use, so keep-sets are stable across
+runs, engines, partitionings, and cluster sizes (no RNG, no
+`sample()`), and a re-run after adding documents keeps exactly the
+docs it kept before. The cuts are computed ONCE in Python and shipped
+as integer literals so both the engine and the DuckDB oracle do pure
+int64 arithmetic — no float rounding can diverge.
+
+Scale: the rate table is configuration-sized and broadcast; the filter
+is a narrow map over the corpus scan (predicate on id and the joined
+cut — no shuffle, no window, no aggregation), so the operator runs at
+scan speed on any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.tables import PRIOR_MOD, PRIOR_MULT
+
+
+def stratum_cuts(rates: dict[str, float]) -> dict[str, int]:
+    """rate in [0, 1] -> integer hash cut, floored once in Python."""
+    return {k: int(float(v) * PRIOR_MOD) for k, v in rates.items()}
+
+
+def corpus_sample(docs: DataFrame, rates: dict[str, float],
+                  default_rate: float = 1.0,
+                  strat_col: str = "lang") -> DataFrame:
+    """(doc_id, <strat_col>, source): the kept subset of ``docs`` under
+    per-stratum keep rates (unlisted strata use ``default_rate``)."""
+    spark = docs.sparkSession
+    cuts = stratum_cuts(rates)
+    dim = spark.createDataFrame(
+        sorted(cuts.items()), f"{strat_col} string, cut long"
+    )
+    default_cut = int(float(default_rate) * PRIOR_MOD)
+    h = F.pmod(F.col("doc_id") * F.lit(PRIOR_MULT), F.lit(PRIOR_MOD))
+    return (
+        docs.join(F.broadcast(dim), strat_col, "left")
+        .where(h < F.coalesce("cut", F.lit(default_cut)))
+        .select("doc_id", strat_col, "source")
+    )

@@ -639,6 +639,27 @@ def sql_dedup_clusters(threshold: float = 0.8, h: int = 12, bands: int = 4,
     )
 
 
+def sql_corpus_sample_mix(rates: dict[str, float],
+                          default_rate: float) -> str:
+    """Mirror of mix.corpus_sample: keep a doc iff its Knuth hash falls
+    below the stratum's integer cut. The cuts come from the SAME
+    ``stratum_cuts`` call the engine uses — both engines evaluate pure
+    int64 arithmetic on literals."""
+    from .operators.mix import stratum_cuts
+    from .sources.tables import PRIOR_MOD, PRIOR_MULT
+
+    cuts = stratum_cuts(rates)
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {c}" for k, c in sorted(cuts.items())
+    )
+    default_cut = int(float(default_rate) * PRIOR_MOD)
+    return (
+        "SELECT doc_id, lang, source FROM documents "
+        f"WHERE (doc_id * {PRIOR_MULT}) % {PRIOR_MOD} < "
+        f"CASE {cases} ELSE {default_cut} END"
+    )
+
+
 def sql_text_features(bits: int = 16) -> str:
     """One pass over documents with ALL the text-analysis operators:
     token count, quality stats, language-ID heuristic, fingerprint, AND

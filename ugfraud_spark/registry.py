@@ -37,6 +37,7 @@ from .operators import (
     fraudar,
     gang,
     labelprop,
+    mix,
     multimodal,
     pagerank,
     prior,
@@ -604,6 +605,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(tables.load(spark, sf_dir, "documents"))
 
 
+# pinned mixture for the corpus_sample_mix gate: keep all Chinese, a
+# quarter of English, half of Spanish, an eighth of anything else
+MIX_RATES = {"en": 0.25, "zh": 1.0, "es": 0.5}
+MIX_DEFAULT = 0.125
+
+
+def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language keep-rate sampling (training-data
+    mixture weighting): shuffle-free hash filter, broadcast rate dim."""
+    return mix.corpus_sample(tables.load(spark, sf_dir, "documents"),
+                             MIX_RATES, default_rate=MIX_DEFAULT)
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token count + quality stats + language-ID + fingerprint + SimHash
     in one frame (merged text-analysis queries — simhash folded in to
@@ -1023,6 +1037,10 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "events_stream_dedup": (q_events_stream_dedup,
                                 SQL_EVENTS_STREAM_DEDUP),
         "dedup_clusters": (q_dedup_clusters, oracle.sql_dedup_clusters()),
+        "corpus_sample_mix": (
+            q_corpus_sample_mix,
+            oracle.sql_corpus_sample_mix(MIX_RATES, MIX_DEFAULT),
+        ),
     }
     return {
         name: ((_mod_guard(entry[0], m), entry[1])
