@@ -51,6 +51,29 @@ def test_ngram_jaccard_ranks_neardups_high(spark, docs_with_dups):
     assert exact and all(v == 1.0 for v in exact)
 
 
+def test_repetition_metrics_hand_computed(spark):
+    """Planted docs with hand-computable repetition fractions."""
+    from ugfraud_spark.functions import text as tx
+
+    rows = [(1, "a a b"),        # 2 distinct of 3; top 'a' 2/3; bigrams all distinct
+            (2, "x x x x"),      # top 1.0; bigram 'x x' x3 -> dup 2/3
+            (3, "p q r s")]      # no repetition at all
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exprs = tx.repetition_exprs(F.col("text"))
+    out = {r["doc_id"]: r for r in docs.select(
+        "doc_id", *[c.alias(n) for n, c in exprs.items()]).collect()}
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["dup_word_frac"] == round(1 - 2 / 3, 6)
+    assert out[1]["top_word_frac"] == round(2 / 3, 6)
+    assert out[1]["dup_bigram_frac"] == 0.0
+    assert out[2]["dup_word_frac"] == 0.75
+    assert out[2]["top_word_frac"] == 1.0
+    assert out[2]["dup_bigram_frac"] == round(1 - 1 / 3, 6)
+    assert out[3]["dup_word_frac"] == 0.0
+    assert out[3]["top_word_frac"] == 0.25
+    assert out[3]["dup_bigram_frac"] == 0.0
+
+
 def test_corpus_sample_mix_rates_and_stability(spark, sf_small):
     """rate=1.0 keeps a stratum exactly; fractional rates land near
     their target; and the keep decision is PER-DOC deterministic — the

@@ -93,6 +93,57 @@ def predicted_lang(text: Column) -> Column:
     return expr
 
 
+def repetition_exprs(text: Column) -> dict[str, Column]:
+    """Gopher/C4-style repetition metrics — duplicate-word fraction,
+    top-word fraction, duplicate-bigram fraction — as PURE array
+    expressions (split → array_distinct / zip_with / sorted-run
+    aggregate): zero shuffle, zero UDF, scan-speed at any corpus size.
+    The top-word count is the longest run in the sorted token array
+    (``F.aggregate`` with a (prev, run, best) struct fold), so no
+    explode + groupBy is needed on the engine side; the DuckDB mirror
+    computes the same number by unnest + group-by max — independent
+    algorithms, equal results."""
+    arr = F.split(text, " ")
+    n = F.size(arr)
+    nd = n.cast("double")
+    bigrams = F.zip_with(
+        F.slice(arr, 1, n - 1),
+        F.slice(arr, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    srt = F.array_sort(arr)
+    run_next = lambda acc, x: F.when(  # noqa: E731
+        x == acc["prev"], acc["run"] + 1
+    ).otherwise(F.lit(1))
+    best = F.aggregate(
+        srt,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_next(acc, x).alias("run"),
+            F.greatest(acc["best"], run_next(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return {
+        "n_tokens": n.cast("long"),
+        "dup_word_frac": F.round(
+            F.lit(1.0) - F.size(F.array_distinct(arr)) / nd, 6
+        ),
+        "top_word_frac": F.round(best / nd, 6),
+        "dup_bigram_frac": F.when(
+            n > 1,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(bigrams)) / (nd - 1.0), 6
+            ),
+        ).otherwise(F.lit(0.0)),
+    }
+
+
 def fingerprint(text: Column) -> Column:
     """Polynomial rolling hash of the first FP_LEN chars (space-padded):
     Σ ascii(c_i)·31^i mod 1e9+7 — the document-fingerprint operator."""

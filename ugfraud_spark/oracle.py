@@ -639,6 +639,32 @@ def sql_dedup_clusters(threshold: float = 0.8, h: int = 12, bands: int = 4,
     )
 
 
+def sql_quality_repetition() -> str:
+    """Mirror of text.repetition_exprs, by a DIFFERENT algorithm: the
+    engine folds a sorted-run aggregate for the top-word count; this
+    oracle unnests and group-by-maxes. DuckDB lists are 1-indexed;
+    range(1, n) yields i = 1..n-1 so bigram i pairs w[i] with w[i+1]."""
+    return _with(
+        [("sp",
+          "SELECT doc_id, string_split(text, ' ') AS w FROM documents"),
+         ("tok", "SELECT doc_id, UNNEST(w) AS t FROM sp"),
+         ("wc",
+          "SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t"),
+         ("top", "SELECT doc_id, MAX(c) AS topc FROM wc GROUP BY doc_id"),
+         ("base",
+          "SELECT doc_id, LEN(w) AS n, LEN(list_distinct(w)) AS d, "
+          "LEN(list_distinct(list_transform(range(1, LEN(w)), "
+          "i -> w[i] || ' ' || w[i + 1]))) AS db FROM sp")],
+        "SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens, "
+        "ROUND(1 - b.d / CAST(b.n AS DOUBLE), 6) AS dup_word_frac, "
+        "ROUND(top.topc / CAST(b.n AS DOUBLE), 6) AS top_word_frac, "
+        "CASE WHEN b.n > 1 THEN "
+        "ROUND(1 - b.db / CAST(b.n - 1 AS DOUBLE), 6) "
+        "ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_frac "
+        "FROM base b JOIN top USING (doc_id)",
+    )
+
+
 def sql_corpus_sample_mix(rates: dict[str, float],
                           default_rate: float) -> str:
     """Mirror of mix.corpus_sample: keep a doc iff its Knuth hash falls

@@ -618,6 +618,18 @@ def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                              MIX_RATES, default_rate=MIX_DEFAULT)
 
 
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality metrics per document — pure
+    zero-shuffle array expressions (sorted-run fold for the top word);
+    oracle recomputes by unnest + group-by, a different algorithm."""
+    from .functions import text as tx
+
+    docs = tables.load(spark, sf_dir, "documents")
+    exprs = tx.repetition_exprs(F.col("text"))
+    return docs.select("doc_id",
+                       *[c.alias(name) for name, c in exprs.items()])
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token count + quality stats + language-ID + fingerprint + SimHash
     in one frame (merged text-analysis queries — simhash folded in to
@@ -1041,6 +1053,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
             q_corpus_sample_mix,
             oracle.sql_corpus_sample_mix(MIX_RATES, MIX_DEFAULT),
         ),
+        "quality_repetition": (q_quality_repetition,
+                               oracle.sql_quality_repetition()),
     }
     return {
         name: ((_mod_guard(entry[0], m), entry[1])
