@@ -247,6 +247,13 @@ def run_suite(sf_dir: str) -> dict:
     probe2 = superstep_throughput(spark, SCALE_EDGES, SCALE_VERTICES)
     if probe2["edges_per_sec"] > probe["edges_per_sec"]:
         probe = probe2
+    # same adaptive rule the queries use: when even the BEST attempt
+    # lost >3% of its window to hypervisor steal, both attempts ran
+    # dirty — buy one (bounded) extra attempt at a quieter window
+    if probe["steal_jiffies"] > 0.03 * max(probe["busy_jiffies"], 1):
+        probe3 = superstep_throughput(spark, SCALE_EDGES, SCALE_VERTICES)
+        if probe3["edges_per_sec"] > probe["edges_per_sec"]:
+            probe = probe3
     conv = superstep_throughput(spark, SUITE_EDGES, SUITE_VERTICES,
                                 iters=1, with_convergence=True)
     probe["iters_to_1e-6"] = conv["iters_to_1e-6"]
