@@ -71,6 +71,40 @@ def test_lsh_buckets_plan_dim_independent(spark):
     assert p4.translate(tr) == p64.translate(tr)
 
 
+def test_repetition_plan_is_pure_projection(spark):
+    """repetition_exprs folds everything inside the row (array_distinct
+    / zip_with / sorted-run aggregate): the plan must carry NO Exchange,
+    NO Window, NO Generate — scan-speed at any corpus size."""
+    from ugfraud_spark.functions import text as tx
+
+    docs = _docs(spark, ["a a b", "x x x x"])
+    exprs = tx.repetition_exprs(F.col("text"))
+    plan = _plan(docs.select("doc_id",
+                             *[c.alias(n) for n, c in exprs.items()]))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
+def test_corpus_sample_plan_broadcasts_rates(spark):
+    """corpus_sample joins a configuration-sized rate dim: the plan must
+    use a broadcast join and carry no shuffle Exchange of the corpus
+    (BroadcastExchange of the dim is the only exchange allowed)."""
+    from ugfraud_spark.operators import mix
+
+    docs = spark.createDataFrame(
+        [(1, "t", "en", "s"), (2, "t", "de", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    plan = _plan(mix.corpus_sample(docs, {"en": 0.5}, default_rate=0.25))
+    assert "BroadcastHashJoin" in plan, plan
+    import re
+
+    shuffles = [l for l in re.findall(r"\(\d+\) \w*Exchange\w*", plan)
+                if "Broadcast" not in l]
+    assert not shuffles, plan
+
+
 def test_block_spmv_edge_side_stays_put(spark):
     """The per-superstep cogroup must read the cached CSR blocks
     WITHOUT an Exchange above them: the one-time build repartitions on
