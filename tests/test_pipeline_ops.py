@@ -51,6 +51,27 @@ def test_ngram_jaccard_ranks_neardups_high(spark, docs_with_dups):
     assert exact and all(v == 1.0 for v in exact)
 
 
+def test_incremental_dedup_directional(spark):
+    """A batch doc near-dupping a corpus doc is reported; a novel batch
+    doc is not; corpus-internal duplicate pairs are NOT reported (the
+    join is directional — the corpus was already deduped)."""
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(300)]
+    a = list(rng.choice(vocab, size=100))
+    corpus_rows = [(1, " ".join(a)), (2, " ".join(a)),  # internal dup pair
+                   (3, " ".join(list(rng.choice(vocab, size=100))))]
+    near = a.copy()
+    near[10], near[40] = "X1", "X2"
+    batch_rows = [(100, " ".join(near)),
+                  (101, " ".join(list(rng.choice(vocab, size=100))))]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    out = dedup.incremental_dedup(corpus, batch, threshold=0.8).collect()
+    got = {(r["new_id"], r["old_id"]) for r in out}
+    assert got == {(100, 1), (100, 2)}, got
+    assert all(r["jaccard"] >= 0.8 for r in out)
+
+
 def test_repetition_metrics_hand_computed(spark):
     """Planted docs with hand-computable repetition fractions."""
     from ugfraud_spark.functions import text as tx

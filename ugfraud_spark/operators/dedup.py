@@ -91,15 +91,8 @@ def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFram
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(docs: DataFrame,
-                        max_bucket: int = MAX_BUCKET,
-                        sh: DataFrame | None = None) -> DataFrame:
-    """(doc_a, doc_b): distinct candidate near-dup pairs from banded LSH.
-
-    Buckets larger than ``max_bucket`` are dropped (and logged) before
-    the self-join — the skew cap that keeps one degenerate band key from
-    going quadratic at corpus scale."""
-    sig = minhash_signatures(docs, sh=sh)
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey): one banded LSH key row per (doc, band)."""
     bands = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
@@ -110,9 +103,22 @@ def lsh_candidate_pairs(docs: DataFrame,
                 F.md5(F.concat_ws("|", *cols)).alias("bkey"),
             )
         )
-    all_bands = bands[0]
+    out = bands[0]
     for x in bands[1:]:
-        all_bands = all_bands.unionAll(x)
+        out = out.unionAll(x)
+    return out
+
+
+def lsh_candidate_pairs(docs: DataFrame,
+                        max_bucket: int = MAX_BUCKET,
+                        sh: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b): distinct candidate near-dup pairs from banded LSH.
+
+    Buckets larger than ``max_bucket`` are dropped (and logged) before
+    the self-join — the skew cap that keeps one degenerate band key from
+    going quadratic at corpus scale."""
+    sig = minhash_signatures(docs, sh=sh)
+    all_bands = _band_keys(sig)
     all_bands = all_bands.localCheckpoint(eager=True)  # feeds cap agg + join
     big = (
         all_bands.groupBy("band", "bkey")
@@ -140,6 +146,85 @@ def lsh_candidate_pairs(docs: DataFrame,
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def incremental_dedup(corpus: DataFrame, batch: DataFrame,
+                      threshold: float = 0.0,
+                      max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(new_id, old_id, jaccard): for each document in a NEW ``batch``,
+    its near-dup partners already in the existing ``corpus`` — the
+    admission check an incremental crawl runs before appending, so the
+    corpus is deduped against itself AND against everything already
+    ingested without ever re-self-joining the whole corpus.
+
+    Doc-id spaces are assumed disjoint (an id present on both sides
+    would pair with itself). The LSH join is DIRECTIONAL: batch band
+    keys x corpus band keys on (band, bkey) — an equi-join whose big
+    side is the corpus band frame, which at scale is persisted once
+    (bucketed by (band, bkey)) and probed by every day's batch instead
+    of being rebuilt. Oversized band buckets are dropped per side with
+    the same cap (and the same logged caveat) as the self-join path.
+    Verification joins candidates only — never batch x corpus."""
+    sh_c = shingles(corpus).localCheckpoint(eager=True)
+    sh_b = shingles(batch).localCheckpoint(eager=True)
+    kc = _band_keys(minhash_signatures(corpus, sh=sh_c)) \
+        .localCheckpoint(eager=True)
+    kb = _band_keys(minhash_signatures(batch, sh=sh_b)) \
+        .localCheckpoint(eager=True)
+
+    def _kept(k: DataFrame, side: str) -> DataFrame:
+        big = (
+            k.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket)
+            .localCheckpoint(eager=True)
+        )
+        stats = big.agg(F.count(F.lit(1)).alias("k"),
+                        F.sum("n").alias("rows")).collect()[0]
+        if stats["k"]:
+            log.warning(
+                "incremental_dedup: dropped %d oversized %s band "
+                "bucket(s) (> %d members; %d doc-band rows) — near-dup "
+                "pairs through those buckets are NOT reported",
+                stats["k"], side, max_bucket, stats["rows"],
+            )
+        return k.join(big.select("band", "bkey"), ["band", "bkey"],
+                      "left_anti")
+
+    pairs = (
+        _kept(kb, "batch").withColumnRenamed("doc_id", "new_id")
+        .join(_kept(kc, "corpus").withColumnRenamed("doc_id", "old_id"),
+              ["band", "bkey"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+
+    shb = sh_b.distinct().withColumnRenamed("doc_id", "new_id")
+    shc = sh_c.distinct().withColumnRenamed("doc_id", "old_id")
+    cb = shb.groupBy("new_id").agg(F.count(F.lit(1)).alias("nb"))
+    ccnt = shc.groupBy("old_id").agg(F.count(F.lit(1)).alias("nc"))
+    isect = (
+        pairs.join(shb, "new_id")
+        .join(shc, ["old_id", "sh"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        pairs.join(isect, ["new_id", "old_id"], "left")
+        .join(cb, "new_id")
+        .join(ccnt, "old_id")
+        .select(
+            "new_id", "old_id",
+            F.round(
+                F.coalesce("i", F.lit(0))
+                / (F.col("nb") + F.col("nc") - F.coalesce("i", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out
 
 
 def dedup_clusters(docs: DataFrame, threshold: float = 0.8,

@@ -523,13 +523,14 @@ def sql_dedup_exact() -> str:
     )
 
 
-def _minhash_ctes(h: int):
+def _minhash_ctes(h: int, src: str = "documents", suffix: str = ""):
     aggs = ", ".join(
         f"MIN(MD5('{j}:' || sh)) AS mh{j}" for j in range(h)
     )
     return [
-        ("sh", _SHINGLES),
-        ("sig", f"SELECT doc_id, {aggs} FROM sh GROUP BY doc_id"),
+        (f"sh{suffix}", _SHINGLES.replace("FROM documents", f"FROM {src}")),
+        (f"sig{suffix}",
+         f"SELECT doc_id, {aggs} FROM sh{suffix} GROUP BY doc_id"),
     ]
 
 
@@ -637,6 +638,70 @@ def sql_dedup_clusters(threshold: float = 0.8, h: int = 12, bands: int = 4,
         "CAST(c.doc_id = c.canonical_id AS INT) AS is_canonical "
         "FROM canon c JOIN sizes s USING (canonical_id)"
     )
+
+
+def sql_incremental_dedup(threshold: float = 0.0, h: int = 12,
+                          bands: int = 4, rows: int = 3,
+                          max_bucket: int = 512, mod: int = 7) -> str:
+    """Mirror of dedup.incremental_dedup over the doc_id % ``mod``
+    corpus/batch split the registry query pins: per-side band keys,
+    per-side bucket caps, a DIRECTIONAL batch x corpus band join, and
+    candidate-only Jaccard verification."""
+    ctes = [
+        ("corpus_docs",
+         f"SELECT * FROM documents WHERE doc_id % {mod} != 0"),
+        ("batch_docs",
+         f"SELECT * FROM documents WHERE doc_id % {mod} = 0"),
+    ]
+    ctes += _minhash_ctes(h, "corpus_docs", "_c")
+    ctes += _minhash_ctes(h, "batch_docs", "_b")
+    for suf in ("_c", "_b"):
+        band_selects = []
+        for b in range(bands):
+            cols = " || '|' || ".join(
+                f"mh{b * rows + r}" for r in range(rows)
+            )
+            band_selects.append(
+                f"SELECT doc_id, {b} AS band, MD5({cols}) AS bkey "
+                f"FROM sig{suf}"
+            )
+        ctes += [
+            (f"bands{suf}", " UNION ALL ".join(band_selects)),
+            (f"kept{suf}",
+             "SELECT doc_id, band, bkey FROM ("
+             "SELECT doc_id, band, bkey, "
+             "COUNT(*) OVER (PARTITION BY band, bkey) AS bn "
+             f"FROM bands{suf}) WHERE bn <= {max_bucket}"),
+        ]
+    ctes += [
+        ("pairs",
+         "SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS old_id "
+         "FROM kept_b b JOIN kept_c c "
+         "ON b.band = c.band AND b.bkey = c.bkey"),
+        ("dsh_b", "SELECT DISTINCT doc_id, sh FROM sh_b"),
+        ("dsh_c", "SELECT DISTINCT doc_id, sh FROM sh_c"),
+        ("cnt_b",
+         "SELECT doc_id, COUNT(*) AS n FROM dsh_b GROUP BY doc_id"),
+        ("cnt_c",
+         "SELECT doc_id, COUNT(*) AS n FROM dsh_c GROUP BY doc_id"),
+        ("isect",
+         "SELECT p.new_id, p.old_id, COUNT(*) AS i FROM pairs p "
+         "JOIN dsh_b a ON a.doc_id = p.new_id "
+         "JOIN dsh_c b ON b.doc_id = p.old_id AND b.sh = a.sh "
+         "GROUP BY p.new_id, p.old_id"),
+    ]
+    final = (
+        "SELECT p.new_id, p.old_id, ROUND(COALESCE(i.i, 0) "
+        "/ CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE), 6) AS jaccard "
+        "FROM pairs p "
+        "LEFT JOIN isect i ON i.new_id = p.new_id AND i.old_id = p.old_id "
+        "JOIN cnt_b ca ON ca.doc_id = p.new_id "
+        "JOIN cnt_c cb ON cb.doc_id = p.old_id"
+    )
+    if threshold > 0:
+        final = (f"SELECT * FROM ({final}) "
+                 f"WHERE jaccard >= {threshold!r}")
+    return _with(ctes, final)
 
 
 def sql_quality_repetition() -> str:

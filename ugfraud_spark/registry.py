@@ -618,6 +618,19 @@ def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                              MIX_RATES, default_rate=MIX_DEFAULT)
 
 
+INCR_DEDUP_MOD = 7  # doc_id % 7 == 0 plays the "new crawl batch"
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch vs existing-corpus near-dup admission check: a
+    directional LSH band join (batch keys probe the corpus band frame,
+    which at scale persists across daily batches) + candidate-only
+    Jaccard verify — never a corpus self-join per batch."""
+    docs = tables.load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % INCR_DEDUP_MOD
+    return dedup.incremental_dedup(docs.where(m != 0), docs.where(m == 0))
+
+
 def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition quality metrics per document — pure
     zero-shuffle array expressions (sorted-run fold for the top word);
@@ -1055,6 +1068,10 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         ),
         "quality_repetition": (q_quality_repetition,
                                oracle.sql_quality_repetition()),
+        "incremental_dedup": (
+            q_incremental_dedup,
+            oracle.sql_incremental_dedup(mod=INCR_DEDUP_MOD),
+        ),
     }
     return {
         name: ((_mod_guard(entry[0], m), entry[1])
