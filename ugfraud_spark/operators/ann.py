@@ -249,3 +249,19 @@ def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.9,
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def neardup_clusters(emb: DataFrame, threshold: float = 0.9,
+                     n_planes: int = N_PLANES,
+                     max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(vec_id, canonical_id, cluster_size, is_canonical): the embedding
+    analog of dedup.dedup_clusters — cosine near-dup pairs form a
+    graph whose exact connected components are the duplicate clusters;
+    the canonical survivor is the least vec_id. The component input is
+    pairs-only (items that matched something), so the fixpoint runs on
+    a frame far smaller than the embedding table."""
+    from .components import pairs_to_clusters
+
+    pairs = lsh_neardup_pairs(emb, threshold=threshold,
+                              n_planes=n_planes, max_bucket=max_bucket)
+    return pairs_to_clusters(pairs, "vec_a", "vec_b", "vec_id")

@@ -79,6 +79,28 @@ def cc_minprop(edges_ab: DataFrame, iters: int = 30) -> DataFrame:
     return res.state.select("id", F.col("lbl").alias("component"))
 
 
+def pairs_to_clusters(pairs: DataFrame, a_col: str, b_col: str,
+                      id_alias: str) -> DataFrame:
+    """(id, canonical_id, cluster_size, is_canonical) from a pair frame:
+    exact components of the pair graph, canonical = least id per
+    cluster (min-label fixpoint labels ARE the least reachable id),
+    size via a per-cluster window count (no global ordering). The pair
+    graph holds only items that matched SOMETHING, so this runs on a
+    frame far smaller than the corpus that produced the pairs."""
+    from pyspark.sql import Window
+
+    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    cc = connected_components(edges)
+    w = Window.partitionBy("component")
+    return cc.select(
+        F.col("id").alias(id_alias),
+        F.col("component").alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("id") == F.col("component")).cast("int")
+        .alias("is_canonical"),
+    )
+
+
 def connected_components(edges_ab: DataFrame, max_iter: int = 100) -> DataFrame:
     """Exact components: min-propagation to fixpoint (residual = number
     of vertices whose label changed, stop at 0)."""

@@ -247,22 +247,11 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.8,
     — one shuffle keyed by cluster, no global ordering, and no skew
     risk because the band-bucket cap upstream already bounds any one
     cluster's pair count."""
-    from pyspark.sql import Window
-
-    from .components import connected_components
+    from .components import pairs_to_clusters
 
     pairs = ngram_jaccard_pairs(docs, threshold=threshold,
                                 max_bucket=max_bucket)
-    edges = pairs.select(F.col("doc_a").alias("a"),
-                         F.col("doc_b").alias("b"))
-    cc = connected_components(edges)
-    w = Window.partitionBy("component")
-    return cc.select(
-        F.col("id").alias("doc_id"),
-        F.col("component").alias("canonical_id"),
-        F.count(F.lit(1)).over(w).alias("cluster_size"),
-        (F.col("id") == F.col("component")).cast("int").alias("is_canonical"),
-    )
+    return pairs_to_clusters(pairs, "doc_a", "doc_b", "doc_id")
 
 
 def simhash(docs: DataFrame) -> DataFrame:

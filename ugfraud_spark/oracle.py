@@ -612,30 +612,38 @@ def sql_dedup_clusters(threshold: float = 0.8, h: int = 12, bands: int = 4,
     propagation to fixpoint — both are the exact connected components
     of the thresholded pair graph, independently computed."""
     ctes, jfinal = _ngram_jaccard_ctes(h, bands, rows, max_bucket)
+    ctes = ctes + [("jp", jfinal)]
+    dup = f"SELECT doc_a, doc_b FROM jp WHERE jaccard >= {threshold!r}"
+    return _closure_sql(ctes, dup, "doc_a", "doc_b", "doc_id")
+
+
+def _closure_sql(ctes: list, dup_sql: str, a: str, b: str,
+                 id_alias: str) -> str:
+    """Shared cluster-closure assembly: pair CTE -> symmetric edge list
+    -> recursive-CTE transitive closure -> canonical = least reachable
+    id (incl. self) + cluster sizes. The recursive member cannot be
+    MATERIALIZED; UNION (set) semantics bound the closure and
+    guarantee termination."""
     ctes = ctes + [
-        ("jp", jfinal),
-        ("dup",
-         f"SELECT doc_a, doc_b FROM jp WHERE jaccard >= {threshold!r}"),
-        ("e",
-         "SELECT doc_a AS u, doc_b AS v FROM dup "
-         "UNION ALL SELECT doc_b AS u, doc_a AS v FROM dup"),
+        ("cl_dup", dup_sql),
+        ("cl_e",
+         f"SELECT {a} AS u, {b} AS v FROM cl_dup "
+         f"UNION ALL SELECT {b} AS u, {a} AS v FROM cl_dup"),
     ]
     body = ",\n".join(f"{n} AS MATERIALIZED (\n{s}\n)" for n, s in ctes)
-    # the recursive member cannot be MATERIALIZED; UNION (set) semantics
-    # bound the closure and guarantee termination
     return (
         "WITH RECURSIVE " + body + ",\n"
         "reach(u, v) AS (\n"
-        "  SELECT u, v FROM e\n"
+        "  SELECT u, v FROM cl_e\n"
         "  UNION\n"
-        "  SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v\n"
+        "  SELECT r.u, cl_e.v FROM reach r JOIN cl_e ON cl_e.u = r.v\n"
         "),\n"
-        "canon AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS canonical_id "
-        "FROM reach GROUP BY u),\n"
+        f"canon AS (SELECT u AS {id_alias}, LEAST(u, MIN(v)) AS "
+        "canonical_id FROM reach GROUP BY u),\n"
         "sizes AS (SELECT canonical_id, COUNT(*) AS cluster_size "
         "FROM canon GROUP BY canonical_id)\n"
-        "SELECT c.doc_id, c.canonical_id, s.cluster_size, "
-        "CAST(c.doc_id = c.canonical_id AS INT) AS is_canonical "
+        f"SELECT c.{id_alias}, c.canonical_id, s.cluster_size, "
+        f"CAST(c.{id_alias} = c.canonical_id AS INT) AS is_canonical "
         "FROM canon c JOIN sizes s USING (canonical_id)"
     )
 
@@ -841,17 +849,13 @@ def sql_multimodal_decode() -> str:
     )
 
 
-def sql_ann_lsh_neardup(threshold: float = 0.35, n_planes: int = 8,
-                        max_bucket: int = 4096) -> str:
-    """Sign-LSH near-dup pairs: the ±1 hyperplanes are the same
-    multiplicative-hash pattern the Spark side generates
-    (ann.plane_sign), so both engines bucket identically; cosine is
-    rounded to 6dp before the threshold on both sides. ``max_bucket``
-    mirrors ann.MAX_BUCKET — oversized buckets excluded on both
-    engines."""
+def _ann_neardup_ctes(threshold: float = 0.35, n_planes: int = 8,
+                      max_bucket: int = 4096):
+    """(ctes, final) for sign-LSH near-dup pairs — shared by
+    ``sql_ann_lsh_neardup`` and ``sql_ann_neardup_clusters``."""
     sgn = ("CASE WHEN ((p * 131 + d * 31) * 2654435761) % 1000003 % 2 = 0 "
            "THEN x ELSE -x END")
-    return _with(
+    return (
         [("e", "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"),
          ("dims",
           "SELECT vec_id, UNNEST(emb) AS x, UNNEST(range(len(emb))) AS d FROM e"),
@@ -877,6 +881,28 @@ def sql_ann_lsh_neardup(threshold: float = 0.35, n_planes: int = 8,
           "JOIN e b ON b.vec_id = p.vec_b")],
         f"SELECT vec_a, vec_b, cos FROM scored WHERE cos >= {_d(threshold)}",
     )
+
+
+def sql_ann_lsh_neardup(threshold: float = 0.35, n_planes: int = 8,
+                        max_bucket: int = 4096) -> str:
+    """Sign-LSH near-dup pairs: the ±1 hyperplanes are the same
+    multiplicative-hash pattern the Spark side generates
+    (ann.plane_sign), so both engines bucket identically; cosine is
+    rounded to 6dp before the threshold on both sides. ``max_bucket``
+    mirrors ann.MAX_BUCKET — oversized buckets excluded on both
+    engines."""
+    ctes, final = _ann_neardup_ctes(threshold, n_planes, max_bucket)
+    return _with(ctes, final)
+
+
+def sql_ann_neardup_clusters(threshold: float = 0.35, n_planes: int = 8,
+                             max_bucket: int = 4096) -> str:
+    """Embedding near-dup CLUSTERS: the thresholded cosine pair graph's
+    exact transitive closure, canonical = least vec_id — mirror of
+    ann.neardup_clusters (min-label propagation), independently
+    computed via the shared recursive-CTE assembly."""
+    ctes, final = _ann_neardup_ctes(threshold, n_planes, max_bucket)
+    return _closure_sql(ctes, final, "vec_a", "vec_b", "vec_id")
 
 
 FIXTURE_DIR = "/root/repo/fixtures/oracle/sf0.01"

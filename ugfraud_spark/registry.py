@@ -618,6 +618,13 @@ def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                              MIX_RATES, default_rate=MIX_DEFAULT)
 
 
+def q_ann_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs → exact connected components →
+    canonical vector per cluster (the embedding-side keep-one rule)."""
+    e = tables.load(spark, sf_dir, "embeddings")
+    return ann.neardup_clusters(e, threshold=0.35)
+
+
 INCR_DEDUP_MOD = 7  # doc_id % 7 == 0 plays the "new crawl batch"
 
 
@@ -1072,6 +1079,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
             q_incremental_dedup,
             oracle.sql_incremental_dedup(mod=INCR_DEDUP_MOD),
         ),
+        "ann_neardup_clusters": (q_ann_neardup_clusters,
+                                 oracle.sql_ann_neardup_clusters(0.35)),
     }
     return {
         name: ((_mod_guard(entry[0], m), entry[1])
