@@ -26,6 +26,28 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
+    """(term, n_occurrences, doc_freq): the corpus's top-``k`` terms by
+    total occurrence count (ties broken by term) — the canonical
+    distributed word count, plus document frequency. One explode + one
+    groupBy on term (partial aggregation map-side combines before the
+    shuffle; doc_freq rides the same shuffle as a distinct-doc count);
+    the top-k is an orderBy+limit, which Spark executes as TakeOrdered
+    (per-partition heaps + a k-row driver merge) — no global sort is
+    ever materialized. (count, term) is a total order, so the k-cut is
+    deterministic on both engines."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    return (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"),
+             F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def tfidf_topk(docs: DataFrame, k: int = 2) -> DataFrame:
     """docs(doc_id, text) → (doc_id, rank, term, tf, score, bm25): the
     top-``k`` terms per document by smooth TF-IDF

@@ -648,6 +648,18 @@ def _closure_sql(ctes: list, dup_sql: str, a: str, b: str,
     )
 
 
+def sql_vocab_topk(k: int = 50) -> str:
+    """Mirror of tfidf.vocab_topk: the (count DESC, term ASC) total
+    order makes the k-cut deterministic on both engines."""
+    return (
+        "SELECT term, COUNT(*) AS n_occurrences, "
+        "COUNT(DISTINCT doc_id) AS doc_freq "
+        "FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term "
+        "FROM documents) WHERE term != '' "
+        f"GROUP BY term ORDER BY n_occurrences DESC, term LIMIT {k}"
+    )
+
+
 def sql_incremental_dedup(threshold: float = 0.0, h: int = 12,
                           bands: int = 4, rows: int = 3,
                           max_bucket: int = 512, mod: int = 7) -> str:

@@ -618,6 +618,13 @@ def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                              MIX_RATES, default_rate=MIX_DEFAULT)
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary statistics: top-50 terms by occurrence
+    count with document frequency — one groupBy(term) with map-side
+    partials, top-k as TakeOrdered (no global sort)."""
+    return tfidf.vocab_topk(tables.load(spark, sf_dir, "documents"))
+
+
 def q_ann_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs → exact connected components →
     canonical vector per cluster (the embedding-side keep-one rule)."""
@@ -1081,6 +1088,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         ),
         "ann_neardup_clusters": (q_ann_neardup_clusters,
                                  oracle.sql_ann_neardup_clusters(0.35)),
+        "vocab_topk": (q_vocab_topk, oracle.sql_vocab_topk()),
     }
     return {
         name: ((_mod_guard(entry[0], m), entry[1])
