@@ -51,6 +51,28 @@ def test_ngram_jaccard_ranks_neardups_high(spark, docs_with_dups):
     assert exact and all(v == 1.0 for v in exact)
 
 
+def test_grouped_percentiles_matches_numpy(spark):
+    """The histogram + cumulative walk must reproduce np.percentile's
+    linear interpolation exactly, per group, including duplicates."""
+    from ugfraud_spark.operators import attrs
+
+    rng = np.random.RandomState(3)
+    rows = [("a", int(v)) for v in rng.randint(0, 40, size=173)]
+    rows += [("b", int(v)) for v in rng.randint(100, 110, size=31)]
+    rows += [("c", 7)]  # singleton group: every percentile is the value
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in
+           attrs.grouped_percentiles(df, "g", "v", [0.5, 0.9, 0.99]).collect()}
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        assert out[g]["n_rows"] == len(vals)
+        for p, cname in ((50, "p50"), (90, "p90"), (99, "p99")):
+            assert out[g][cname] == round(float(np.percentile(vals, p)), 6), \
+                (g, cname)
+
+
 def test_incremental_dedup_directional(spark):
     """A batch doc near-dupping a corpus doc is reported; a novel batch
     doc is not; corpus-internal duplicate pairs are NOT reported (the

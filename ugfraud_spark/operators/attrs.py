@@ -167,3 +167,52 @@ def rank_stats(values: DataFrame, col: str) -> DataFrame:
         F.min(col).alias("min_v"), F.max(col).alias("max_v")
     )
     return mm.crossJoin(med).select("min_v", "med_v", "max_v")
+
+
+def grouped_percentiles(df: DataFrame, group_col: str, val_col: str,
+                        ps: list[float]) -> DataFrame:
+    """Exact per-group percentiles (linear interpolation — the
+    np.percentile / SQL ``quantile_cont`` definition) WITHOUT buffering
+    any group's values: aggregate to a (group, value)-histogram first
+    (map-side combined; its size is groups x distinct values, not
+    rows), cumulative-count it with a group-partitioned window (never
+    a global order), and read each percentile off the cumulative
+    distribution — the k-th (0-based) order statistic is the least
+    value whose cumulative count reaches k+1, and the interpolated
+    percentile blends the two straddling order statistics. Per-task
+    memory is one group's DISTINCT-value histogram — for bounded
+    integer features this is tiny at any corpus size (a continuous
+    value column would instead use the rank_stats range-partition
+    pattern above)."""
+    from pyspark.sql import Window
+
+    hist = df.groupBy(group_col, val_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wcum = (
+        Window.partitionBy(group_col).orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        hist.withColumn("_cum", F.sum("_c").over(wcum))
+        .withColumn("_tot", F.sum("_c").over(Window.partitionBy(group_col)))
+    )
+    v = F.col(val_col).cast("double")
+    aggs = [F.first("_tot").alias("_tot")]
+    for i, p in enumerate(ps):
+        r = (F.col("_tot") - 1) * F.lit(float(p))
+        aggs.append(F.min(F.when(F.col("_cum") >= F.floor(r) + 1, v))
+                    .alias(f"_vlo{i}"))
+        aggs.append(F.min(F.when(F.col("_cum") >= F.ceil(r) + 1, v))
+                    .alias(f"_vhi{i}"))
+    g = cum.groupBy(group_col).agg(*aggs)
+    out_cols = [F.col(group_col), F.col("_tot").alias("n_rows")]
+    for i, p in enumerate(ps):
+        r = (F.col("_tot") - 1) * F.lit(float(p))
+        frac = r - F.floor(r)
+        out_cols.append(
+            F.round(F.col(f"_vlo{i}")
+                    + frac * (F.col(f"_vhi{i}") - F.col(f"_vlo{i}")), 6)
+            .alias(f"p{int(round(p * 100))}")
+        )
+    return g.select(*out_cols)

@@ -648,6 +648,20 @@ def _closure_sql(ctes: list, dup_sql: str, a: str, b: str,
     )
 
 
+def sql_doc_length_stats() -> str:
+    """Mirror of attrs.grouped_percentiles over (lang, n_chars) — the
+    oracle uses DuckDB's native ``quantile_cont`` (same linear-
+    interpolation definition) instead of the engine's histogram walk:
+    independent algorithms, equal numbers."""
+    return (
+        "SELECT lang, COUNT(*) AS n_rows, "
+        "ROUND(quantile_cont(n_chars, 0.5), 6) AS p50, "
+        "ROUND(quantile_cont(n_chars, 0.9), 6) AS p90, "
+        "ROUND(quantile_cont(n_chars, 0.99), 6) AS p99 "
+        "FROM documents GROUP BY lang"
+    )
+
+
 def sql_vocab_topk(k: int = 50) -> str:
     """Mirror of tfidf.vocab_topk: the (count DESC, term ASC) total
     order makes the k-cut deterministic on both engines."""

@@ -618,6 +618,15 @@ def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                              MIX_RATES, default_rate=MIX_DEFAULT)
 
 
+def q_doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language doc-length percentiles via the histogram +
+    cumulative-distribution plan — no group's raw values are ever
+    buffered (attrs.grouped_percentiles)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return attrs.grouped_percentiles(docs, "lang", "n_chars",
+                                     [0.5, 0.9, 0.99])
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level vocabulary statistics: top-50 terms by occurrence
     count with document frequency — one groupBy(term) with map-side
@@ -1089,6 +1098,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "ann_neardup_clusters": (q_ann_neardup_clusters,
                                  oracle.sql_ann_neardup_clusters(0.35)),
         "vocab_topk": (q_vocab_topk, oracle.sql_vocab_topk()),
+        "doc_length_stats": (q_doc_length_stats,
+                             oracle.sql_doc_length_stats()),
     }
     return {
         name: ((_mod_guard(entry[0], m), entry[1])
