@@ -38,3 +38,33 @@ def test_stream_dedup_recovers_batch_and_redelivery_is_real(spark):
         ).collect()
     }
     assert got == exp
+
+
+def test_stream_incremental_dedup_microbatch_invariant(spark):
+    """The streaming admission check must produce EXACTLY the one-shot
+    batch result however the stream is micro-batched: split the source
+    into 3 files and force one file per trigger (3 real micro-batches),
+    then compare against the batch operator on the same split."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ugfraud_spark.operators.dedup import incremental_dedup
+    from ugfraud_spark.streaming.corpus import (
+        run_stream_incremental_dedup,
+    )
+
+    sf_small = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    src_dir = tempfile.mkdtemp(prefix="incr_multi_src_")
+    try:
+        docs.repartition(3).write.mode("overwrite").parquet(src_dir)
+        streamed = run_stream_incremental_dedup(
+            spark, src_dir, mod=7, max_files_per_trigger=1)
+        m = F.col("doc_id") % 7
+        batch = incremental_dedup(docs.where(m != 0), docs.where(m == 0))
+        s_rows = sorted(tuple(r) for r in streamed.collect())
+        b_rows = sorted(tuple(r) for r in batch.collect())
+        assert s_rows == b_rows and len(s_rows) > 0
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)

@@ -477,6 +477,19 @@ FROM events
 """
 
 
+def q_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus admission gate: the batch half of the documents
+    table arrives through a real readStream and each micro-batch is
+    admission-checked against the static corpus in foreachBatch; the
+    pair union must equal the one-shot batch check (directionality
+    makes the operator micro-batch-decomposable), so the oracle is the
+    SAME SQL as the batch query."""
+    from .streaming import corpus as streaming_corpus
+
+    return streaming_corpus.run_stream_incremental_dedup(
+        spark, f"{sf_dir}/documents.parquet", mod=INCR_DEDUP_MOD)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load(spark, sf_dir, "events")
     return streaming_events.sessionize(ev, gap_minutes=30)
@@ -1100,6 +1113,10 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "vocab_topk": (q_vocab_topk, oracle.sql_vocab_topk()),
         "doc_length_stats": (q_doc_length_stats,
                              oracle.sql_doc_length_stats()),
+        "incremental_dedup_stream": (
+            q_incremental_dedup_stream,
+            oracle.sql_incremental_dedup(mod=INCR_DEDUP_MOD),
+        ),
     }
     return {
         name: ((_mod_guard(entry[0], m), entry[1])

@@ -1,0 +1,101 @@
+"""Streaming corpus admission: new documents arrive as a stream and
+each micro-batch is near-dup-checked against the STATIC existing
+corpus — the continuous form of the incremental-crawl admission check
+(`operators.dedup.incremental_dedup`).
+
+Why this composes safely with micro-batching: the admission check is
+DIRECTIONAL (batch docs are compared against the corpus, never against
+each other), so its result set is a per-doc function of (doc, corpus).
+However Structured Streaming splits the arriving docs into
+micro-batches, the union of per-batch results is EXACTLY the
+single-batch result — no cross-batch state is needed, which is what
+makes the operator streamable with plain ``foreachBatch`` and no state
+store at all. (In-batch self-dups are the WITHIN-batch dedup's job —
+`run_stream_dedup` / the batch self-join path — not admission's.)
+
+At scale: the corpus band frame is computed once per stream start and
+persists across micro-batches (here it is rebuilt per batch by the
+batch operator — the sandbox corpus is small; the swap point is
+documented in `incremental_dedup`); each micro-batch then costs one
+directional band join sized by the batch, not the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import incremental_dedup
+
+DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("source", T.StringType(), True),
+    T.StructField("n_chars", T.LongType(), True),
+])
+
+
+def run_stream_incremental_dedup(spark: SparkSession, parquet_path: str,
+                                 mod: int = 7,
+                                 threshold: float = 0.0,
+                                 max_files_per_trigger: int | None = None,
+                                 ) -> DataFrame:
+    """(new_id, old_id, jaccard): docs with ``doc_id % mod == 0`` play
+    the arriving stream (filtered stream-side), the rest the static
+    corpus; every micro-batch runs the batch admission check inside
+    ``foreachBatch`` and appends its pairs to a parquet sink. Output
+    equals the one-shot batch `incremental_dedup` regardless of how
+    the stream was micro-batched (directionality — see module doc)."""
+    corpus = (
+        spark.read.schema(DOC_SCHEMA).parquet(parquet_path)
+        .where(F.col("doc_id") % mod != 0)
+    )
+    out_dir = tempfile.mkdtemp(prefix="incr_dedup_out_")
+    sink = os.path.join(out_dir, "pairs")
+
+    # the parquet STREAM source requires a directory; expose the file
+    # through a symlinked dir (zero copies — same trick as
+    # events.run_stream_dedup)
+    src_dir = os.path.join(out_dir, "src")
+    os.makedirs(src_dir)
+    files = (
+        [parquet_path] if os.path.isfile(parquet_path)
+        else [os.path.join(parquet_path, f)
+              for f in sorted(os.listdir(parquet_path))
+              if f.endswith(".parquet")]
+    )
+    for f in files:
+        os.symlink(f, os.path.join(src_dir, os.path.basename(f)))
+
+    def _admit(batch_df: DataFrame, _epoch: int) -> None:
+        incremental_dedup(corpus, batch_df, threshold=threshold) \
+            .write.mode("append").parquet(sink)
+
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger:
+        # forces a MULTI-micro-batch run (one file per trigger) — the
+        # decomposability test drives this to prove batch-split
+        # invariance; availableNow still drains everything
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(src_dir).where(F.col("doc_id") % mod == 0)
+    q = (
+        src.writeStream.foreachBatch(_admit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        rows = spark.read.parquet(sink).collect()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "new_id long, old_id long, jaccard double",
+    )
