@@ -475,7 +475,12 @@ throughput by design and reported per pair for transparency.
 
 Generated by `python bench.py --scaling` on {time.strftime('%Y-%m-%d')}.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # an all-discarded run certifies nothing: park it in a candidate
+    # file instead of clobbering the committed certified report (this
+    # bit a hostile-host run on 2026-08-18 — every pair stolen >10%)
+    name = ("BASELINE.candidate.md"
+            if report.get("all_contaminated_fallback") else "BASELINE.md")
+    with open(os.path.join(REPO, "BENCH", name), "w") as f:
         f.write(md)
 
 
