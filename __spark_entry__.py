@@ -4,7 +4,7 @@
 derived web-ish graph at sf0.001). ``queries()``/``oracle_sql()`` expose
 every implemented operator with its DuckDB oracle (see
 ``ugfraud_spark/registry.py``) up to the driver's 50-entry recording
-budget; 17 FURTHER oracle-gated queries live in
+budget; 15 FURTHER oracle-gated queries live in
 ``registry.build_shadow_registry`` and run through the identical
 cross-engine gate in ``tests/test_oracle_parity.py`` (as-of/range
 joins, rollup, TF-IDF, weighted SSSP, dedup clusters, incremental +

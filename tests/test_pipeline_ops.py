@@ -61,6 +61,9 @@ def test_grouped_percentiles_matches_numpy(spark):
     rows += [("b", int(v)) for v in rng.randint(100, 110, size=31)]
     rows += [("c", 7)]  # singleton group: every percentile is the value
     df = spark.createDataFrame(rows, "g string, v long")
+    # NULLs must be ignored (quantile_cont semantics), not ranked
+    df = df.unionAll(spark.createDataFrame(
+        [("a", None), ("c", None)], "g string, v long"))
     out = {r["g"]: r for r in
            attrs.grouped_percentiles(df, "g", "v", [0.5, 0.9, 0.99]).collect()}
     by_g = {}

@@ -40,7 +40,7 @@ def test_stream_dedup_recovers_batch_and_redelivery_is_real(spark):
     assert got == exp
 
 
-def test_stream_incremental_dedup_microbatch_invariant(spark):
+def test_stream_incremental_dedup_microbatch_invariant(spark, sf_small):
     """The streaming admission check must produce EXACTLY the one-shot
     batch result however the stream is micro-batched: split the source
     into 3 files and force one file per trigger (3 real micro-batches),
@@ -54,7 +54,6 @@ def test_stream_incremental_dedup_microbatch_invariant(spark):
         run_stream_incremental_dedup,
     )
 
-    sf_small = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf_small}/documents.parquet")
     src_dir = tempfile.mkdtemp(prefix="incr_multi_src_")
     try:

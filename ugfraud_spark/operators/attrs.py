@@ -186,8 +186,12 @@ def grouped_percentiles(df: DataFrame, group_col: str, val_col: str,
     pattern above)."""
     from pyspark.sql import Window
 
-    hist = df.groupBy(group_col, val_col).agg(
-        F.count(F.lit(1)).alias("_c")
+    # NULL values are excluded up front (matching SQL quantile_cont /
+    # np.percentile-over-non-null semantics); left in, they would form
+    # their own histogram row and shift every order statistic
+    hist = (
+        df.where(F.col(val_col).isNotNull())
+        .groupBy(group_col, val_col).agg(F.count(F.lit(1)).alias("_c"))
     )
     wcum = (
         Window.partitionBy(group_col).orderBy(val_col)

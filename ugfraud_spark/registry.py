@@ -482,8 +482,9 @@ def q_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     table arrives through a real readStream and each micro-batch is
     admission-checked against the static corpus in foreachBatch; the
     pair union must equal the one-shot batch check (directionality
-    makes the operator micro-batch-decomposable), so the oracle is the
-    SAME SQL as the batch query."""
+    makes the operator micro-batch-decomposable whenever no batch-side
+    band bucket hits the skew cap at one-shot scope — true at the gate
+    scales), so the oracle is the SAME SQL as the batch query."""
     from .streaming import corpus as streaming_corpus
 
     return streaming_corpus.run_stream_incremental_dedup(

@@ -7,17 +7,23 @@ Why this composes safely with micro-batching: the admission check is
 DIRECTIONAL (batch docs are compared against the corpus, never against
 each other), so its result set is a per-doc function of (doc, corpus).
 However Structured Streaming splits the arriving docs into
-micro-batches, the union of per-batch results is EXACTLY the
-single-batch result — no cross-batch state is needed, which is what
-makes the operator streamable with plain ``foreachBatch`` and no state
-store at all. (In-batch self-dups are the WITHIN-batch dedup's job —
+micro-batches, the union of per-batch results equals the single-batch
+result — no cross-batch state is needed, which is what makes the
+operator streamable with plain ``foreachBatch`` and no state store at
+all. (In-batch self-dups are the WITHIN-batch dedup's job —
 `run_stream_dedup` / the batch self-join path — not admission's.)
+One precise caveat scopes the claim: the BATCH-side oversized-bucket
+cap is evaluated per micro-batch, so a batch band bucket that exceeds
+``max_bucket`` only at one-shot scope is dropped by the one-shot call
+but kept (in bounded per-batch pieces) by the stream — equality holds
+whenever no batch-side bucket is capped at one-shot scope, and each
+micro-batch's join stays bounded either way, which is the property
+the cap exists for. The static corpus-side cap never varies.
 
-At scale: the corpus band frame is computed once per stream start and
-persists across micro-batches (here it is rebuilt per batch by the
-batch operator — the sandbox corpus is small; the swap point is
-documented in `incremental_dedup`); each micro-batch then costs one
-directional band join sized by the batch, not the corpus.
+At scale: the corpus shingle + capped band-key frames are computed
+ONCE at stream start (`dedup.build_corpus_index`) and probed by every
+micro-batch — each micro-batch costs one directional band join sized
+by the batch, not the corpus.
 """
 
 from __future__ import annotations
@@ -30,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.dedup import incremental_dedup
+from ..operators.dedup import build_corpus_index, incremental_dedup
 
 DOC_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), True),
@@ -50,12 +56,18 @@ def run_stream_incremental_dedup(spark: SparkSession, parquet_path: str,
     the arriving stream (filtered stream-side), the rest the static
     corpus; every micro-batch runs the batch admission check inside
     ``foreachBatch`` and appends its pairs to a parquet sink. Output
-    equals the one-shot batch `incremental_dedup` regardless of how
-    the stream was micro-batched (directionality — see module doc)."""
+    equals the one-shot batch `incremental_dedup` under any
+    micro-batching, provided no batch-side band bucket exceeds the cap
+    at one-shot scope (directionality + cap caveat — see module doc)."""
+    parquet_path = os.path.abspath(parquet_path)  # symlink targets must
+    # resolve from the temp src dir, not the caller's cwd
     corpus = (
         spark.read.schema(DOC_SCHEMA).parquet(parquet_path)
         .where(F.col("doc_id") % mod != 0)
     )
+    # corpus-side shingles + capped band keys: once per stream, probed
+    # by every micro-batch
+    corpus_index = build_corpus_index(corpus)
     out_dir = tempfile.mkdtemp(prefix="incr_dedup_out_")
     sink = os.path.join(out_dir, "pairs")
 
@@ -70,11 +82,17 @@ def run_stream_incremental_dedup(spark: SparkSession, parquet_path: str,
               for f in sorted(os.listdir(parquet_path))
               if f.endswith(".parquet")]
     )
+    if not files:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        raise FileNotFoundError(
+            f"run_stream_incremental_dedup: no .parquet files under "
+            f"{parquet_path}")
     for f in files:
         os.symlink(f, os.path.join(src_dir, os.path.basename(f)))
 
     def _admit(batch_df: DataFrame, _epoch: int) -> None:
-        incremental_dedup(corpus, batch_df, threshold=threshold) \
+        incremental_dedup(corpus, batch_df, threshold=threshold,
+                          corpus_index=corpus_index) \
             .write.mode("append").parquet(sink)
 
     reader = spark.readStream.schema(DOC_SCHEMA)
