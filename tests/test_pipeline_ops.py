@@ -51,6 +51,33 @@ def test_ngram_jaccard_ranks_neardups_high(spark, docs_with_dups):
     assert exact and all(v == 1.0 for v in exact)
 
 
+def test_lsh_jaccard_verified_against_python(spark):
+    """Randomized model check over the whole LSH+verify chain: every
+    emitted pair's jaccard equals a pure-python recomputation from raw
+    shingle sets, and every planted EXACT duplicate is always emitted
+    (identical text → identical signatures → same band buckets)."""
+    rng = np.random.RandomState(17)
+    vocab = [f"w{i}" for i in range(50)]
+    for _trial in range(3):
+        texts = [" ".join(rng.choice(vocab, size=rng.randint(5, 25)))
+                 for _ in range(30)]
+        texts += [texts[0], texts[5]]  # exact dups with new ids
+        rows = [(i, t) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.ngram_jaccard_pairs(docs).collect()
+
+        def sset(t):
+            w = t.split(" ")
+            return {" ".join(w[j:j + 3]) for j in range(len(w) - 2)}
+
+        ss = {i: sset(t) for i, t in rows}
+        for r in out:
+            a, b = ss[r["doc_a"]], ss[r["doc_b"]]
+            assert r["jaccard"] == round(len(a & b) / len(a | b), 6), r
+        got = {(r["doc_a"], r["doc_b"]) for r in out}
+        assert (0, 30) in got and (5, 31) in got
+
+
 def test_grouped_percentiles_matches_numpy(spark):
     """The histogram + cumulative walk must reproduce np.percentile's
     linear interpolation exactly, per group, including duplicates."""
