@@ -195,3 +195,23 @@ def test_iceberg_state_table_isolation():
     assert a != b
     assert a == catalog.state_table_for("/jobs/a/ck")
     assert a.startswith(catalog.STATE_NAMESPACE + ".superstep_state_")
+
+
+def test_clustering_coefficient_known_graph(spark):
+    """4-clique: every vertex cc = 1.0; appended path vertex of degree 2
+    with no closing edge: cc = 0.0; leaf (degree 1): cc = 0.0 with
+    triangles zero-filled."""
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = clique + [(3, 4), (4, 5)]  # path hanging off vertex 3
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = {r["id"]: r for r in
+           triangles.clustering_coefficient(df).collect()}
+    for v in range(3):
+        assert out[v]["degree"] == 3 and out[v]["triangles"] == 3
+        assert out[v]["clustering"] == 1.0
+    assert out[3]["degree"] == 4 and out[3]["triangles"] == 3
+    assert out[3]["clustering"] == 0.5  # 2*3 / (4*3)
+    assert out[4]["degree"] == 2 and out[4]["triangles"] == 0
+    assert out[4]["clustering"] == 0.0
+    assert out[5]["degree"] == 1 and out[5]["triangles"] == 0
+    assert out[5]["clustering"] == 0.0

@@ -68,6 +68,34 @@ def triangles_per_vertex(edges_ab: DataFrame, oriented: bool = True) -> DataFram
     return members.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
 
 
+def clustering_coefficient(edges_ab: DataFrame) -> DataFrame:
+    """(id, degree, triangles, clustering) for EVERY vertex of the
+    canonical undirected edge set: local clustering coefficient
+    2·tri / (deg·(deg−1)), 0.0 for degree < 2, triangles zero-filled
+    for triangle-free vertices. One degree aggregation + the oriented
+    triangle count + a vertex-keyed left join — nothing beyond the
+    shuffles those two pipelines already pay."""
+    und = edges_ab.select("a", "b")
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangles_per_vertex(und)
+    t = F.coalesce("triangles", F.lit(0))
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id", "degree", t.alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round((2 * t).cast("double")
+                        / (F.col("degree") * (F.col("degree") - 1)), 6),
+            ).otherwise(F.lit(0.0)).alias("clustering"),
+        )
+    )
+
+
 def triangle_total(edges_ab: DataFrame, oriented: bool = True) -> DataFrame:
     und = (_orient_by_degree(edges_ab) if oriented else edges_ab).select("a", "b")
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")

@@ -195,6 +195,33 @@ def sql_triangles(mod: int = UNI_MOD) -> str:
     )
 
 
+def sql_clustering(mod: int = UNI_MOD) -> str:
+    """Local clustering coefficient per vertex: mirror of
+    triangles.clustering_coefficient over the same canonical undirected
+    edge set (integer numerator 2·tri, division in DOUBLE, ROUND 6)."""
+    tri = (
+        "SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1 "
+        "JOIN und e2 ON e2.a = e1.b "
+        "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+    return _with(
+        [("uni", uni_frag(mod)), ("und", UND), ("tri", tri),
+         ("m", "SELECT x AS id FROM tri UNION ALL SELECT y FROM tri "
+               "UNION ALL SELECT z FROM tri"),
+         ("tcnt", "SELECT id, COUNT(*) AS triangles FROM m GROUP BY id"),
+         ("deg",
+          "SELECT id, COUNT(*) AS degree FROM ("
+          "SELECT a AS id FROM und UNION ALL SELECT b FROM und"
+          ") GROUP BY id")],
+        "SELECT d.id, d.degree, COALESCE(t.triangles, 0) AS triangles, "
+        "CASE WHEN d.degree >= 2 THEN "
+        "ROUND(CAST(2 * COALESCE(t.triangles, 0) AS DOUBLE) "
+        "/ CAST(d.degree * (d.degree - 1) AS DOUBLE), 6) "
+        "ELSE CAST(0.0 AS DOUBLE) END AS clustering "
+        "FROM deg d LEFT JOIN tcnt t ON t.id = d.id",
+    )
+
+
 def _d(v: float) -> str:
     """Emit a float as a DuckDB DOUBLE literal (exact repr roundtrip)."""
     return f"CAST({v!r} AS DOUBLE)"

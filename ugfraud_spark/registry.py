@@ -641,6 +641,13 @@ def q_doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      [0.5, 0.9, 0.99])
 
 
+def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient for every vertex of the undirected
+    link graph (degree + oriented triangle count + one left join)."""
+    e = tables.uni_edges_undirected(spark, sf_dir)
+    return triangles.clustering_coefficient(e)
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level vocabulary statistics: top-50 terms by occurrence
     count with document frequency — one groupBy(term) with map-side
@@ -1112,6 +1119,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "ann_neardup_clusters": (q_ann_neardup_clusters,
                                  oracle.sql_ann_neardup_clusters(0.35)),
         "vocab_topk": (q_vocab_topk, oracle.sql_vocab_topk()),
+        "clustering_coefficient": _uni(q_clustering,
+                                       oracle.sql_clustering(mod=m)),
         "doc_length_stats": (q_doc_length_stats,
                              oracle.sql_doc_length_stats()),
         "incremental_dedup_stream": (
