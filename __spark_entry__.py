@@ -4,12 +4,13 @@
 derived web-ish graph at sf0.001). ``queries()``/``oracle_sql()`` expose
 every implemented operator with its DuckDB oracle (see
 ``ugfraud_spark/registry.py``) up to the driver's 50-entry recording
-budget; 15 FURTHER oracle-gated queries live in
-``registry.build_shadow_registry`` and run through the identical
-cross-engine gate in ``tests/test_oracle_parity.py`` (as-of/range
-joins, rollup, TF-IDF, weighted SSSP, dedup clusters, incremental +
-streaming-incremental dedup, mixture sampling, repetition metrics,
-vocabulary top-k, grouped percentiles, IVF-ANN invariants).
+budget; every query beyond the budget lives in
+``registry.build_shadow_registry`` (len() it for the count) and runs
+through the identical cross-engine gate in
+``tests/test_oracle_parity.py`` — as-of/range joins, rollup, TF-IDF,
+weighted SSSP, dedup clusters, incremental + streaming-incremental
+dedup, mixture sampling, repetition metrics, vocabulary top-k,
+grouped percentiles, clustering coefficient, IVF-ANN invariants.
 """
 
 from __future__ import annotations
