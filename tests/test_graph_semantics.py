@@ -215,3 +215,30 @@ def test_clustering_coefficient_known_graph(spark):
     assert out[4]["clustering"] == 0.0
     assert out[5]["degree"] == 1 and out[5]["triangles"] == 0
     assert out[5]["clustering"] == 0.0
+
+
+def test_degree_assortativity_known_and_numpy(spark):
+    """Star graph: exactly -1 (hubs only connect to leaves). Random
+    graph: matches np.corrcoef over the same symmetrized degree
+    pairs."""
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)],
+                                 "a long, b long")
+    r = triangles.degree_assortativity(star).collect()[0]
+    assert r["n_ends"] == 10 and r["assortativity"] == -1.0
+
+    rng = np.random.RandomState(9)
+    edges = {(int(a), int(b)) for a, b in
+             rng.randint(0, 30, size=(120, 2)) if a < b}
+    df = spark.createDataFrame(sorted(edges), "a long, b long")
+    got = triangles.degree_assortativity(df).collect()[0]
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    expect = float(np.corrcoef(xs, ys)[0, 1])
+    assert got["n_ends"] == 2 * len(edges)
+    assert got["assortativity"] == round(expect, 6)

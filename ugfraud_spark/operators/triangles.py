@@ -96,6 +96,48 @@ def clustering_coefficient(edges_ab: DataFrame) -> DataFrame:
     )
 
 
+def degree_assortativity(edges_ab: DataFrame) -> DataFrame:
+    """One row (n_ends, assortativity): Newman's degree-assortativity
+    coefficient — the Pearson correlation of endpoint degrees over the
+    SYMMETRIZED edge list (each undirected edge contributes both
+    (deg u, deg v) and (deg v, deg u), the standard convention).
+    Computed from explicit population moments in one aggregate after
+    two degree joins — no correlation UDF, no collect; the oracle
+    evaluates the identical closed form, so sample-vs-population
+    library conventions can never diverge the gate."""
+    und = edges_ab.select("a", "b")
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+    )
+    sym = und.unionAll(und.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+    xy = (
+        sym.join(deg.select(F.col("id").alias("a"),
+                            F.col("d").alias("x")), "a")
+        .join(deg.select(F.col("id").alias("b"),
+                         F.col("d").alias("y")), "b")
+        .select(F.col("x").cast("double").alias("x"),
+                F.col("y").cast("double").alias("y"))
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    vx = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    vy = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    return agg.select(
+        F.col("n").alias("n_ends"),
+        F.round(cov / F.sqrt(vx * vy), 6).alias("assortativity"),
+    )
+
+
 def triangle_total(edges_ab: DataFrame, oriented: bool = True) -> DataFrame:
     und = (_orient_by_degree(edges_ab) if oriented else edges_ab).select("a", "b")
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")

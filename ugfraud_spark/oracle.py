@@ -222,6 +222,32 @@ def sql_clustering(mod: int = UNI_MOD) -> str:
     )
 
 
+def sql_assortativity(mod: int = UNI_MOD) -> str:
+    """Mirror of triangles.degree_assortativity: the IDENTICAL explicit
+    population-moment closed form (not DuckDB's corr(), whose sample
+    convention could differ), over the symmetrized edge list."""
+    return _with(
+        [("uni", uni_frag(mod)), ("und", UND),
+         ("deg",
+          "SELECT id, COUNT(*) AS d FROM ("
+          "SELECT a AS id FROM und UNION ALL SELECT b FROM und"
+          ") GROUP BY id"),
+         ("sym", "SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und"),
+         ("xy",
+          "SELECT CAST(da.d AS DOUBLE) AS x, CAST(db.d AS DOUBLE) AS y "
+          "FROM sym JOIN deg da ON da.id = sym.a "
+          "JOIN deg db ON db.id = sym.b"),
+         ("s",
+          "SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, "
+          "SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy "
+          "FROM xy")],
+        "SELECT n AS n_ends, ROUND("
+        "(sxy / n - (sx / n) * (sy / n)) / SQRT("
+        "(sxx / n - (sx / n) * (sx / n)) * (syy / n - (sy / n) * (sy / n))"
+        "), 6) AS assortativity FROM s",
+    )
+
+
 def _d(v: float) -> str:
     """Emit a float as a DuckDB DOUBLE literal (exact repr roundtrip)."""
     return f"CAST({v!r} AS DOUBLE)"

@@ -648,6 +648,14 @@ def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles.clustering_coefficient(e)
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree-assortativity scalar over the undirected link
+    graph — explicit population moments, identical closed form on both
+    engines."""
+    e = tables.uni_edges_undirected(spark, sf_dir)
+    return triangles.degree_assortativity(e)
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level vocabulary statistics: top-50 terms by occurrence
     count with document frequency — one groupBy(term) with map-side
@@ -1121,6 +1129,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "vocab_topk": (q_vocab_topk, oracle.sql_vocab_topk()),
         "clustering_coefficient": _uni(q_clustering,
                                        oracle.sql_clustering(mod=m)),
+        "degree_assortativity": _uni(q_assortativity,
+                                     oracle.sql_assortativity(mod=m)),
         "doc_length_stats": (q_doc_length_stats,
                              oracle.sql_doc_length_stats()),
         "incremental_dedup_stream": (
