@@ -217,6 +217,50 @@ def test_clustering_coefficient_known_graph(spark):
     assert out[5]["clustering"] == 0.0
 
 
+def _ktruss_python(edges: set[tuple[int, int]], k: int) -> set:
+    """Brute-force peel until fixpoint: drop edges supported by fewer
+    than k-2 triangles among the remaining edges."""
+    cur = set(edges)
+    while True:
+        sup = defaultdict(int)
+        adj = defaultdict(set)
+        for a, b in cur:
+            adj[a].add(b)
+            adj[b].add(a)
+        for a, b in cur:
+            for c in adj[a] & adj[b]:
+                sup[(a, b)] += 1
+        nxt = {e for e in cur if sup[e] >= k - 2}
+        if nxt == cur:
+            return cur
+        cur = nxt
+
+
+def test_ktruss_known_graph_and_cascade(spark):
+    """K4 ∪ triangle(3,4,5) ∪ triangle(4,5,6): at k=4 the outer
+    triangle edges have support 1 and peel in round 1, which drops
+    (4,5)'s support to 0 so it peels in round 2 — a genuine cascade.
+    Only the K4's six edges survive."""
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(3, 4), (3, 5), (4, 5), (4, 6), (5, 6)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {(r["a"], r["b"]) for r in
+           triangles.ktruss_edges(df, k=4).collect()}
+    assert got == set(k4)
+    assert got == _ktruss_python(set(edges), 4)
+
+
+def test_ktruss_random_matches_python_model(spark):
+    rng = np.random.RandomState(11)
+    edges = {(int(a), int(b)) for a, b in
+             rng.randint(0, 25, size=(160, 2)) if a < b}
+    df = spark.createDataFrame(sorted(edges), "a long, b long")
+    for k in (3, 4, 5):
+        got = {(r["a"], r["b"]) for r in
+               triangles.ktruss_edges(df, k=k, max_rounds=12).collect()}
+        assert got == _ktruss_python(edges, k), f"k={k}"
+
+
 def test_degree_assortativity_known_and_numpy(spark):
     """Star graph: exactly -1 (hubs only connect to leaves). Random
     graph: matches np.corrcoef over the same symmetrized degree

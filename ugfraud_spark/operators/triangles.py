@@ -138,6 +138,49 @@ def degree_assortativity(edges_ab: DataFrame) -> DataFrame:
     )
 
 
+def ktruss_edges(edges_ab: DataFrame, k: int = 4,
+                 max_rounds: int = 6) -> DataFrame:
+    """(a, b): the canonical edges surviving ``max_rounds`` rounds of
+    k-truss peeling — drop every edge supported by fewer than k-2
+    triangles among the REMAINING edges, repeat. Peeling is monotone
+    (support only falls as edges leave), so stopping early at a round
+    that removes nothing is output-identical to running out the fixed
+    count the SQL oracle unrolls — the same early-exit argument as
+    cc_minprop. Each round is the oriented triangle enumeration plus
+    one groupBy on the edge key and one anti-ish left join; rounds
+    needed ≈ peel depth (small on web graphs, like k-core's)."""
+    cur = edges_ab.select("a", "b")
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        cur = cur.localCheckpoint(eager=True)  # reused by 3 self-joins
+        e1, e2, e3 = cur.alias("e1"), cur.alias("e2"), cur.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+            .join(e3, (F.col("e3.a") == F.col("e1.a"))
+                  & (F.col("e3.b") == F.col("e2.b")))
+            .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+                    F.col("e2.b").alias("z"))
+        )
+        sup = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionAll(tri.select(F.col("y").alias("a"),
+                                 F.col("z").alias("b")))
+            .unionAll(tri.select(F.col("x").alias("a"),
+                                 F.col("z").alias("b")))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("s"))
+        )
+        cur = (
+            cur.join(sup, ["a", "b"], "left")
+            .where(F.coalesce("s", F.lit(0)) >= k - 2)
+            .select("a", "b")
+        )
+        n_nxt = cur.count()
+        if n_nxt == n_cur:  # fixpoint: every further round is a no-op
+            break
+        n_cur = n_nxt
+    return cur
+
+
 def triangle_total(edges_ab: DataFrame, oriented: bool = True) -> DataFrame:
     und = (_orient_by_degree(edges_ab) if oriented else edges_ab).select("a", "b")
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")

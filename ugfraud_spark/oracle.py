@@ -248,6 +248,33 @@ def sql_assortativity(mod: int = UNI_MOD) -> str:
     )
 
 
+def sql_ktruss(k: int = 4, rounds: int = 6, mod: int = UNI_MOD) -> str:
+    """Unrolled k-truss peeling: ``rounds`` fixed iterations of
+    (triangle support over remaining edges → drop support < k-2).
+    The engine's monotone early-exit is output-identical to running
+    the full unroll (a fixpoint round removes nothing)."""
+    ctes = [("uni", uni_frag(mod)), ("und", UND),
+            ("t0", "SELECT a, b FROM und")]
+    for r in range(1, rounds + 1):
+        p = f"t{r-1}"
+        ctes += [
+            (f"tri{r}",
+             f"SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM {p} e1 "
+             f"JOIN {p} e2 ON e2.a = e1.b "
+             f"JOIN {p} e3 ON e3.a = e1.a AND e3.b = e2.b"),
+            (f"sup{r}",
+             f"SELECT a, b, COUNT(*) AS s FROM ("
+             f"SELECT x AS a, y AS b FROM tri{r} "
+             f"UNION ALL SELECT y, z FROM tri{r} "
+             f"UNION ALL SELECT x, z FROM tri{r}) GROUP BY a, b"),
+            (f"t{r}",
+             f"SELECT e.a, e.b FROM {p} e LEFT JOIN sup{r} s "
+             f"ON s.a = e.a AND s.b = e.b "
+             f"WHERE COALESCE(s.s, 0) >= {k - 2}"),
+        ]
+    return _with(ctes, f"SELECT a, b FROM t{rounds}")
+
+
 def _d(v: float) -> str:
     """Emit a float as a DuckDB DOUBLE literal (exact repr roundtrip)."""
     return f"CAST({v!r} AS DOUBLE)"

@@ -656,6 +656,15 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles.degree_assortativity(e)
 
 
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the undirected link graph: iterative support peeling
+    (drop edges in < 2 remaining triangles). Engine early-exits at the
+    fixpoint; the oracle unrolls the same fixed round count, which is
+    output-identical because peeling is monotone."""
+    e = tables.uni_edges_undirected(spark, sf_dir)
+    return triangles.ktruss_edges(e, k=4, max_rounds=6)
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level vocabulary statistics: top-50 terms by occurrence
     count with document frequency — one groupBy(term) with map-side
@@ -1131,6 +1140,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                                        oracle.sql_clustering(mod=m)),
         "degree_assortativity": _uni(q_assortativity,
                                      oracle.sql_assortativity(mod=m)),
+        "ktruss_edges": _uni(q_ktruss, oracle.sql_ktruss(k=4, rounds=6,
+                                                         mod=m)),
         "doc_length_stats": (q_doc_length_stats,
                              oracle.sql_doc_length_stats()),
         "incremental_dedup_stream": (
