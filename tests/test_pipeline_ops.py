@@ -373,3 +373,35 @@ def test_ann_bucket_cap_drops_degenerate_bucket(spark, caplog):
     assert (9000, 9001) in pairs
     assert all(a >= 9000 for a, _ in pairs), pairs
     assert any("dropped" in r.message for r in caplog.records)
+
+
+def test_contamination_matches_python_model(spark, sf_small):
+    """Every output row equals a pure-python recomputation from raw
+    shingle sets (bench = doc_id % 31 == 0), including the flag's
+    un-rounded threshold comparison and the <3-token absence rule."""
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    rows = docs.select("doc_id", "text").collect()
+
+    def sh_set(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    bench = set()
+    for r in rows:
+        if r["doc_id"] % 31 == 0:
+            bench |= sh_set(r["text"])
+    expect = {}
+    for r in rows:
+        if r["doc_id"] % 31 == 0:
+            continue
+        s = sh_set(r["text"])
+        if not s:
+            continue
+        hit = len(s & bench)
+        expect[r["doc_id"]] = (len(s), hit, round(hit / len(s), 6),
+                               hit / len(s) >= 0.25)
+    got = {r["doc_id"]: (r["n_shingles"], r["n_hit"], r["overlap"],
+                         r["contaminated"])
+           for r in dedup.contamination(docs).collect()}
+    assert got == expect
+    assert any(v[1] > 0 for v in expect.values())  # non-degenerate

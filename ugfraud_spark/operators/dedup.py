@@ -313,3 +313,45 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.0,
     if threshold > 0:
         out = out.where(F.col("jaccard") >= threshold)
     return out
+
+
+# benchmark-contamination check: docs whose doc_id hits this modulus
+# form the held-out eval set; the rest are training candidates
+CONTAM_BENCH_MOD = 31
+CONTAM_THRESHOLD = 0.25
+
+
+def contamination(docs: DataFrame, bench_mod: int = CONTAM_BENCH_MOD,
+                  threshold: float = CONTAM_THRESHOLD) -> DataFrame:
+    """(doc_id, n_shingles, n_hit, overlap, contaminated): GPT-3-style
+    n-gram decontamination — for every TRAINING document, the fraction
+    of its distinct word-3-gram shingles that also occur anywhere in
+    the benchmark/eval set (docs with ``doc_id % bench_mod == 0``).
+    ``contaminated`` flags overlap >= ``threshold`` (compared on the
+    un-rounded double, identically on both engines).
+
+    Scale shape: eval sets are tiny next to a 100 TB corpus, so the
+    distinct benchmark shingle set is BROADCAST; the corpus side is the
+    zero-shuffle shingle map plus one per-doc groupBy with map-side
+    combine. No corpus self-join anywhere. Docs shorter than one
+    shingle (< 3 tokens) have no n-gram to collide and are absent from
+    the output, on both engines.
+    """
+    is_bench = (F.col("doc_id") % bench_mod) == 0
+    bench_sh = (
+        shingles(docs.where(is_bench)).select("sh").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train_sh = shingles(docs.where(~is_bench)).distinct()
+    ratio = F.col("n_hit").cast("double") / F.col("n_shingles")
+    return (
+        train_sh.join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.count("hit").alias("n_hit"))
+        .select(
+            "doc_id", "n_shingles", "n_hit",
+            F.round(ratio, 6).alias("overlap"),
+            (ratio >= F.lit(threshold)).alias("contaminated"),
+        )
+    )

@@ -1387,3 +1387,22 @@ def sql_gang_semi(iters: int = 5, weight: float = 0.008,
             f") s ON s.id = pri.id",
         ))
     return _with(ctes, f"SELECT id, ROUND(b, 6) AS belief FROM b{iters}")
+
+
+def sql_contamination(bench_mod: int = 31, threshold: float = 0.25) -> str:
+    """Mirror of dedup.contamination: distinct benchmark shingle set vs
+    each training doc's distinct shingles; the flag compares the
+    un-rounded double ratio so both engines branch identically."""
+    ratio = "CAST(COUNT(b.sh) AS DOUBLE) / COUNT(*)"
+    return _with(
+        [("sh", _SHINGLES),
+         ("bench",
+          f"SELECT DISTINCT sh FROM sh WHERE doc_id % {bench_mod} = 0"),
+         ("train",
+          f"SELECT DISTINCT doc_id, sh FROM sh "
+          f"WHERE doc_id % {bench_mod} <> 0")],
+        f"SELECT t.doc_id, COUNT(*) AS n_shingles, "
+        f"COUNT(b.sh) AS n_hit, ROUND({ratio}, 6) AS overlap, "
+        f"({ratio}) >= {_d(threshold)} AS contaminated "
+        f"FROM train t LEFT JOIN bench b ON b.sh = t.sh GROUP BY t.doc_id",
+    )

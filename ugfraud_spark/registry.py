@@ -665,6 +665,13 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles.ktruss_edges(e, k=4, max_rounds=6)
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training doc, the fraction of its
+    distinct 3-gram shingles found in the (broadcast) eval-set shingle
+    set — docs with doc_id % 31 == 0 play the held-out benchmark."""
+    return dedup.contamination(tables.load(spark, sf_dir, "documents"))
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level vocabulary statistics: top-50 terms by occurrence
     count with document frequency — one groupBy(term) with map-side
@@ -1142,6 +1149,10 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                                      oracle.sql_assortativity(mod=m)),
         "ktruss_edges": _uni(q_ktruss, oracle.sql_ktruss(k=4, rounds=6,
                                                          mod=m)),
+        "contamination": (q_contamination,
+                          oracle.sql_contamination(
+                              dedup.CONTAM_BENCH_MOD,
+                              dedup.CONTAM_THRESHOLD)),
         "doc_length_stats": (q_doc_length_stats,
                              oracle.sql_doc_length_stats()),
         "incremental_dedup_stream": (
