@@ -286,3 +286,65 @@ def test_degree_assortativity_known_and_numpy(spark):
     expect = float(np.corrcoef(xs, ys)[0, 1])
     assert got["n_ends"] == 2 * len(edges)
     assert got["assortativity"] == round(expect, 6)
+
+
+def _hb_bucket_rho(vid: int) -> tuple[int, int]:
+    import hashlib
+
+    h = hashlib.md5(str(vid).encode()).hexdigest()
+    bucket = int(h[0], 16)
+    bits = bin(int(h[1:13], 16))[2:] if int(h[1:13], 16) else ""
+    rho = 49 if not bits else (48 - len(bits)) + 1
+    return bucket, rho
+
+
+def test_hyperball_registers_match_exact_balls(spark, und):
+    """Register vector after t rounds == max rho per bucket over the
+    EXACT radius-t ball (BFS recomputation) for every vertex — the
+    identity HyperBall is built on, checked wholesale at sf0.001."""
+    from ugfraud_spark.operators import hyperball as hb
+
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    t = 3
+    df = spark.createDataFrame(und, "a long, b long")
+    got = {r["id"]: [r[f"c{j}"] for j in range(16)]
+           for r in hb.hyperball(df, t=t).collect()}
+    assert set(got) == set(adj)
+    for v in adj:
+        ball = {v}
+        frontier = {v}
+        for _ in range(t):
+            frontier = {w for u in frontier for w in adj[u]} - ball
+            ball |= frontier
+        regs = [0] * 16
+        for w in ball:
+            bkt, rho = _hb_bucket_rho(w)
+            regs[bkt] = max(regs[bkt], rho)
+        assert got[v] == regs, v
+
+
+def test_hyperball_estimate_tracks_true_ball_size(spark, und):
+    """Median relative error of the m=16 HLL estimate vs the exact ball
+    size stays within ~2 std errors (1.04/sqrt(16) ≈ 26%)."""
+    from ugfraud_spark.operators import hyperball as hb
+
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    df = spark.createDataFrame(und, "a long, b long")
+    est = {r["id"]: r["ball_est"] for r in
+           hb.ball_estimates(hb.hyperball(df, t=3)).collect()}
+    errs = []
+    for v in adj:
+        ball = {v}
+        frontier = {v}
+        for _ in range(3):
+            frontier = {w for u in frontier for w in adj[u]} - ball
+            ball |= frontier
+        errs.append(abs(est[v] - len(ball)) / len(ball))
+    errs.sort()
+    assert errs[len(errs) // 2] < 0.52, errs[len(errs) // 2]

@@ -1406,3 +1406,53 @@ def sql_contamination(bench_mod: int = 31, threshold: float = 0.25) -> str:
         f"({ratio}) >= {_d(threshold)} AS contaminated "
         f"FROM train t LEFT JOIN bench b ON b.sh = t.sh GROUP BY t.doc_id",
     )
+
+
+def sql_hyperball(t: int = 3, mod: int = UNI_MOD, m: int = 16,
+                  alpha: float = 0.673) -> str:
+    """Mirror of hyperball + ball_estimates: same md5-string register
+    hash (bucket nibble + leading-zero-bit rho via TRIM(LEADING '0')),
+    ``t`` unrolled rounds of neighbor groupBy-max, and the identical
+    HLL estimator with the linear-counting branch — every float term in
+    the same order as the Spark expressions."""
+    regs = ", ".join(f"c{j}" for j in range(m))
+    lz4 = ("CASE WHEN f = '1' THEN 3 WHEN f IN ('2','3') THEN 2 "
+           "WHEN f IN ('4','5','6','7') THEN 1 ELSE 0 END")
+    ctes = [
+        ("uni", uni_frag(mod)), ("und", UND), ("sym", SYM),
+        ("verts", "SELECT DISTINCT src AS id FROM sym"),
+        ("hb",
+         "SELECT id, STRPOS('0123456789abcdef', SUBSTRING(h, 1, 1)) - 1 "
+         "AS bucket, CASE WHEN LENGTH(t) = 0 THEN 49 ELSE "
+         f"(12 - LENGTH(t)) * 4 + {lz4} + 1 END AS rho FROM ("
+         "SELECT id, h, TRIM(LEADING '0' FROM SUBSTRING(h, 2, 12)) AS t, "
+         "SUBSTRING(TRIM(LEADING '0' FROM SUBSTRING(h, 2, 12)), 1, 1) AS f "
+         "FROM (SELECT id, MD5(CAST(id AS VARCHAR)) AS h FROM verts))"),
+        ("r0",
+         "SELECT id, " + ", ".join(
+             f"CASE WHEN bucket = {j} THEN rho ELSE 0 END AS c{j}"
+             for j in range(m)) + " FROM hb"),
+    ]
+    for k in range(1, t + 1):
+        maxes = ", ".join(f"MAX(c{j}) AS c{j}" for j in range(m))
+        ctes.append((
+            f"r{k}",
+            f"SELECT id, {maxes} FROM ("
+            f"SELECT s.dst AS id, {regs} FROM sym s "
+            f"JOIN r{k-1} r ON r.id = s.src "
+            f"UNION ALL SELECT id, {regs} FROM r{k-1}) GROUP BY id",
+        ))
+    z = " + ".join(f"POWER(2.0::DOUBLE, -c{j})" for j in range(m))
+    v = " + ".join(f"CASE WHEN c{j} = 0 THEN 1 ELSE 0 END"
+                   for j in range(m))
+    ctes.append((
+        "est",
+        f"SELECT id, {_d(alpha)} * {_d(float(m * m))} / ({z}) AS raw, "
+        f"({v}) AS v FROM r{t}",
+    ))
+    return _with(
+        ctes,
+        f"SELECT id, ROUND(CASE WHEN raw <= {_d(2.5 * m)} AND v > 0 "
+        f"THEN {_d(float(m))} * LN({_d(float(m))} / CAST(v AS DOUBLE)) "
+        f"ELSE raw END, 6) AS ball_est FROM est",
+    )

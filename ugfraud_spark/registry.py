@@ -665,6 +665,17 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles.ktruss_edges(e, k=4, max_rounds=6)
 
 
+def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function: per-vertex HLL estimate of the
+    radius-3 ball size over the undirected link graph — one
+    map-side-combined groupBy-max shuffle per round (Boldi-Rosa-Vigna,
+    the Common-Crawl web-graph distance algorithm)."""
+    from .operators import hyperball as hb
+
+    e = tables.uni_edges_undirected(spark, sf_dir)
+    return hb.ball_estimates(hb.hyperball(e, t=3))
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per training doc, the fraction of its
     distinct 3-gram shingles found in the (broadcast) eval-set shingle
@@ -1153,6 +1164,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                           oracle.sql_contamination(
                               dedup.CONTAM_BENCH_MOD,
                               dedup.CONTAM_THRESHOLD)),
+        "hyperball_nf": _uni(q_hyperball, oracle.sql_hyperball(t=3, mod=m)),
         "doc_length_stats": (q_doc_length_stats,
                              oracle.sql_doc_length_stats()),
         "incremental_dedup_stream": (
