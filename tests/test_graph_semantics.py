@@ -217,6 +217,41 @@ def test_clustering_coefficient_known_graph(spark):
     assert out[5]["clustering"] == 0.0
 
 
+def test_effective_diameter_interpolation(spark):
+    """WebGraph convention: smallest t with NF(t) >= 0.9 * NF(t_max),
+    linearly interpolated between the straddling curve points."""
+    from ugfraud_spark.operators import hyperball as hb
+
+    def d(curve):
+        nf = spark.createDataFrame(curve, "t int, nf_est double")
+        return hb.effective_diameter(nf).collect()[0]["eff_diam"]
+
+    # target 90 hit exactly at t=2: 1 + (90-40)/(90-40) = 2.0
+    assert d([(0, 10.0), (1, 40.0), (2, 90.0), (3, 100.0)]) == 2.0
+    # target 90 crossed inside (2,3]: 2 + (90-80)/(100-80) = 2.5
+    assert d([(0, 10.0), (1, 40.0), (2, 80.0), (3, 100.0)]) == 2.5
+    # ball already saturated at t=0 (e.g. isolated vertices): 0.0
+    assert d([(0, 100.0), (1, 100.0)]) == 0.0
+
+
+def test_host_graph_known_collapse(spark):
+    """7 page vertices over 3 hosts (host = id % 3): the quotient graph
+    counts collapsed page links exactly and host_stats reads the
+    intra-host fraction off the self-loop mass."""
+    from ugfraud_spark.operators import quotient
+
+    edges = [(0, 1), (0, 3), (3, 0), (1, 4), (2, 5), (6, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    hg = quotient.host_graph(df, n_hosts=3)
+    got = {(r["src_host"], r["dst_host"]): r["n_links"]
+           for r in hg.collect()}
+    assert got == {(0, 1): 1, (0, 0): 3, (1, 1): 1, (2, 2): 1}
+    stats = {r["host"]: r for r in quotient.host_stats(hg).collect()}
+    assert stats[0]["out_links"] == 4 and stats[0]["intra_links"] == 3
+    assert stats[0]["intra_frac"] == 0.75
+    assert stats[1]["intra_frac"] == 1.0 and stats[2]["intra_frac"] == 1.0
+
+
 def _ktruss_python(edges: set[tuple[int, int]], k: int) -> set:
     """Brute-force peel until fixpoint: drop edges supported by fewer
     than k-2 triangles among the remaining edges."""

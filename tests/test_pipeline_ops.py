@@ -405,3 +405,48 @@ def test_contamination_matches_python_model(spark, sf_small):
            for r in dedup.contamination(docs).collect()}
     assert got == expect
     assert any(v[1] > 0 for v in expect.values())  # non-degenerate
+
+
+def test_remove_boilerplate_known_corpus(spark):
+    """12-word docs = spans [w0..w9, w10 w11]. A 10-word span shared by
+    docs 0 and 1 is boilerplate (df=2); each doc's unique tail span
+    survives and reassembles in order. Doc 2 shares nothing and passes
+    through byte-identical; doc 3 is ALL boilerplate (it equals the
+    shared span exactly) and must stay present with empty clean_text."""
+    shared = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        (0, shared + " a0 b0"),
+        (1, shared + " a1 b1"),
+        (2, " ".join(f"u{i}" for i in range(12))),
+        (3, shared),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.remove_boilerplate(docs).collect()}
+    assert out[0]["clean_text"] == "a0 b0"
+    assert out[0]["n_spans"] == 2 and out[0]["n_kept"] == 1
+    assert out[1]["clean_text"] == "a1 b1"
+    assert out[2]["clean_text"] == rows[2][1]  # untouched doc round-trips
+    assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 2
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+
+
+def test_pack_sequences_hand_computed(spark):
+    """budget=10, bucket=2 docs (forces the cross-bucket offset path):
+    token counts [4, 7, 3, 12, 5] → offsets [0, 4, 11, 14, 26]; doc 1
+    straddles the seq-0/1 boundary, doc 3 straddles 1/2, doc 4 starts
+    in 2 and ends in 3."""
+    from ugfraud_spark.operators import packing
+
+    counts = [4, 7, 3, 12, 5]
+    rows = [(i, " ".join(["w"] * c)) for i, c in enumerate(counts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           packing.pack_sequences(docs, budget=10, bucket_docs=2).collect()}
+    expect = {  # doc_id: (tok_offset, seq_id, n_seqs)
+        0: (0, 0, 1), 1: (4, 0, 2), 2: (11, 1, 1),
+        3: (14, 1, 2), 4: (26, 2, 2),
+    }
+    for i, (off, seq, ns) in expect.items():
+        assert out[i]["n_tokens"] == counts[i]
+        assert (out[i]["tok_offset"], out[i]["seq_id"],
+                out[i]["n_seqs"]) == (off, seq, ns), out[i]

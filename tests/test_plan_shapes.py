@@ -160,3 +160,24 @@ def test_sssp_superstep_edge_side_stays_put(spark):
     edge_branch = plan[join_at:plan.find("InMemoryTableScan")]
     assert "Exchange" not in edge_branch, plan
     ew.unpersist()
+
+
+def test_pack_sequences_no_corpus_single_partition(spark):
+    """The two-phase prefix sum: the ONLY SinglePartition exchange in
+    the plan feeds the tiny per-bucket-totals window (bounded by
+    |corpus|/bucket rows), the corpus-side window runs partitioned by
+    bucket, and the offsets ride back on a broadcast join — the naive
+    ``SUM OVER (ORDER BY doc_id)`` corpus-wide SinglePartition window
+    must never reappear."""
+    import re
+
+    from ugfraud_spark.operators import packing
+
+    df = packing.pack_sequences(
+        _docs(spark, [f"t {i}" for i in range(8)]), budget=4, bucket_docs=2
+    )
+    plan = _plan(df)
+    singles = re.findall(r"SinglePartition", plan)
+    assert len(singles) == 1, plan  # the bucket-totals window only
+    assert re.search(r"hashpartitioning\(bkt", plan), plan
+    assert "BroadcastExchange" in plan, plan

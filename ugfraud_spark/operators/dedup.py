@@ -355,3 +355,76 @@ def contamination(docs: DataFrame, bench_mod: int = CONTAM_BENCH_MOD,
             (ratio >= F.lit(threshold)).alias("contaminated"),
         )
     )
+
+
+# boilerplate span removal: non-overlapping CHUNK_W-word spans that
+# repeat across >= BOILER_MIN_DOCS distinct docs are dropped (the
+# C4/CCNet "line appearing in multiple documents" rule, adapted to the
+# newline-free synthetic corpus: a "line" is a fixed-width word span)
+CHUNK_W = 10
+BOILER_MIN_DOCS = 2
+
+
+def doc_chunks(docs: DataFrame, w: int = CHUNK_W) -> DataFrame:
+    """(doc_id, pos, chunk): every doc split into non-overlapping
+    ``w``-word spans (last span may be short). The split is a narrow
+    array expression — zero shuffle, whole-stage codegen; ``split``
+    always yields >= 1 element, so the chunk count is >= 1 and the
+    sequence bound can never run descending."""
+    words = F.split(F.col("text"), " ")
+    n = F.ceil(F.size(words) / F.lit(w)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(words, i * w + 1, w), " "),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("pos", "chunk")
+    )
+
+
+def boilerplate_spans(docs: DataFrame, w: int = CHUNK_W,
+                      min_docs: int = BOILER_MIN_DOCS) -> DataFrame:
+    """(chunk, df): spans occurring in >= ``min_docs`` distinct docs —
+    one groupBy(chunk) with a distinct-count; the shuffle key is the
+    span text itself, and partial aggregation bounds reducer input by
+    map-partition count, not by a span's corpus frequency."""
+    return (
+        doc_chunks(docs, w)
+        .groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= min_docs)
+    )
+
+
+def remove_boilerplate(docs: DataFrame, w: int = CHUNK_W,
+                       min_docs: int = BOILER_MIN_DOCS) -> DataFrame:
+    """(doc_id, clean_text, n_spans, n_kept): every doc with its
+    boilerplate spans removed and the survivors re-joined in original
+    order. Docs losing every span stay in the output with an empty
+    clean_text (the keep/drop decision belongs to a later filter, not
+    to the rewriter).
+
+    Scale shape: the boilerplate set is a tiny aggregate of the corpus
+    (only spans with df >= min_docs) — it rides a broadcast anti-join;
+    reassembly is one groupBy(doc_id) whose collect_list is bounded by
+    the doc's own span count, never by corpus frequency."""
+    c = doc_chunks(docs, w)
+    bad = boilerplate_spans(docs, w, min_docs).select("chunk")
+    kept = c.join(F.broadcast(bad), "chunk", "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return totals.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_spans",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )

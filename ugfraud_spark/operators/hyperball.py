@@ -72,9 +72,10 @@ def _register_init(verts: DataFrame) -> DataFrame:
     )
 
 
-def hyperball(edges_ab: DataFrame, t: int = 3) -> DataFrame:
-    """(id, c0..c15): HLL registers of every vertex's radius-``t`` ball
-    over the undirected graph ``edges_ab(a, b)``.
+def hyperball_states(edges_ab: DataFrame, t: int = 3):
+    """Yields ``(r, state)`` for r = 0..t, where ``state`` is the
+    (id, c0..c15) register frame after r rounds — the shared loop body
+    behind ``hyperball`` (final state) and ``nf_curve`` (every round).
 
     Each round: registers flow across every edge (both directions),
     fold with the vertex's own registers via groupBy-max — one shuffle
@@ -90,12 +91,13 @@ def hyperball(edges_ab: DataFrame, t: int = 3) -> DataFrame:
     state = (
         _register_init(verts).repartition("id").localCheckpoint(eager=True)
     )
+    yield 0, state
     sym = (
         symmetrize(edges_ab.select("a", "b"))
         .repartition("src")
         .localCheckpoint(eager=True)
     )
-    for _ in range(t):
+    for r in range(1, t + 1):
         msgs = sym.join(
             state.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
         ).select(F.col("dst").alias("id"), *_REGS)
@@ -105,6 +107,15 @@ def hyperball(edges_ab: DataFrame, t: int = 3) -> DataFrame:
             .agg(*[F.max(c).alias(c) for c in _REGS])
             .localCheckpoint(eager=True)
         )
+        yield r, state
+
+
+def hyperball(edges_ab: DataFrame, t: int = 3) -> DataFrame:
+    """(id, c0..c15): HLL registers of every vertex's radius-``t`` ball
+    over the undirected graph ``edges_ab(a, b)``."""
+    state = None
+    for _, state in hyperball_states(edges_ab, t):
+        pass
     return state
 
 
@@ -125,3 +136,60 @@ def ball_estimates(registers: DataFrame) -> DataFrame:
         F.lit(float(HB_M)) * F.log(F.lit(float(HB_M)) / v.cast("double")),
     ).otherwise(raw)
     return registers.select("id", F.round(est, 6).alias("ball_est"))
+
+
+def nf_curve(edges_ab: DataFrame, t: int = 3) -> DataFrame:
+    """(t, nf_est): the neighborhood function NF(r) = Σ_v |B(v, r)| for
+    r = 0..t — the curve the Common-Crawl web-graph distance statistics
+    are read off (Boldi–Rosa–Vigna). Each point is one scalar aggregate
+    over that round's checkpointed register frame.
+
+    Cross-engine determinism: per-vertex estimates are already rounded
+    to 6 dp, so they are summed EXACTLY as DECIMAL(28,6) (decimal
+    addition is associative — no float summation-order sensitivity),
+    then read back as a rounded double."""
+    parts = []
+    for r, state in hyperball_states(edges_ab, t):
+        nf = (
+            ball_estimates(state)
+            .agg(
+                F.round(
+                    F.sum(F.col("ball_est").cast("decimal(28,6)"))
+                    .cast("double"),
+                    6,
+                ).alias("nf_est")
+            )
+            .select(F.lit(r).cast("int").alias("t"), "nf_est")
+        )
+        parts.append(nf)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def effective_diameter(nf: DataFrame, alpha: float = 0.9) -> DataFrame:
+    """(eff_diam): the α-effective diameter read off an ``nf_curve``
+    frame — the smallest t with NF(t) ≥ α·NF(t_max), linearly
+    interpolated between the straddling curve points (WebGraph's
+    ``NeighbourhoodFunction.effectiveDiameter`` convention). 4-row
+    input → TakeOrdered(1); nothing here scales with the graph."""
+    tmax = nf.orderBy(F.desc("t")).limit(1).select(
+        (F.col("nf_est") * F.lit(alpha)).alias("target")
+    )
+    prev = nf.select(
+        (F.col("t") + 1).alias("t"), F.col("nf_est").alias("prev")
+    )
+    cand = (
+        nf.join(prev, "t", "left")
+        .crossJoin(F.broadcast(tmax))
+        .where(F.col("nf_est") >= F.col("target"))
+        .orderBy("t")
+        .limit(1)
+    )
+    d = F.when(F.col("t") == 0, F.lit(0.0)).otherwise(
+        (F.col("t") - 1)
+        + (F.col("target") - F.col("prev"))
+        / (F.col("nf_est") - F.col("prev"))
+    )
+    return cand.select(F.round(d, 6).alias("eff_diam"))

@@ -1,0 +1,77 @@
+"""Training-sequence packing (concat-and-chunk) over the document
+stream.
+
+The standard LM-pretraining batching rule: documents are laid
+end-to-end in doc_id order into one token stream, and training
+sequences are the consecutive ``budget``-token windows of that stream.
+Every doc's placement is a pure function of the EXCLUSIVE prefix sum
+of token counts in doc_id order.
+
+The scale bomb this module exists to avoid: the naive Spark expression
+``F.sum("n_tokens").over(Window.orderBy("doc_id"))`` plans an
+``Exchange SinglePartition`` — the entire corpus serialised through
+ONE task (at 10^10 docs, a guaranteed OOM/straggler). Implemented
+instead as the classic two-phase distributed prefix sum:
+
+1. docs are bucketed by contiguous doc_id range; the running sum
+   WITHIN a bucket is a ``Window.partitionBy(bucket)`` — a hash
+   shuffle whose per-task frame is bounded by the bucket size;
+2. per-bucket token totals (|corpus|/bucket rows) get their own
+   exclusive running sum — the only SinglePartition window in the
+   plan, over the TINY totals frame — and ride a broadcast join back.
+
+The same shape as ``attrs.grouped_percentiles``'s histogram walk: the
+unbounded computation happens on an aggregate whose size the operator
+controls, never on the raw corpus. Plan pinned in
+``tests/test_plan_shapes.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+
+PACK_BUDGET = 256    # tokens per training sequence
+PACK_BUCKET = 1024   # docs per prefix-sum bucket (contiguity unit)
+
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
+                   bucket_docs: int = PACK_BUCKET) -> DataFrame:
+    """(doc_id, n_tokens, tok_offset, seq_id, n_seqs): each doc's
+    placement in the packed token stream — its starting token offset,
+    the training sequence its first token lands in
+    (``floor(tok_offset / budget)``) and how many consecutive
+    sequences it straddles. ``token_count`` is >= 1 for any string, so
+    every doc occupies at least one sequence."""
+    toks = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.floor(F.col("doc_id") / F.lit(bucket_docs)).alias("bkt"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = toks.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    btot = toks.groupBy("bkt").agg(F.sum("n_tokens").alias("btot"))
+    w_b = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = btot.select(
+        "bkt", F.coalesce(F.sum("btot").over(w_b), F.lit(0)).alias("boff")
+    )
+    placed = within.join(F.broadcast(boff), "bkt")
+    off = F.col("boff") + F.col("cum_in") - F.col("n_tokens")
+    seq = F.floor(off / F.lit(budget))
+    last = F.floor((off + F.col("n_tokens") - 1) / F.lit(budget))
+    return placed.select(
+        "doc_id",
+        "n_tokens",
+        off.cast("long").alias("tok_offset"),
+        seq.cast("long").alias("seq_id"),
+        (last - seq + 1).cast("long").alias("n_seqs"),
+    )

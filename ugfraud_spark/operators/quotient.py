@@ -1,0 +1,72 @@
+"""Host-graph (quotient) collapse of the page-level link graph.
+
+The canonical web-graph coarsening: map every page vertex to its host
+and aggregate page-level links into a weighted host-level multigraph
+(the "host graph" / "domain graph" published alongside every
+Common-Crawl web-graph release). The host map here is the deterministic
+stand-in matching the synthetic pages substrate (``sources/pages._url``
+buckets pages into ``site{i % 100}.example``): ``host(v) = v % n_hosts``.
+On a real crawl the map is ``F.parse_url(url, "HOST")`` — everything
+downstream of the two projection expressions is identical.
+
+Scale shape: the collapse is ONE groupBy on (src_host, dst_host) with a
+map-side-combinable count — the shuffle carries at most |hosts|² rows
+regardless of |E| (10^12 page edges → ~10^7-row host graph for 10^5
+hosts). Host keys are exactly the hub-skewed keys AQE's skew-join
+handling exists for; no salting is needed on the aggregate itself
+because partial aggregation bounds any one reducer's input by the
+number of map partitions, not by the host's page count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HOSTS = 100  # mirrors sources/pages._url: site{i % 100}
+
+
+def host_graph(edges_dir: DataFrame, n_hosts: int = N_HOSTS) -> DataFrame:
+    """Directed page edges(src, dst) → host quotient graph
+    (src_host, dst_host, n_links) where n_links counts the page-level
+    edges collapsed into the host pair (intra-host pairs kept — they
+    are the self-loops whose mass the intra fraction reads off)."""
+    return (
+        edges_dir.select(
+            (F.col("src") % n_hosts).alias("src_host"),
+            (F.col("dst") % n_hosts).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def host_stats(host_edges: DataFrame) -> DataFrame:
+    """Host quotient edges → per-source-host link budget:
+    (host, out_links, intra_links, intra_frac). ``intra_frac`` — the
+    fraction of a host's outgoing page links that stay on the host —
+    is the standard crawl-frontier prioritisation signal."""
+    flagged = host_edges.select(
+        F.col("src_host").alias("host"),
+        "n_links",
+        F.when(F.col("src_host") == F.col("dst_host"), F.col("n_links"))
+        .otherwise(F.lit(0))
+        .alias("intra"),
+    )
+    return (
+        flagged.groupBy("host")
+        .agg(
+            F.sum("n_links").alias("out_links"),
+            F.sum("intra").alias("intra_links"),
+        )
+        .select(
+            "host",
+            "out_links",
+            "intra_links",
+            F.round(
+                F.col("intra_links").cast("double")
+                / F.col("out_links").cast("double"),
+                6,
+            ).alias("intra_frac"),
+        )
+    )

@@ -248,6 +248,39 @@ def sql_assortativity(mod: int = UNI_MOD) -> str:
     )
 
 
+def sql_host_graph(mod: int = UNI_MOD, n_hosts: int = 100) -> str:
+    """Mirror of quotient.host_graph: collapse the directed page-level
+    edge set onto host buckets and count page links per host pair."""
+    return _with(
+        [("uni", uni_frag(mod)),
+         ("hg",
+          f"SELECT (src % {n_hosts}) AS src_host, "
+          f"(dst % {n_hosts}) AS dst_host, "
+          f"CAST(COUNT(*) AS BIGINT) AS n_links FROM uni GROUP BY 1, 2")],
+        "SELECT src_host, dst_host, n_links FROM hg",
+    )
+
+
+def sql_host_stats(mod: int = UNI_MOD, n_hosts: int = 100) -> str:
+    """Mirror of quotient.host_graph |> quotient.host_stats: per-host
+    outgoing link budget with the intra-host fraction."""
+    return _with(
+        [("uni", uni_frag(mod)),
+         ("hg",
+          f"SELECT (src % {n_hosts}) AS src_host, "
+          f"(dst % {n_hosts}) AS dst_host, "
+          f"CAST(COUNT(*) AS BIGINT) AS n_links FROM uni GROUP BY 1, 2"),
+         ("hs",
+          "SELECT src_host AS host, "
+          "CAST(SUM(n_links) AS BIGINT) AS out_links, "
+          "CAST(SUM(CASE WHEN src_host = dst_host THEN n_links ELSE 0 END)"
+          " AS BIGINT) AS intra_links FROM hg GROUP BY 1")],
+        "SELECT host, out_links, intra_links, "
+        "ROUND(CAST(intra_links AS DOUBLE) / CAST(out_links AS DOUBLE), 6)"
+        " AS intra_frac FROM hs",
+    )
+
+
 def sql_ktruss(k: int = 4, rounds: int = 6, mod: int = UNI_MOD) -> str:
     """Unrolled k-truss peeling: ``rounds`` fixed iterations of
     (triangle support over remaining edges → drop support < k-2).
@@ -1408,13 +1441,71 @@ def sql_contamination(bench_mod: int = 31, threshold: float = 0.25) -> str:
     )
 
 
-def sql_hyperball(t: int = 3, mod: int = UNI_MOD, m: int = 16,
-                  alpha: float = 0.673) -> str:
-    """Mirror of hyperball + ball_estimates: same md5-string register
-    hash (bucket nibble + leading-zero-bit rho via TRIM(LEADING '0')),
-    ``t`` unrolled rounds of neighbor groupBy-max, and the identical
-    HLL estimator with the linear-counting branch — every float term in
-    the same order as the Spark expressions."""
+def sql_remove_boilerplate(w: int = 10, min_docs: int = 2) -> str:
+    """Mirror of dedup.remove_boilerplate: fixed-width word spans,
+    corpus doc-frequency threshold, anti-join, in-order reassembly.
+    DuckDB's parallel UNNEST zips (pos, chunk); list slicing clamps at
+    the array end exactly like Spark's ``slice``."""
+    return _with(
+        [("words",
+          "SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents"),
+         ("cl",
+          f"SELECT doc_id, LIST_TRANSFORM("
+          f"RANGE(CAST(CEIL(LEN(w) / {float(w)}) AS BIGINT)), "
+          f"i -> ARRAY_TO_STRING(w[(i * {w} + 1):(i * {w} + {w})], ' ')"
+          f") AS cl FROM words"),
+         ("chunks",
+          "SELECT doc_id, CAST(UNNEST(RANGE(LEN(cl))) AS INTEGER) AS pos, "
+          "UNNEST(cl) AS chunk FROM cl"),
+         ("boiler",
+          f"SELECT chunk FROM chunks GROUP BY chunk "
+          f"HAVING COUNT(DISTINCT doc_id) >= {min_docs}"),
+         ("kept",
+          "SELECT c.doc_id, c.pos, c.chunk FROM chunks c "
+          "LEFT JOIN boiler b USING (chunk) WHERE b.chunk IS NULL"),
+         ("agg",
+          "SELECT doc_id, STRING_AGG(chunk, ' ' ORDER BY pos) "
+          "AS clean_text, CAST(COUNT(*) AS BIGINT) AS n_kept "
+          "FROM kept GROUP BY doc_id"),
+         ("tot",
+          "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans "
+          "FROM chunks GROUP BY doc_id")],
+        "SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text, "
+        "t.n_spans, CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept "
+        "FROM tot t LEFT JOIN agg a USING (doc_id)",
+    )
+
+
+def sql_pack_sequences(budget: int = 256) -> str:
+    """Mirror of packing.pack_sequences — deliberately the NAIVE
+    single-window prefix sum (fine for DuckDB single-node; the Spark
+    side's two-phase bucketed plan must be value-identical to it)."""
+    from .functions.text import sql_token_count
+
+    return _with(
+        [("tc",
+          f"SELECT doc_id, {sql_token_count('text')} AS n_tokens "
+          f"FROM documents"),
+         ("c",
+          "SELECT doc_id, n_tokens, CAST(SUM(n_tokens) OVER ("
+          "ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
+          "FROM tc")],
+        f"SELECT doc_id, n_tokens, "
+        f"CAST(cum - n_tokens AS BIGINT) AS tok_offset, "
+        f"CAST(FLOOR((cum - n_tokens) / {float(budget)}) AS BIGINT) "
+        f"AS seq_id, "
+        f"CAST(FLOOR((cum - 1) / {float(budget)}) "
+        f"- FLOOR((cum - n_tokens) / {float(budget)}) + 1 AS BIGINT) "
+        f"AS n_seqs FROM c",
+    )
+
+
+def _hyperball_ctes(t: int, mod: int, m: int) -> list[tuple[str, str]]:
+    """The shared register-evolution CTE chain behind every HyperBall
+    oracle: same md5-string register hash as the Spark side (bucket
+    nibble + leading-zero-bit rho via TRIM(LEADING '0')) and ``t``
+    unrolled rounds of neighbor groupBy-max, leaving register frames
+    r0..r{t}."""
     regs = ", ".join(f"c{j}" for j in range(m))
     lz4 = ("CASE WHEN f = '1' THEN 3 WHEN f IN ('2','3') THEN 2 "
            "WHEN f IN ('4','5','6','7') THEN 1 ELSE 0 END")
@@ -1442,17 +1533,80 @@ def sql_hyperball(t: int = 3, mod: int = UNI_MOD, m: int = 16,
             f"JOIN r{k-1} r ON r.id = s.src "
             f"UNION ALL SELECT id, {regs} FROM r{k-1}) GROUP BY id",
         ))
+    return ctes
+
+
+def _hb_est_sql(frame: str, m: int, alpha: float) -> str:
+    """Per-vertex HLL estimate read off register frame ``frame`` — the
+    identical estimator (alpha·m²/Z with the linear-counting branch)
+    and float-term order as ``hyperball.ball_estimates``."""
     z = " + ".join(f"POWER(2.0::DOUBLE, -c{j})" for j in range(m))
     v = " + ".join(f"CASE WHEN c{j} = 0 THEN 1 ELSE 0 END"
                    for j in range(m))
-    ctes.append((
-        "est",
+    return (
+        f"SELECT id, ROUND(CASE WHEN raw <= {_d(2.5 * m)} AND v > 0 "
+        f"THEN {_d(float(m))} * LN({_d(float(m))} / CAST(v AS DOUBLE)) "
+        f"ELSE raw END, 6) AS ball_est FROM ("
         f"SELECT id, {_d(alpha)} * {_d(float(m * m))} / ({z}) AS raw, "
-        f"({v}) AS v FROM r{t}",
+        f"({v}) AS v FROM {frame})"
+    )
+
+
+def sql_hyperball(t: int = 3, mod: int = UNI_MOD, m: int = 16,
+                  alpha: float = 0.673) -> str:
+    """Mirror of hyperball + ball_estimates over the final round's
+    register frame (see _hyperball_ctes / _hb_est_sql)."""
+    return _with(_hyperball_ctes(t, mod, m), _hb_est_sql(f"r{t}", m, alpha))
+
+
+def _hb_nf_ctes(t: int, mod: int, m: int,
+                alpha: float) -> list[tuple[str, str]]:
+    """Register chain + per-round NF points: nf(t, nf_est) with the
+    Spark side's exact-DECIMAL summation of the 6-dp per-vertex
+    estimates (order-independent on both engines)."""
+    ctes = _hyperball_ctes(t, mod, m)
+    for r in range(t + 1):
+        ctes.append((
+            f"nf{r}",
+            f"SELECT {r} AS t, ROUND(CAST(SUM(CAST(ball_est AS "
+            f"DECIMAL(28,6))) AS DOUBLE), 6) AS nf_est FROM ("
+            + _hb_est_sql(f"r{r}", m, alpha) + ")",
+        ))
+    ctes.append((
+        "nf",
+        " UNION ALL ".join(f"SELECT t, nf_est FROM nf{r}"
+                           for r in range(t + 1)),
+    ))
+    return ctes
+
+
+def sql_hyperball_nf_curve(t: int = 3, mod: int = UNI_MOD, m: int = 16,
+                           alpha: float = 0.673) -> str:
+    """Mirror of hyperball.nf_curve: NF(r) for r = 0..t."""
+    return _with(_hb_nf_ctes(t, mod, m, alpha),
+                 "SELECT CAST(t AS INTEGER) AS t, nf_est FROM nf")
+
+
+def sql_effective_diameter(t: int = 3, mod: int = UNI_MOD, m: int = 16,
+                           alpha: float = 0.673,
+                           frac: float = 0.9) -> str:
+    """Mirror of hyperball.effective_diameter over the NF curve: the
+    smallest r with NF(r) ≥ frac·NF(t), linearly interpolated between
+    the straddling points — identical comparison and single-division
+    arithmetic as the Spark expressions."""
+    ctes = _hb_nf_ctes(t, mod, m, alpha)
+    ctes.append(("tgt",
+                 f"SELECT nf_est * {_d(frac)} AS target FROM nf "
+                 f"WHERE t = {t}"))
+    ctes.append((
+        "cand",
+        "SELECT n.t, n.nf_est, p.nf_est AS prev, tgt.target FROM nf n "
+        "LEFT JOIN nf p ON p.t = n.t - 1 CROSS JOIN tgt "
+        "WHERE n.nf_est >= tgt.target ORDER BY n.t LIMIT 1",
     ))
     return _with(
         ctes,
-        f"SELECT id, ROUND(CASE WHEN raw <= {_d(2.5 * m)} AND v > 0 "
-        f"THEN {_d(float(m))} * LN({_d(float(m))} / CAST(v AS DOUBLE)) "
-        f"ELSE raw END, 6) AS ball_est FROM est",
+        "SELECT ROUND(CASE WHEN t = 0 THEN CAST(0.0 AS DOUBLE) "
+        "ELSE (t - 1) + (target - prev) / (nf_est - prev) END, 6) "
+        "AS eff_diam FROM cand",
     )

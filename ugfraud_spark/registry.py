@@ -39,8 +39,10 @@ from .operators import (
     labelprop,
     mix,
     multimodal,
+    packing,
     pagerank,
     prior,
+    quotient,
     speagle,
     svd,
     triangles,
@@ -665,6 +667,54 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles.ktruss_edges(e, k=4, max_rounds=6)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk training-sequence packing: each doc's token
+    offset / sequence id / straddle count via the two-phase distributed
+    prefix sum (never a corpus-wide SinglePartition window)."""
+    return packing.pack_sequences(tables.load(spark, sf_dir, "documents"))
+
+
+def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate span removal: fixed-width word spans
+    repeating across >= 2 docs are dropped and each doc's survivors
+    re-joined in original order (broadcast anti-join; reassembly
+    bounded by the doc's own span count)."""
+    return dedup.remove_boilerplate(tables.load(spark, sf_dir, "documents"))
+
+
+def q_hyperball_nf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood function NF(r), r = 0..3: per-round sum of the
+    HyperBall ball estimates (exact-decimal summation, so the scalar is
+    engine- and partitioning-independent)."""
+    from .operators import hyperball as hb
+
+    e = tables.uni_edges_undirected(spark, sf_dir)
+    return hb.nf_curve(e, t=3)
+
+
+def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """0.9-effective diameter interpolated off the HyperBall NF curve
+    (the headline Common-Crawl web-graph distance statistic)."""
+    from .operators import hyperball as hb
+
+    e = tables.uni_edges_undirected(spark, sf_dir)
+    return hb.effective_diameter(hb.nf_curve(e, t=3))
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host quotient graph: page-level directed edges collapsed onto
+    host buckets (one map-side-combined groupBy; output bounded by
+    |hosts|² regardless of |E|)."""
+    return quotient.host_graph(tables.uni_edges_directed(spark, sf_dir))
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host outgoing link budget + intra-host fraction over the
+    host quotient graph (crawl-frontier prioritisation signal)."""
+    return quotient.host_stats(
+        quotient.host_graph(tables.uni_edges_directed(spark, sf_dir)))
+
+
 def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall neighborhood function: per-vertex HLL estimate of the
     radius-3 ball size over the undirected link graph — one
@@ -1165,6 +1215,16 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                               dedup.CONTAM_BENCH_MOD,
                               dedup.CONTAM_THRESHOLD)),
         "hyperball_nf": _uni(q_hyperball, oracle.sql_hyperball(t=3, mod=m)),
+        "host_graph": _uni(q_host_graph, oracle.sql_host_graph(mod=m)),
+        "host_stats": _uni(q_host_stats, oracle.sql_host_stats(mod=m)),
+        "boilerplate_removal": (q_remove_boilerplate,
+                                oracle.sql_remove_boilerplate()),
+        "sequence_packing": (q_pack_sequences,
+                             oracle.sql_pack_sequences()),
+        "hyperball_nf_curve": _uni(
+            q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
+        "effective_diameter": _uni(
+            q_effective_diameter, oracle.sql_effective_diameter(t=3, mod=m)),
         "doc_length_stats": (q_doc_length_stats,
                              oracle.sql_doc_length_stats()),
         "incremental_dedup_stream": (
