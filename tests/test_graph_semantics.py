@@ -383,3 +383,34 @@ def test_hyperball_estimate_tracks_true_ball_size(spark, und):
         errs.append(abs(est[v] - len(ball)) / len(ball))
     errs.sort()
     assert errs[len(errs) // 2] < 0.52, errs[len(errs) // 2]
+
+
+def test_reciprocity_known_graph(spark):
+    """(0,1),(1,0),(1,2),(2,3),(3,2): 4 of 5 edges reciprocated."""
+    from ugfraud_spark.operators import degrees
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2)], "src long, dst long")
+    row = degrees.reciprocity(e).collect()[0]
+    assert (row["n_edges"], row["n_recip"]) == (5, 4)
+    assert row["reciprocity"] == 0.8
+
+
+def test_powerlaw_alpha_matches_closed_form(spark):
+    """In-degree multiset {2, 4, 8} at dmin=2: alpha = 1 + 3/Σln(d/1.5)
+    with each term rounded to 6 dp (the engine's decimal-sum rule)."""
+    import math
+
+    from ugfraud_spark.operators import degrees
+
+    edges = []
+    src = 100
+    for dst, d in [(0, 2), (1, 4), (2, 8)]:
+        for _ in range(d):
+            edges.append((src, dst))
+            src += 1
+    e = spark.createDataFrame(edges, "src long, dst long")
+    row = degrees.powerlaw_alpha(e, dmin=2).collect()[0]
+    s = sum(round(math.log(d / 1.5), 6) for d in (2, 4, 8))
+    assert row["n_tail"] == 3
+    assert abs(row["alpha"] - round(1 + 3 / s, 6)) < 1e-9

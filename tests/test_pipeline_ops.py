@@ -450,3 +450,27 @@ def test_pack_sequences_hand_computed(spark):
         assert out[i]["n_tokens"] == counts[i]
         assert (out[i]["tok_offset"], out[i]["seq_id"],
                 out[i]["n_seqs"]) == (off, seq, ns), out[i]
+
+
+def test_quality_filter_rules_fire_individually(spark):
+    """One doc per rule: each verdict carries exactly the expected
+    fail_rules audit string in declaration order."""
+    from ugfraud_spark.operators import quality
+
+    good = "the cat sat of the mat and then walked away toward town " \
+           "with great calm under bright stars tonight"        # 19 varied
+    short = "the cat"                                          # min_tokens
+    nostop = " ".join(f"word{i}" for i in range(20))           # stopwords
+    thin = "a " + " ".join("bcdefghijklmnopqr"[i] for i in range(16))
+    spam = "the " + " ".join(["spam"] * 19)     # dup_words + dup_bigrams
+    docs = spark.createDataFrame(
+        list(enumerate([good, short, nostop, thin, spam])),
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality.quality_filter(docs).collect()}
+    assert out[0]["keep"] and out[0]["fail_rules"] == ""
+    assert out[1]["fail_rules"] == "min_tokens" and out[1]["n_failed"] == 1
+    assert out[2]["fail_rules"] == "stopwords"
+    assert out[3]["fail_rules"] == "avg_token_len"
+    assert out[4]["fail_rules"] == "dup_words,dup_bigrams"
+    assert not out[4]["keep"] and out[4]["n_failed"] == 2

@@ -40,3 +40,50 @@ def degree(edges_undirected_ab: DataFrame) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def reciprocity(edges_dir: DataFrame) -> DataFrame:
+    """(n_edges, n_recip, reciprocity): the fraction of directed edges
+    whose reverse edge also exists — the standard first-order web-graph
+    asymmetry statistic. One self-equi-join on the (src, dst) pair key
+    (edges are distinct, so inner == semi) + two scalar counts; the
+    join shuffles once on the composite pair, never fans out."""
+    e = edges_dir.select("src", "dst")
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_recip = (
+        e.join(rev, ["src", "dst"])
+        .agg(F.count(F.lit(1)).alias("n_recip"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(n_recip).select(
+        "n_edges",
+        "n_recip",
+        F.round(
+            F.col("n_recip").cast("double") / F.col("n_edges").cast("double"),
+            6,
+        ).alias("reciprocity"),
+    )
+
+
+def powerlaw_alpha(edges_dir: DataFrame, dmin: int = 2) -> DataFrame:
+    """(n_tail, alpha): continuous maximum-likelihood estimate of the
+    in-degree power-law exponent (Clauset–Shalizi–Newman):
+    alpha = 1 + n / Σ ln(d_i / (dmin − ½)) over degrees >= dmin — the
+    one-pass scalar every web-graph release quotes for its in-degree
+    tail. Cross-engine float discipline: each log term is rounded to
+    6 dp and summed as exact DECIMAL (associative — partitioning-
+    independent), with one division at the end."""
+    deg = in_degree(edges_dir).where(F.col("in_deg") >= dmin)
+    term = F.round(
+        F.log(F.col("in_deg").cast("double") / F.lit(dmin - 0.5)), 6
+    ).cast("decimal(28,6)")
+    agg = deg.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.sum(term).cast("double").alias("s"),
+    )
+    return agg.select(
+        "n_tail",
+        F.round(
+            F.lit(1.0) + F.col("n_tail").cast("double") / F.col("s"), 6
+        ).alias("alpha"),
+    )

@@ -281,6 +281,39 @@ def sql_host_stats(mod: int = UNI_MOD, n_hosts: int = 100) -> str:
     )
 
 
+def sql_reciprocity(mod: int = UNI_MOD) -> str:
+    """Mirror of degrees.reciprocity: edges are distinct, so the
+    forward⋈reverse inner join counts each reciprocated edge once."""
+    return _with(
+        [("uni", uni_frag(mod)),
+         ("r",
+          "SELECT CAST(COUNT(*) AS BIGINT) AS n_recip FROM uni a "
+          "JOIN (SELECT dst AS src, src AS dst FROM uni) b "
+          "USING (src, dst)"),
+         ("t", "SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM uni")],
+        "SELECT n_edges, n_recip, ROUND(CAST(n_recip AS DOUBLE) "
+        "/ CAST(n_edges AS DOUBLE), 6) AS reciprocity FROM t, r",
+    )
+
+
+def sql_powerlaw_alpha(dmin: int = 2, mod: int = UNI_MOD) -> str:
+    """Mirror of degrees.powerlaw_alpha: CSN continuous MLE over
+    in-degrees >= dmin, each log term rounded to 6 dp and summed as
+    exact DECIMAL so the scalar is order-independent."""
+    return _with(
+        [("uni", uni_frag(mod)),
+         ("deg",
+          "SELECT dst AS id, COUNT(*) AS d FROM uni GROUP BY dst"),
+         ("tail", f"SELECT d FROM deg WHERE d >= {dmin}"),
+         ("s",
+          f"SELECT CAST(COUNT(*) AS BIGINT) AS n_tail, "
+          f"CAST(SUM(CAST(ROUND(LN(CAST(d AS DOUBLE) / {_d(dmin - 0.5)}), 6)"
+          f" AS DECIMAL(28,6))) AS DOUBLE) AS s FROM tail")],
+        "SELECT n_tail, ROUND(CAST(1.0 AS DOUBLE) "
+        "+ CAST(n_tail AS DOUBLE) / s, 6) AS alpha FROM s",
+    )
+
+
 def sql_ktruss(k: int = 4, rounds: int = 6, mod: int = UNI_MOD) -> str:
     """Unrolled k-truss peeling: ``rounds`` fixed iterations of
     (triangle support over remaining edges → drop support < k-2).
@@ -1473,6 +1506,53 @@ def sql_remove_boilerplate(w: int = 10, min_docs: int = 2) -> str:
         "SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text, "
         "t.n_spans, CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept "
         "FROM tot t LEFT JOIN agg a USING (doc_id)",
+    )
+
+
+def sql_quality_filter(min_tokens: int = 15, avg_lo: float = 3.0,
+                       avg_hi: float = 10.0, max_dupw: float = 0.68,
+                       max_dupb: float = 0.08) -> str:
+    """Mirror of quality.quality_filter: every metric rounded to 6 dp
+    BEFORE its threshold comparison (verdicts can't flip on float low
+    bits); fail_rules via CONCAT_WS, which skips passing rules' NULLs
+    identically on both engines."""
+    from .functions.text import (STOPWORDS, sql_token_count,
+                                 sql_word_occurrences)
+
+    stop = " + ".join(sql_word_occurrences("text", w) for w in STOPWORDS)
+    rules = [
+        ("min_tokens", f"n_tokens >= {min_tokens}"),
+        ("stopwords", "stopr > 0.0"),
+        ("avg_token_len",
+         f"avg_tok >= {_d(avg_lo)} AND avg_tok <= {_d(avg_hi)}"),
+        ("dup_words", f"dupw <= {_d(max_dupw)}"),
+        ("dup_bigrams", f"dupb <= {_d(max_dupb)}"),
+    ]
+    n_failed = " + ".join(
+        f"CASE WHEN {cond} THEN 0 ELSE 1 END" for _, cond in rules
+    )
+    fail_rules = ", ".join(
+        f"CASE WHEN NOT ({cond}) THEN '{name}' END" for name, cond in rules
+    )
+    return _with(
+        [("sp",
+          "SELECT doc_id, text, string_split(text, ' ') AS w "
+          "FROM documents"),
+         ("q",
+          f"SELECT doc_id, {sql_token_count('text')} AS n_tokens, "
+          f"ROUND((LENGTH(text) - ({sql_token_count('text')} - 1)) "
+          f"/ CAST({sql_token_count('text')} AS DOUBLE), 6) AS avg_tok, "
+          f"ROUND(({stop}) / CAST({sql_token_count('text')} AS DOUBLE), 6) "
+          f"AS stopr, "
+          f"ROUND(1 - LEN(list_distinct(w)) / CAST(LEN(w) AS DOUBLE), 6) "
+          f"AS dupw, "
+          f"CASE WHEN LEN(w) > 1 THEN "
+          f"ROUND(1 - LEN(list_distinct(list_transform(range(1, LEN(w)), "
+          f"i -> w[i] || ' ' || w[i + 1]))) / CAST(LEN(w) - 1 AS DOUBLE), 6) "
+          f"ELSE CAST(0.0 AS DOUBLE) END AS dupb FROM sp")],
+        f"SELECT doc_id, n_tokens, CAST({n_failed} AS BIGINT) AS n_failed, "
+        f"CONCAT_WS(',', {fail_rules}) AS fail_rules, "
+        f"({n_failed}) = 0 AS keep FROM q",
     )
 
 

@@ -667,6 +667,26 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles.ktruss_edges(e, k=4, max_rounds=6)
 
 
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-edge reciprocity scalar over the link graph (one
+    pair-keyed self-equi-join + two counts)."""
+    return degrees.reciprocity(tables.uni_edges_directed(spark, sf_dir))
+
+
+def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clauset–Shalizi–Newman continuous MLE of the in-degree power-law
+    exponent (log terms rounded + decimal-summed: order-independent)."""
+    return degrees.powerlaw_alpha(tables.uni_edges_directed(spark, sf_dir))
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style keep/drop verdict with per-doc audit trail —
+    pure zero-shuffle projection over the document scan."""
+    from .operators import quality
+
+    return quality.quality_filter(tables.load(spark, sf_dir, "documents"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk training-sequence packing: each doc's token
     offset / sequence id / straddle count via the two-phase distributed
@@ -1221,6 +1241,10 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                                 oracle.sql_remove_boilerplate()),
         "sequence_packing": (q_pack_sequences,
                              oracle.sql_pack_sequences()),
+        "reciprocity": _uni(q_reciprocity, oracle.sql_reciprocity(mod=m)),
+        "powerlaw_alpha": _uni(q_powerlaw_alpha,
+                               oracle.sql_powerlaw_alpha(mod=m)),
+        "quality_filter": (q_quality_filter, oracle.sql_quality_filter()),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(
