@@ -474,3 +474,33 @@ def test_quality_filter_rules_fire_individually(spark):
     assert out[3]["fail_rules"] == "avg_token_len"
     assert out[4]["fail_rules"] == "dup_words,dup_bigrams"
     assert not out[4]["keep"] and out[4]["n_failed"] == 2
+
+
+def test_lm_doc_scores_hand_computed(spark):
+    """Tiny corpus, full model traced by hand in python: add-one
+    bigram probs over the corpus's own counts; a 1-token doc
+    contributes to the vocabulary but has no bigram and is absent."""
+    import math
+    from collections import Counter
+
+    from ugfraud_spark.operators import lmscore
+
+    texts = {0: "a b a b", 1: "a b c", 2: "x"}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lmscore.lm_doc_scores(docs).collect()}
+
+    toks = {i: t.split(" ") for i, t in texts.items()}
+    bigrams = {i: list(zip(w, w[1:])) for i, w in toks.items()}
+    c_bg = Counter(b for bs in bigrams.values() for b in bs)
+    c_w1 = Counter(b[0] for bs in bigrams.values() for b in bs)
+    v = len({t for w in toks.values() for t in w})
+    for i, bs in bigrams.items():
+        if not bs:
+            assert i not in out
+            continue
+        lps = [round(math.log((c_bg[b] + 1) / (c_w1[b[0]] + v)), 6)
+               for b in bs]
+        assert out[i]["n_bigrams"] == len(bs)
+        assert abs(out[i]["avg_logprob"] - round(sum(lps) / len(bs), 6)) \
+            < 1e-9

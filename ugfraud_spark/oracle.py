@@ -1556,6 +1556,33 @@ def sql_quality_filter(min_tokens: int = 15, avg_lo: float = 3.0,
     )
 
 
+def sql_lm_doc_scores() -> str:
+    """Mirror of lmscore.lm_doc_scores: add-one-smoothed bigram LM
+    scored against the corpus's own counts; the per-doc mean uses the
+    same rounded-then-DECIMAL-summed log terms as the engine."""
+    return _with(
+        [("sp",
+          "SELECT doc_id, string_split(text, ' ') AS w FROM documents"),
+         ("st",
+          "SELECT doc_id, UNNEST(w[1:LEN(w) - 1]) AS w1, "
+          "UNNEST(list_transform(range(1, LEN(w)), "
+          "i -> w[i] || ' ' || w[i + 1])) AS bg FROM sp"),
+         ("bgc", "SELECT bg, COUNT(*) AS c_bg FROM st GROUP BY bg"),
+         ("w1c", "SELECT w1, COUNT(*) AS c_w1 FROM st GROUP BY w1"),
+         ("v",
+          "SELECT COUNT(DISTINCT tok) AS v FROM "
+          "(SELECT UNNEST(w) AS tok FROM sp)"),
+         ("sc",
+          "SELECT doc_id, ROUND(LN(CAST(c_bg + 1 AS DOUBLE) "
+          "/ CAST(c_w1 + v AS DOUBLE)), 6) AS lp "
+          "FROM st JOIN bgc USING (bg) JOIN w1c USING (w1) CROSS JOIN v")],
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+        "ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) "
+        "/ CAST(COUNT(*) AS DOUBLE), 6) AS avg_logprob "
+        "FROM sc GROUP BY doc_id",
+    )
+
+
 def sql_pack_sequences(budget: int = 256) -> str:
     """Mirror of packing.pack_sequences — deliberately the NAIVE
     single-window prefix sum (fine for DuckDB single-node; the Spark

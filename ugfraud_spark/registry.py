@@ -667,6 +667,15 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles.ktruss_edges(e, k=4, max_rounds=6)
 
 
+def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM quality scoring: per-doc mean add-one
+    bigram log-probability under the corpus's own counts (narrow
+    bigram stream + two count-table joins + broadcast vocab scalar)."""
+    from .operators import lmscore
+
+    return lmscore.lm_doc_scores(tables.load(spark, sf_dir, "documents"))
+
+
 def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed-edge reciprocity scalar over the link graph (one
     pair-keyed self-equi-join + two counts)."""
@@ -1245,6 +1254,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "powerlaw_alpha": _uni(q_powerlaw_alpha,
                                oracle.sql_powerlaw_alpha(mod=m)),
         "quality_filter": (q_quality_filter, oracle.sql_quality_filter()),
+        "lm_doc_scores": (q_lm_doc_scores, oracle.sql_lm_doc_scores()),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(
