@@ -397,20 +397,33 @@ def boilerplate_spans(docs: DataFrame, w: int = CHUNK_W,
 
 
 def remove_boilerplate(docs: DataFrame, w: int = CHUNK_W,
-                       min_docs: int = BOILER_MIN_DOCS) -> DataFrame:
+                       min_docs: int = BOILER_MIN_DOCS,
+                       broadcast_spans: bool = True) -> DataFrame:
     """(doc_id, clean_text, n_spans, n_kept): every doc with its
     boilerplate spans removed and the survivors re-joined in original
     order. Docs losing every span stay in the output with an empty
     clean_text (the keep/drop decision belongs to a later filter, not
     to the rewriter).
 
-    Scale shape: the boilerplate set is a tiny aggregate of the corpus
-    (only spans with df >= min_docs) — it rides a broadcast anti-join;
-    reassembly is one groupBy(doc_id) whose collect_list is bounded by
-    the doc's own span count, never by corpus frequency."""
-    c = doc_chunks(docs, w)
-    bad = boilerplate_spans(docs, w, min_docs).select("chunk")
-    kept = c.join(F.broadcast(bad), "chunk", "left_anti")
+    Scale shape: the chunk frame feeds three consumers (the span
+    aggregate, the anti-join probe, the totals) — materialized once.
+    The boilerplate set rides a broadcast anti-join HERE, which assumes
+    it fits the broadcast bound; unlike host_graph's |hosts|² this set
+    has no cardinality bound (at true crawl scale shared navboxes make
+    it grow with the corpus), so the 100 TB path raises ``min_docs``
+    with corpus size or flips to a shuffle anti-join
+    (``broadcast_spans=False``). Reassembly is one groupBy(doc_id)
+    whose collect_list is bounded by the doc's own span count, never
+    by corpus frequency."""
+    c = doc_chunks(docs, w).localCheckpoint(eager=True)
+    bad = (
+        c.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("chunk")
+    )
+    kept = c.join(F.broadcast(bad) if broadcast_spans else bad,
+                  "chunk", "left_anti")
     kept_agg = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(

@@ -66,8 +66,10 @@ def reciprocity(edges_dir: DataFrame) -> DataFrame:
 
 
 def powerlaw_alpha(edges_dir: DataFrame, dmin: int = 2) -> DataFrame:
-    """(n_tail, alpha): continuous maximum-likelihood estimate of the
-    in-degree power-law exponent (Clauset–Shalizi–Newman):
+    """(n_tail, alpha): maximum-likelihood estimate of the in-degree
+    power-law exponent via Clauset–Shalizi–Newman's DISCRETE-data
+    approximation (their eq. 3.7 — the −½ offset; the continuous MLE
+    would divide by dmin itself, which is wrong for integer degrees):
     alpha = 1 + n / Σ ln(d_i / (dmin − ½)) over degrees >= dmin — the
     one-pass scalar every web-graph release quotes for its in-degree
     tail. Cross-engine float discipline: each log term is rounded to

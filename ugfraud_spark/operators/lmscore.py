@@ -54,9 +54,14 @@ def lm_doc_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, n_bigrams, avg_logprob): each doc's mean add-one-
     smoothed bigram log-probability under the corpus's own counts —
     low scores mark improbable (junk/boilerplate-mangled) text."""
-    stream = _bigram_stream(docs)
+    # the stream feeds three consumers (two count tables + the scoring
+    # join): materialize it once, house rule for multi-consumer frames
+    stream = _bigram_stream(docs).localCheckpoint(eager=True)
     bg_counts = stream.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
     w1_counts = stream.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    # vocab needs ALL tokens (a 1-token doc is in V but has no bigram),
+    # so it cannot come from the stream; it is a separate column-pruned
+    # scan feeding one map-side-combined count-distinct
     vocab = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .agg(F.count_distinct("tok").alias("v"))

@@ -297,7 +297,7 @@ def sql_reciprocity(mod: int = UNI_MOD) -> str:
 
 
 def sql_powerlaw_alpha(dmin: int = 2, mod: int = UNI_MOD) -> str:
-    """Mirror of degrees.powerlaw_alpha: CSN continuous MLE over
+    """Mirror of degrees.powerlaw_alpha: CSN discrete-data MLE approximation (eq. 3.7) over
     in-degrees >= dmin, each log term rounded to 6 dp and summed as
     exact DECIMAL so the scalar is order-independent."""
     return _with(

@@ -683,7 +683,8 @@ def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clauset–Shalizi–Newman continuous MLE of the in-degree power-law
+    """Clauset–Shalizi–Newman discrete-data MLE approximation of the
+    in-degree power-law
     exponent (log terms rounded + decimal-summed: order-independent)."""
     return degrees.powerlaw_alpha(tables.uni_edges_directed(spark, sf_dir))
 
