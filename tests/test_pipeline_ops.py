@@ -504,3 +504,31 @@ def test_lm_doc_scores_hand_computed(spark):
         assert out[i]["n_bigrams"] == len(bs)
         assert abs(out[i]["avg_logprob"] - round(sum(lps) / len(bs), 6)) \
             < 1e-9
+
+
+def test_epoch_shuffle_is_seeded_permutation(spark):
+    """Positions are a bijection onto [0, n); the order matches the
+    python model of the same hash; a different seed permutes
+    differently; the same seed is stable across calls."""
+    from ugfraud_spark.operators import shuffle
+    from ugfraud_spark.sources.tables import PRIOR_MOD, PRIOR_MULT
+
+    n = 200
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], "doc_id long, text string")
+
+    def got(seed):
+        return {r["doc_id"]: r["shuffle_pos"] for r in
+                shuffle.epoch_shuffle(docs, seed=seed,
+                                      n_buckets=16).collect()}
+
+    g1 = got(1)
+    assert sorted(g1.values()) == list(range(n))  # bijection
+    order = sorted(
+        range(n),
+        key=lambda d: (((d + shuffle.SEED_STRIDE) * PRIOR_MULT)
+                       % PRIOR_MOD, d),
+    )
+    assert g1 == {d: p for p, d in enumerate(order)}  # python model
+    assert got(1) == g1          # stable
+    assert got(2) != g1          # seed actually moves the permutation

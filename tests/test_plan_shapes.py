@@ -181,3 +181,18 @@ def test_pack_sequences_no_corpus_single_partition(spark):
     assert len(singles) == 1, plan  # the bucket-totals window only
     assert re.search(r"hashpartitioning\(bkt", plan), plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_epoch_shuffle_no_corpus_single_partition(spark):
+    """Range-bucketed two-phase ranking: the only SinglePartition in
+    the plan is the tiny bucket-counts window; the corpus-side
+    row_number runs partitioned by range bucket."""
+    import re
+
+    from ugfraud_spark.operators import shuffle
+
+    plan = _plan(shuffle.epoch_shuffle(
+        _docs(spark, [f"d {i}" for i in range(8)]), n_buckets=4))
+    assert len(re.findall(r"SinglePartition", plan)) == 1, plan
+    assert re.search(r"hashpartitioning\(bkt", plan), plan
+    assert "BroadcastExchange" in plan, plan

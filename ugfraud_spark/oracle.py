@@ -1556,6 +1556,19 @@ def sql_quality_filter(min_tokens: int = 15, avg_lo: float = 3.0,
     )
 
 
+def sql_epoch_shuffle(seed: int = 1) -> str:
+    """Mirror of shuffle.epoch_shuffle — deliberately the naive global
+    ROW_NUMBER (single-node DuckDB doesn't care; value-identity proves
+    the Spark side's range-bucketed two-phase ranking exact)."""
+    from .operators.shuffle import SEED_STRIDE
+
+    h = f"((doc_id + {seed * SEED_STRIDE}) * {PRIOR_MULT}) % {PRIOR_MOD}"
+    return (
+        f"SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY {h}, doc_id) - 1 "
+        f"AS BIGINT) AS shuffle_pos FROM documents"
+    )
+
+
 def sql_lm_doc_scores() -> str:
     """Mirror of lmscore.lm_doc_scores: add-one-smoothed bigram LM
     scored against the corpus's own counts; the per-doc mean uses the

@@ -667,6 +667,14 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles.ktruss_edges(e, k=4, max_rounds=6)
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global epoch permutation as a rank — range-bucketed
+    two-phase ranking, never an all-corpus single-partition sort."""
+    from .operators import shuffle
+
+    return shuffle.epoch_shuffle(tables.load(spark, sf_dir, "documents"))
+
+
 def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-LM quality scoring: per-doc mean add-one
     bigram log-probability under the corpus's own counts (narrow
@@ -1256,6 +1264,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                                oracle.sql_powerlaw_alpha(mod=m)),
         "quality_filter": (q_quality_filter, oracle.sql_quality_filter()),
         "lm_doc_scores": (q_lm_doc_scores, oracle.sql_lm_doc_scores()),
+        "epoch_shuffle": (q_epoch_shuffle, oracle.sql_epoch_shuffle()),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(
