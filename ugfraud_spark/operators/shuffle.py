@@ -3,14 +3,23 @@ corpus, as a rank.
 
 Training pipelines re-order the corpus every epoch with a seeded
 pseudo-random permutation (then pack — see ``operators/packing.py``).
-The permutation here is "rank of a Knuth multiplicative hash":
+The permutation here is "rank of a multiplicative hash with a
+SEED-DEPENDENT multiplier":
 
-    pos(doc) = rank of (h(doc), doc_id),  h = ((doc_id + seed·7919)
-               · PRIOR_MULT) mod PRIOR_MOD
+    pos(doc) = rank of (h(doc), doc_id),
+    h = (doc_id · mult(seed) + seed) mod PRIOR_MOD,
+    mult(seed) = PRIOR_MULT^(seed+1) mod PRIOR_MOD   (driver literal)
 
-— pure int64 arithmetic both engines evaluate identically (the same
-constants as the engine's deterministic priors), with doc_id breaking
-hash-collision ties so the order is total.
+— pure int64 arithmetic both engines evaluate identically, with
+doc_id breaking hash-collision ties so the order is total. The seed
+MUST enter through the multiplier: a seed that only shifts the hash
+additively (h = h0 + c mod P) rotates one fixed circular order, so
+"epochs" would keep every adjacent doc pair together — the exact
+correlation an epoch shuffle exists to destroy (found by review; the
+cross-engine gate cannot see it because the oracle mirrors the same
+hash). PRIOR_MOD is prime and mult ≢ 0, so d ↦ d·mult is a bijection
+on residues and different seeds give structurally different orders
+(pinned by the adjacent-pair-overlap test).
 
 The scale bomb, same family as packing's: a global
 ``ROW_NUMBER() OVER (ORDER BY h)`` plans one all-corpus sort on a
@@ -31,14 +40,20 @@ from pyspark.sql import functions as F
 from ..sources.tables import PRIOR_MOD, PRIOR_MULT
 
 SHUFFLE_BUCKETS = 256
-SEED_STRIDE = 7919  # 1000th prime: seeds step the hash input apart
+
+
+def seed_mult(seed: int) -> int:
+    """The seed's hash multiplier: PRIOR_MULT^(seed+1) mod PRIOR_MOD,
+    computed driver-side so both engines see one literal. Nonzero for
+    every seed (PRIOR_MOD is prime, PRIOR_MULT not a multiple)."""
+    return pow(PRIOR_MULT, seed + 1, PRIOR_MOD)
 
 
 def epoch_shuffle(docs: DataFrame, seed: int = 1,
                   n_buckets: int = SHUFFLE_BUCKETS) -> DataFrame:
     """(doc_id, shuffle_pos): the doc's 0-based position in the seeded
     epoch permutation. Positions are a bijection onto [0, |corpus|)."""
-    h = ((F.col("doc_id") + F.lit(seed * SEED_STRIDE)) * F.lit(PRIOR_MULT)) \
+    h = (F.col("doc_id") * F.lit(seed_mult(seed)) + F.lit(seed)) \
         % F.lit(PRIOR_MOD)
     t = docs.select(
         "doc_id",

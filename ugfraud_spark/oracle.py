@@ -314,9 +314,15 @@ def sql_powerlaw_alpha(dmin: int = 2, mod: int = UNI_MOD) -> str:
     )
 
 
-def sql_cocitation(max_out: int = 64, mod: int = UNI_MOD) -> str:
+def sql_cocitation(max_out: int | None = None,
+                   mod: int = UNI_MOD) -> str:
     """Mirror of triangles.cocitation: identical out-degree cap before
-    the wedge self-join, same (a < b) canonical pair."""
+    the wedge self-join, same (a < b) canonical pair. The default cap
+    is IMPORTED from the engine so a retune can't desynchronize the
+    gate."""
+    if max_out is None:
+        from .operators.triangles import COCITE_MAX_OUT
+        max_out = COCITE_MAX_OUT
     return _with(
         [("uni", uni_frag(mod)),
          ("ok",
@@ -1575,9 +1581,9 @@ def sql_epoch_shuffle(seed: int = 1) -> str:
     """Mirror of shuffle.epoch_shuffle — deliberately the naive global
     ROW_NUMBER (single-node DuckDB doesn't care; value-identity proves
     the Spark side's range-bucketed two-phase ranking exact)."""
-    from .operators.shuffle import SEED_STRIDE
+    from .operators.shuffle import seed_mult
 
-    h = f"((doc_id + {seed * SEED_STRIDE}) * {PRIOR_MULT}) % {PRIOR_MOD}"
+    h = f"(doc_id * {seed_mult(seed)} + {seed}) % {PRIOR_MOD}"
     return (
         f"SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY {h}, doc_id) - 1 "
         f"AS BIGINT) AS shuffle_pos FROM documents"
