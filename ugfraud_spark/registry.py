@@ -667,6 +667,17 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles.ktruss_edges(e, k=4, max_rounds=6)
 
 
+def q_quality_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality verdict computed inside a real Structured Streaming
+    query (pure projection: no state store, no foreachBatch); gated
+    against the BATCH oracle — stream == batch under any
+    micro-batching."""
+    from .streaming import corpus as streaming_corpus
+
+    return streaming_corpus.run_stream_quality(
+        spark, f"{sf_dir}/documents.parquet")
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded global epoch permutation as a rank — range-bucketed
     two-phase ranking, never an all-corpus single-partition sort."""
@@ -1283,6 +1294,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "harmonic_centrality": _uni(
             q_harmonic_centrality, oracle.sql_harmonic_centrality(t=3, mod=m)),
         "cocitation": _uni(q_cocitation, oracle.sql_cocitation(mod=m)),
+        "quality_filter_stream": (q_quality_filter_stream,
+                                  oracle.sql_quality_filter()),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(

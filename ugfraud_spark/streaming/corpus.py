@@ -47,6 +47,66 @@ DOC_SCHEMA = T.StructType([
 ])
 
 
+def stage_stream_src(parquet_path: str, out_dir: str) -> str:
+    """Spark's parquet STREAM source requires a directory: expose the
+    file(s) through a symlinked dir (zero copies). Returns the staged
+    source dir; raises if no parquet files resolve."""
+    parquet_path = os.path.abspath(parquet_path)
+    src_dir = os.path.join(out_dir, "src")
+    os.makedirs(src_dir)
+    files = (
+        [parquet_path] if os.path.isfile(parquet_path)
+        else [os.path.join(parquet_path, f)
+              for f in sorted(os.listdir(parquet_path))
+              if f.endswith(".parquet")]
+    )
+    if not files:
+        raise FileNotFoundError(
+            f"stage_stream_src: no .parquet files under {parquet_path}")
+    for f in files:
+        os.symlink(f, os.path.join(src_dir, os.path.basename(f)))
+    return src_dir
+
+
+def run_stream_quality(spark: SparkSession, parquet_path: str) -> DataFrame:
+    """(doc_id, n_tokens, n_failed, fail_rules, keep): the quality
+    verdict computed INSIDE a real Structured Streaming query — the
+    ingest-time quality gate. quality_filter is a pure row-local
+    projection, so it runs directly in the streaming plan (no
+    foreachBatch, no state store, no watermark) and the streamed
+    output trivially equals the batch operator under ANY
+    micro-batching; the shadow gate re-checks that equality against
+    the BATCH DuckDB oracle."""
+    from ..operators.quality import quality_filter
+
+    out_dir = tempfile.mkdtemp(prefix="stream_quality_")
+    sink = os.path.join(out_dir, "verdicts")
+    try:
+        src_dir = stage_stream_src(parquet_path, out_dir)
+    except FileNotFoundError:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        raise
+    src = spark.readStream.schema(DOC_SCHEMA).parquet(src_dir)
+    q = (
+        quality_filter(src)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        rows = spark.read.parquet(sink).collect()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, n_tokens long, n_failed long, fail_rules string, "
+        "keep boolean",
+    )
+
+
 def run_stream_incremental_dedup(spark: SparkSession, parquet_path: str,
                                  mod: int = 7,
                                  threshold: float = 0.0,
@@ -70,25 +130,11 @@ def run_stream_incremental_dedup(spark: SparkSession, parquet_path: str,
     corpus_index = build_corpus_index(corpus)
     out_dir = tempfile.mkdtemp(prefix="incr_dedup_out_")
     sink = os.path.join(out_dir, "pairs")
-
-    # the parquet STREAM source requires a directory; expose the file
-    # through a symlinked dir (zero copies — same trick as
-    # events.run_stream_dedup)
-    src_dir = os.path.join(out_dir, "src")
-    os.makedirs(src_dir)
-    files = (
-        [parquet_path] if os.path.isfile(parquet_path)
-        else [os.path.join(parquet_path, f)
-              for f in sorted(os.listdir(parquet_path))
-              if f.endswith(".parquet")]
-    )
-    if not files:
+    try:
+        src_dir = stage_stream_src(parquet_path, out_dir)
+    except FileNotFoundError:
         shutil.rmtree(out_dir, ignore_errors=True)
-        raise FileNotFoundError(
-            f"run_stream_incremental_dedup: no .parquet files under "
-            f"{parquet_path}")
-    for f in files:
-        os.symlink(f, os.path.join(src_dir, os.path.basename(f)))
+        raise
 
     def _admit(batch_df: DataFrame, _epoch: int) -> None:
         incremental_dedup(corpus, batch_df, threshold=threshold,
