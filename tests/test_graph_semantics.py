@@ -477,3 +477,27 @@ def test_cocitation_known_graph_and_cap(spark):
     capped = {(r["a"], r["b"]): r["n_common"]
               for r in triangles.cocitation(e, max_out=2).collect()}
     assert capped == {(2, 3): 1}
+
+
+def test_pagerank_weighted_matches_numpy(spark):
+    """Fixed-iteration weighted PageRank vs a numpy replication of the
+    same recurrence (dangling mass dropped, weight-proportional
+    distribution); includes a dangling vertex and asymmetric weights."""
+    edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 3, 1.0)]
+    # vertex 3 dangles
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    res = pagerank.pagerank_weighted(df, max_iter=7)
+    got = {r["id"]: r["value"] for r in res.state.collect()}
+
+    ids = [0, 1, 2, 3]
+    out_w = defaultdict(float)
+    for s, _d, w in edges:
+        out_w[s] += w
+    r = {v: 1 / 4 for v in ids}
+    for _ in range(7):
+        nxt = {v: 0.15 / 4 for v in ids}
+        for s, d, w in edges:
+            nxt[d] += 0.85 * (r[s] / out_w[s]) * w
+        r = nxt
+    assert set(got) == set(ids)
+    assert all(abs(got[v] - r[v]) < 1e-9 for v in ids)

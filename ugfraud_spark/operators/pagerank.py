@@ -227,3 +227,70 @@ def pagerank_blocks(
     )
     res.state = res.state.select("id", "value")
     return res
+
+
+def pagerank_weighted(
+    edges_w: DataFrame,
+    *,
+    weight: str = "weight",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float | None = None,
+    checkpoint_every: int = 1,
+) -> SuperstepResult:
+    """Weighted PageRank over edges(src, dst, weight): each vertex
+    distributes its rank proportionally to outgoing edge weight —
+    r_{t+1}(v) = (1-d)/N + d·Σ_{(u,v)} r_t(u)·w(u,v)/W_out(u). The
+    host-ranking kernel (a host graph's n_links weights ARE the
+    endorsement counts). Same superstep plan as ``pagerank``: edges
+    colocated once, W_out fused into the state, one state-side shuffle
+    + one map-side-combined groupBy per round; dangling mass dropped
+    (same documented simplification as the unweighted kernel)."""
+    edges = colocate_edges(
+        edges_w.select("src", "dst", F.col(weight).cast("double").alias("w"))
+    )
+    marked = edges.select(
+        F.col("src").alias("id"), F.col("w").alias("ow")
+    ).unionAll(
+        edges.select(F.col("dst").alias("id"), F.lit(0.0).alias("ow"))
+    )
+    base = (
+        marked.groupBy("id").agg(F.sum("ow").alias("_ow"))
+        .select("id", F.when(F.col("_ow") > 0, F.col("_ow")).alias("out_w"))
+        .persist()
+    )
+    n = base.count()
+    teleport = (1.0 - damping) / n
+    state0 = base.withColumn("value", F.lit(1.0 / n))
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        contribs = (
+            edges.join(
+                state.where(F.col("out_w").isNotNull())
+                .select(
+                    F.col("id").alias("src"),
+                    (F.col("value") / F.col("out_w")).alias("c"),
+                )
+                .hint("shuffle_hash"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("c") * F.col("w")).alias("mass"))
+        )
+        return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
+            "id",
+            "out_w",
+            (F.lit(teleport)
+             + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias("value"),
+        )
+
+    res = iterate(
+        state0,
+        step,
+        residual_fn=(None if tol is None else l1_residual),
+        max_iter=max_iter,
+        tol=tol or 0.0,
+        checkpoint_every=checkpoint_every,
+    )
+    res.state = res.state.select("id", "value")
+    return res

@@ -122,6 +122,39 @@ def sql_pagerank(iters: int = 5, damping: float = 0.85, mod: int = UNI_MOD) -> s
     return _with(ctes, f"SELECT id, ROUND(pr, 6) AS pagerank FROM r{iters}")
 
 
+def sql_host_rank(iters: int = 5, damping: float = 0.85,
+                  mod: int = UNI_MOD, n_hosts: int = 100) -> str:
+    """Mirror of quotient.host_graph (intra-host pairs excluded) |>
+    pagerank.pagerank_weighted: the host-ranking kernel. Weights are
+    integer-valued doubles (link counts), so every W_out sum is exact;
+    mass sums mirror the engine's (pr / out_w) * w term order."""
+    ctes = [
+        ("uni", uni_frag(mod)),
+        ("hg",
+         f"SELECT (src % {n_hosts}) AS sh, (dst % {n_hosts}) AS dh, "
+         f"CAST(COUNT(*) AS DOUBLE) AS w FROM uni "
+         f"WHERE (src % {n_hosts}) <> (dst % {n_hosts}) GROUP BY 1, 2"),
+        ("v", "SELECT sh AS id FROM hg UNION SELECT dh FROM hg"),
+        ("ow", "SELECT sh AS id, SUM(w) AS out_w FROM hg GROUP BY sh"),
+        ("nn", "SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v"),
+        ("h0", "SELECT v.id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM v, nn"),
+    ]
+    d = f"CAST({damping!r} AS DOUBLE)"
+    for t in range(1, iters + 1):
+        prev = f"h{t-1}"
+        ctes.append((
+            f"h{t}",
+            f"SELECT v.id, (CAST(1.0 AS DOUBLE) - {d}) / nn.n "
+            f"+ {d} * COALESCE(s.mass, CAST(0.0 AS DOUBLE)) AS pr\n"
+            f"FROM v CROSS JOIN nn LEFT JOIN (\n"
+            f"  SELECT hg.dh AS id, SUM(({prev}.pr / ow.out_w) * hg.w) "
+            f"AS mass FROM hg JOIN {prev} ON {prev}.id = hg.sh "
+            f"JOIN ow ON ow.id = hg.sh GROUP BY hg.dh\n"
+            f") s ON s.id = v.id",
+        ))
+    return _with(ctes, f"SELECT id, ROUND(pr, 6) AS host_rank FROM h{iters}")
+
+
 def sql_cc_minprop(iters: int = 30, mod: int = UNI_MOD) -> str:
     """k rounds of synchronous min-label propagation over the undirected
     graph; labels converge to the min vertex id per component once

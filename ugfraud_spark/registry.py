@@ -731,6 +731,22 @@ def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_boilerplate(tables.load(spark, sf_dir, "documents"))
 
 
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host ranking: the page-level link graph collapsed to the host
+    quotient graph (intra-host links excluded — self-endorsement), then
+    weighted PageRank with link counts as endorsement weights."""
+    hg = quotient.host_graph(tables.uni_edges_directed(spark, sf_dir)) \
+        .where(F.col("src_host") != F.col("dst_host"))
+    e = hg.select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").alias("weight"),
+    )
+    res = pagerank.pagerank_weighted(e, max_iter=PR_ITERS)
+    return _round6(res.state.withColumnRenamed("value", "host_rank"),
+                   "host_rank")
+
+
 def q_hyperball_nf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood function NF(r), r = 0..3: per-round sum of the
     HyperBall ball estimates (exact-decimal summation, so the scalar is
@@ -1281,6 +1297,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "hyperball_nf": _uni(q_hyperball, oracle.sql_hyperball(t=3, mod=m)),
         "host_graph": _uni(q_host_graph, oracle.sql_host_graph(mod=m)),
         "host_stats": _uni(q_host_stats, oracle.sql_host_stats(mod=m)),
+        "host_rank": _uni(q_host_rank,
+                          oracle.sql_host_rank(iters=PR_ITERS, mod=m)),
         "boilerplate_removal": (q_remove_boilerplate,
                                 oracle.sql_remove_boilerplate()),
         "sequence_packing": (q_pack_sequences,
