@@ -540,3 +540,40 @@ def test_epoch_shuffle_is_seeded_permutation(spark):
 
     overlap = len(adjacent_pairs(g1) & adjacent_pairs(got(2)))
     assert overlap < n * 0.05, overlap  # rotations share ~n-1 pairs
+
+
+def test_source_reputation_rollup(spark):
+    """Two sources; srcB contains a 1-token doc (in n_docs but not
+    n_scored). keep_rate from the verdicts, avg_lm = HALF_UP-rounded
+    decimal mean of the per-doc LM scores."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ugfraud_spark.operators import lmscore, quality
+
+    rows = [
+        (0, "the cat sat of the mat and then walked away toward town "
+            "with great calm under bright stars tonight", "srcA"),
+        (1, "the cat", "srcA"),                       # fails min_tokens
+        (2, "x", "srcB"),                             # 1 token: no LM row
+        (3, "the dog ran of the hill and then came back toward home "
+            "with great speed under heavy rain today", "srcB"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "source string")
+    rep = {r["source"]: r for r in
+           quality.source_reputation(docs).collect()}
+    lm = {r["doc_id"]: r["avg_logprob"] for r in
+          lmscore.lm_doc_scores(docs).collect()}
+
+    assert rep["srcA"]["n_docs"] == 2 and rep["srcA"]["n_keep"] == 1
+    assert rep["srcA"]["keep_rate"] == 0.5
+    assert rep["srcB"]["n_docs"] == 2 and rep["srcB"]["n_scored"] == 1
+
+    def mean6(vals):
+        s = sum(Decimal(repr(v)).quantize(Decimal("0.000001"))
+                for v in vals)
+        return float(Decimal(repr(float(s) / len(vals))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    assert rep["srcA"]["avg_lm"] == mean6([lm[0], lm[1]])
+    assert rep["srcB"]["avg_lm"] == mean6([lm[3]])

@@ -64,3 +64,47 @@ def quality_filter(docs: DataFrame) -> DataFrame:
         fail_rules.alias("fail_rules"),
         (n_failed == 0).alias("keep"),
     )
+
+
+def source_reputation(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_keep, keep_rate, n_scored, avg_lm): the
+    domain-level curation signal (RefinedWeb-style source filtering) —
+    per source, the quality-filter keep rate and the mean corpus-LM
+    score of its documents. Both inputs are per-doc frames keyed by
+    doc_id; the rollup is one groupBy(source) with map-side combine.
+
+    Float discipline: keep_rate divides two exact counts; avg_lm sums
+    the already-6-dp LM scores as exact DECIMAL and divides by the
+    scored-doc count (docs with < 2 tokens have no LM score and are
+    excluded from the mean on both engines)."""
+    from .lmscore import lm_doc_scores
+
+    verdicts = quality_filter(docs).select("doc_id", "keep")
+    lm = lm_doc_scores(docs).select("doc_id", "avg_logprob")
+    per_doc = (
+        docs.select("doc_id", "source")
+        .join(verdicts, "doc_id")
+        .join(lm, "doc_id", "left")
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long")
+        .alias("n_keep"),
+        F.count("avg_logprob").alias("n_scored"),
+        F.sum(F.col("avg_logprob").cast("decimal(28,6)")).cast("double")
+        .alias("_s"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_keep",
+        F.round(
+            F.col("n_keep").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("keep_rate"),
+        "n_scored",
+        F.when(
+            F.col("n_scored") > 0,
+            F.round(F.col("_s") / F.col("n_scored").cast("double"), 6),
+        ).alias("avg_lm"),
+    )

@@ -1650,6 +1650,30 @@ def sql_lm_doc_scores() -> str:
     )
 
 
+def sql_source_reputation() -> str:
+    """Mirror of quality.source_reputation: the quality-filter and LM
+    oracles nest as materialized CTE subqueries (each carries its own
+    WITH), joined per doc and rolled up per source with the identical
+    exact-count / DECIMAL-sum float discipline."""
+    return _with(
+        [("qf", sql_quality_filter()),
+         ("lmq", sql_lm_doc_scores()),
+         ("pd",
+          "SELECT d.doc_id, d.source, q.keep, l.avg_logprob "
+          "FROM documents d JOIN qf q USING (doc_id) "
+          "LEFT JOIN lmq l USING (doc_id)")],
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep, "
+        "ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate, "
+        "CAST(COUNT(avg_logprob) AS BIGINT) AS n_scored, "
+        "CASE WHEN COUNT(avg_logprob) > 0 THEN "
+        "ROUND(CAST(SUM(CAST(avg_logprob AS DECIMAL(28,6))) AS DOUBLE) "
+        "/ CAST(COUNT(avg_logprob) AS DOUBLE), 6) END AS avg_lm "
+        "FROM pd GROUP BY source",
+    )
+
+
 def sql_pack_sequences(budget: int = 256) -> str:
     """Mirror of packing.pack_sequences — deliberately the NAIVE
     single-window prefix sum (fine for DuckDB single-node; the Spark

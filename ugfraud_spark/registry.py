@@ -716,6 +716,14 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.quality_filter(tables.load(spark, sf_dir, "documents"))
 
 
+def q_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation signal: quality-filter keep rate + mean
+    corpus-LM score, one groupBy(source) rollup."""
+    from .operators import quality
+
+    return quality.source_reputation(tables.load(spark, sf_dir, "documents"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk training-sequence packing: each doc's token
     offset / sequence id / straddle count via the two-phase distributed
@@ -1314,6 +1322,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "cocitation": _uni(q_cocitation, oracle.sql_cocitation(mod=m)),
         "quality_filter_stream": (q_quality_filter_stream,
                                   oracle.sql_quality_filter()),
+        "source_reputation": (q_source_reputation,
+                              oracle.sql_source_reputation()),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(
