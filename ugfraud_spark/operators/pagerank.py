@@ -237,6 +237,7 @@ def pagerank_weighted(
     max_iter: int = 20,
     tol: float | None = None,
     checkpoint_every: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> SuperstepResult:
     """Weighted PageRank over edges(src, dst, weight): each vertex
     distributes its rank proportionally to outgoing edge weight —
@@ -291,6 +292,7 @@ def pagerank_weighted(
         max_iter=max_iter,
         tol=tol or 0.0,
         checkpoint_every=checkpoint_every,
+        checkpoint_dir=checkpoint_dir,
     )
     res.state = res.state.select("id", "value")
     return res

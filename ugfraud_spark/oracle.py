@@ -123,11 +123,15 @@ def sql_pagerank(iters: int = 5, damping: float = 0.85, mod: int = UNI_MOD) -> s
 
 
 def sql_host_rank(iters: int = 5, damping: float = 0.85,
-                  mod: int = UNI_MOD, n_hosts: int = 100) -> str:
+                  mod: int = UNI_MOD,
+                  n_hosts: int | None = None) -> str:
     """Mirror of quotient.host_graph (intra-host pairs excluded) |>
     pagerank.pagerank_weighted: the host-ranking kernel. Weights are
     integer-valued doubles (link counts), so every W_out sum is exact;
     mass sums mirror the engine's (pr / out_w) * w term order."""
+    if n_hosts is None:
+        from .operators.quotient import N_HOSTS
+        n_hosts = N_HOSTS
     ctes = [
         ("uni", uni_frag(mod)),
         ("hg",
@@ -281,9 +285,12 @@ def sql_assortativity(mod: int = UNI_MOD) -> str:
     )
 
 
-def sql_host_graph(mod: int = UNI_MOD, n_hosts: int = 100) -> str:
+def sql_host_graph(mod: int = UNI_MOD, n_hosts: int | None = None) -> str:
     """Mirror of quotient.host_graph: collapse the directed page-level
     edge set onto host buckets and count page links per host pair."""
+    if n_hosts is None:
+        from .operators.quotient import N_HOSTS
+        n_hosts = N_HOSTS
     return _with(
         [("uni", uni_frag(mod)),
          ("hg",
@@ -294,9 +301,12 @@ def sql_host_graph(mod: int = UNI_MOD, n_hosts: int = 100) -> str:
     )
 
 
-def sql_host_stats(mod: int = UNI_MOD, n_hosts: int = 100) -> str:
+def sql_host_stats(mod: int = UNI_MOD, n_hosts: int | None = None) -> str:
     """Mirror of quotient.host_graph |> quotient.host_stats: per-host
     outgoing link budget with the intra-host fraction."""
+    if n_hosts is None:
+        from .operators.quotient import N_HOSTS
+        n_hosts = N_HOSTS
     return _with(
         [("uni", uni_frag(mod)),
          ("hg",

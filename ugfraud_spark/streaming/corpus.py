@@ -76,35 +76,32 @@ def run_stream_quality(spark: SparkSession, parquet_path: str) -> DataFrame:
     foreachBatch, no state store, no watermark) and the streamed
     output trivially equals the batch operator under ANY
     micro-batching; the shadow gate re-checks that equality against
-    the BATCH DuckDB oracle."""
+    the BATCH DuckDB oracle.
+
+    The returned frame is a distributed localCheckpoint of the sink
+    (per-doc result — NEVER driver-collected, unlike the dup-pair
+    sibling whose output is small by construction); the temp sink is
+    removed once the checkpoint severs the file lineage, and any
+    failure path cleans the temp dir in the enclosing finally."""
     from ..operators.quality import quality_filter
 
     out_dir = tempfile.mkdtemp(prefix="stream_quality_")
     sink = os.path.join(out_dir, "verdicts")
     try:
         src_dir = stage_stream_src(parquet_path, out_dir)
-    except FileNotFoundError:
-        shutil.rmtree(out_dir, ignore_errors=True)
-        raise
-    src = spark.readStream.schema(DOC_SCHEMA).parquet(src_dir)
-    q = (
-        quality_filter(src)
-        .writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    try:
-        rows = spark.read.parquet(sink).collect()
+        src = spark.readStream.schema(DOC_SCHEMA).parquet(src_dir)
+        q = (
+            quality_filter(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "doc_id long, n_tokens long, n_failed long, fail_rules string, "
-        "keep boolean",
-    )
 
 
 def run_stream_incremental_dedup(spark: SparkSession, parquet_path: str,
