@@ -577,3 +577,28 @@ def test_source_reputation_rollup(spark):
 
     assert rep["srcA"]["avg_lm"] == mean6([lm[0], lm[1]])
     assert rep["srcB"]["avg_lm"] == mean6([lm[3]])
+
+
+def test_epoch_pack_composes_shuffle_and_prefix_sum(spark):
+    """epoch_pack's offsets are exactly the exclusive prefix sums of
+    token counts taken in the seeded shuffle order (python model of
+    both stages composed)."""
+    from ugfraud_spark.operators import packing, shuffle
+    from ugfraud_spark.sources.tables import PRIOR_MOD
+
+    rng = np.random.RandomState(23)
+    rows = [(i, " ".join(["w"] * int(rng.randint(1, 30))))
+            for i in range(150)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           packing.epoch_pack(docs, seed=3, budget=50,
+                              bucket_docs=16).collect()}
+
+    m = shuffle.seed_mult(3)
+    order = sorted(range(150), key=lambda d: ((d * m + 3) % PRIOR_MOD, d))
+    ntok = {i: len(t.split(" ")) for i, t in rows}
+    off = 0
+    for d in order:
+        assert got[d]["tok_offset"] == off, d
+        assert got[d]["seq_id"] == off // 50
+        off += ntok[d]

@@ -37,22 +37,19 @@ PACK_BUDGET = 256    # tokens per training sequence
 PACK_BUCKET = 1024   # docs per prefix-sum bucket (contiguity unit)
 
 
-def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
-                   bucket_docs: int = PACK_BUCKET) -> DataFrame:
-    """(doc_id, n_tokens, tok_offset, seq_id, n_seqs): each doc's
-    placement in the packed token stream — its starting token offset,
-    the training sequence its first token lands in
-    (``floor(tok_offset / budget)``) and how many consecutive
-    sequences it straddles. ``token_count`` is >= 1 for any string, so
-    every doc occupies at least one sequence."""
-    toks = docs.select(
-        "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        F.floor(F.col("doc_id") / F.lit(bucket_docs)).alias("bkt"),
+def _pack_by(toks: DataFrame, ord_col: str, budget: int,
+             bucket_docs: int) -> DataFrame:
+    """Shared two-phase prefix-sum packer over (doc_id, n_tokens,
+    ``ord_col``): buckets by ``floor(ord/bucket_docs)`` (only needs
+    ord-monotone contiguous grouping, so any dense-or-gappy total
+    order works), runs the within-bucket window partitioned, and
+    broadcasts the tiny exclusive bucket offsets back."""
+    toks = toks.withColumn(
+        "bkt", F.floor(F.col(ord_col) / F.lit(bucket_docs))
     )
     w_in = (
         Window.partitionBy("bkt")
-        .orderBy("doc_id")
+        .orderBy(ord_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     within = toks.withColumn("cum_in", F.sum("n_tokens").over(w_in))
@@ -75,3 +72,36 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
         seq.cast("long").alias("seq_id"),
         (last - seq + 1).cast("long").alias("n_seqs"),
     )
+
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET,
+                   bucket_docs: int = PACK_BUCKET) -> DataFrame:
+    """(doc_id, n_tokens, tok_offset, seq_id, n_seqs): each doc's
+    placement in the packed token stream — its starting token offset,
+    the training sequence its first token lands in
+    (``floor(tok_offset / budget)``) and how many consecutive
+    sequences it straddles. ``token_count`` is >= 1 for any string, so
+    every doc occupies at least one sequence."""
+    toks = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return _pack_by(toks, "doc_id", budget, bucket_docs)
+
+
+def epoch_pack(docs: DataFrame, seed: int = 1,
+               budget: int = PACK_BUDGET,
+               bucket_docs: int = PACK_BUCKET) -> DataFrame:
+    """(doc_id, n_tokens, tok_offset, seq_id, n_seqs): the real epoch
+    batch layout — docs laid end-to-end in the SEEDED SHUFFLE order
+    (``operators/shuffle.epoch_shuffle``) and chunked into
+    ``budget``-token training sequences. shuffle_pos is a dense rank,
+    so the same range-bucketed prefix-sum plan applies verbatim; the
+    shuffle and the pack each keep their one-tiny-frame
+    SinglePartition bound, and the composition adds only the
+    doc_id-keyed join between them."""
+    from .shuffle import epoch_shuffle
+
+    toks = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    ).join(epoch_shuffle(docs, seed=seed), "doc_id")
+    return _pack_by(toks, "shuffle_pos", budget, bucket_docs)

@@ -1708,6 +1708,33 @@ def sql_pack_sequences(budget: int = 256) -> str:
     )
 
 
+def sql_epoch_pack(seed: int = 1, budget: int = 256) -> str:
+    """Mirror of packing.epoch_pack — the naive composition: shuffle
+    rank via global ROW_NUMBER over the seeded hash, prefix sum via a
+    single window over that rank."""
+    from .functions.text import sql_token_count
+    from .operators.shuffle import seed_mult
+
+    h = f"(doc_id * {seed_mult(seed)} + {seed}) % {PRIOR_MOD}"
+    return _with(
+        [("tc",
+          f"SELECT doc_id, {sql_token_count('text')} AS n_tokens, "
+          f"ROW_NUMBER() OVER (ORDER BY {h}, doc_id) - 1 "
+          f"AS sp FROM documents"),
+         ("c",
+          "SELECT doc_id, n_tokens, CAST(SUM(n_tokens) OVER ("
+          "ORDER BY sp ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
+          "FROM tc")],
+        f"SELECT doc_id, n_tokens, "
+        f"CAST(cum - n_tokens AS BIGINT) AS tok_offset, "
+        f"CAST(FLOOR((cum - n_tokens) / {float(budget)}) AS BIGINT) "
+        f"AS seq_id, "
+        f"CAST(FLOOR((cum - 1) / {float(budget)}) "
+        f"- FLOOR((cum - n_tokens) / {float(budget)}) + 1 AS BIGINT) "
+        f"AS n_seqs FROM c",
+    )
+
+
 def _hyperball_ctes(t: int, mod: int, m: int) -> list[tuple[str, str]]:
     """The shared register-evolution CTE chain behind every HyperBall
     oracle: same md5-string register hash as the Spark side (bucket

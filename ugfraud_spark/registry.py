@@ -716,6 +716,13 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.quality_filter(tables.load(spark, sf_dir, "documents"))
 
 
+def q_epoch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real epoch batch layout: docs packed into budget-token
+    training sequences in SEEDED SHUFFLE order (shuffle rank + prefix
+    sum, each via its two-phase no-corpus-SinglePartition plan)."""
+    return packing.epoch_pack(tables.load(spark, sf_dir, "documents"))
+
+
 def q_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source curation signal: quality-filter keep rate + mean
     corpus-LM score, one groupBy(source) rollup."""
@@ -1324,6 +1331,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                                   oracle.sql_quality_filter()),
         "source_reputation": (q_source_reputation,
                               oracle.sql_source_reputation()),
+        "epoch_pack": (q_epoch_pack, oracle.sql_epoch_pack()),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(
