@@ -196,3 +196,20 @@ def test_epoch_shuffle_no_corpus_single_partition(spark):
     assert len(re.findall(r"SinglePartition", plan)) == 1, plan
     assert re.search(r"hashpartitioning\(bkt", plan), plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_quality_filter_scan_prunes_columns(spark, sf_small):
+    """quality_filter over the parquet documents table must push column
+    pruning into the scan: ReadSchema carries ONLY (doc_id, text) of
+    the table's five columns — at 100 TB the other columns never leave
+    the files."""
+    import re
+
+    from ugfraud_spark.operators import quality
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = _plan(quality.quality_filter(docs))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}, cols
