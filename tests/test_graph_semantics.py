@@ -501,3 +501,16 @@ def test_pagerank_weighted_matches_numpy(spark):
         r = nxt
     assert set(got) == set(ids)
     assert all(abs(got[v] - r[v]) < 1e-9 for v in ids)
+
+
+def test_bowtie_known_digraph(spark):
+    """Cycle {0,1,2} is the pivot SCC; 5 feeds it (IN); 6,7 hang off it
+    (OUT); the disconnected pair {8,9} is OTHER."""
+    from ugfraud_spark.operators import bowtie as bt
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (5, 0), (2, 6), (6, 7), (8, 9)],
+        "src long, dst long")
+    got = {r["id"]: r["region"] for r in bt.bowtie(e, iters=5).collect()}
+    assert got == {0: "SCC", 1: "SCC", 2: "SCC", 5: "IN",
+                   6: "OUT", 7: "OUT", 8: "OTHER", 9: "OTHER"}

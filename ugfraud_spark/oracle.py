@@ -357,6 +357,41 @@ def sql_powerlaw_alpha(dmin: int = 2, mod: int = UNI_MOD) -> str:
     )
 
 
+def sql_bowtie(iters: int = 10, mod: int = UNI_MOD) -> str:
+    """Mirror of bowtie.bowtie: two unrolled directed reachability
+    chains from the min-id pivot (forward and reverse), identical
+    fixed round count, same region CASE order."""
+    ctes = [
+        ("uni", uni_frag(mod)),
+        ("v", VERTS),
+        ("f0", "SELECT MIN(id) AS id FROM v"),
+        ("b0", "SELECT MIN(id) AS id FROM v"),
+    ]
+    for k in range(1, iters + 1):
+        ctes.append((
+            f"f{k}",
+            f"SELECT DISTINCT id FROM (SELECT id FROM f{k-1} UNION ALL "
+            f"SELECT uni.dst AS id FROM uni JOIN f{k-1} r "
+            f"ON r.id = uni.src)",
+        ))
+        ctes.append((
+            f"b{k}",
+            f"SELECT DISTINCT id FROM (SELECT id FROM b{k-1} UNION ALL "
+            f"SELECT uni.src AS id FROM uni JOIN b{k-1} r "
+            f"ON r.id = uni.dst)",
+        ))
+    return _with(
+        ctes,
+        f"SELECT v.id, CASE "
+        f"WHEN f.id IS NOT NULL AND b.id IS NOT NULL THEN 'SCC' "
+        f"WHEN f.id IS NOT NULL THEN 'OUT' "
+        f"WHEN b.id IS NOT NULL THEN 'IN' "
+        f"ELSE 'OTHER' END AS region "
+        f"FROM v LEFT JOIN f{iters} f ON f.id = v.id "
+        f"LEFT JOIN b{iters} b ON b.id = v.id",
+    )
+
+
 def sql_cocitation(max_out: int | None = None,
                    mod: int = UNI_MOD) -> str:
     """Mirror of triangles.cocitation: identical out-degree cap before

@@ -790,6 +790,14 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hb.harmonic_centrality(e, t=3)
 
 
+def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie regions (SCC/IN/OUT/OTHER) relative to the
+    min-id pivot's SCC — two fixed-round BFS sweeps + two left joins."""
+    from .operators import bowtie as bt
+
+    return bt.bowtie(tables.uni_edges_directed(spark, sf_dir))
+
+
 def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation similarity pairs (common in-link wedges) with the
     out-degree skew cap applied before the wedge self-join."""
@@ -1327,6 +1335,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "harmonic_centrality": _uni(
             q_harmonic_centrality, oracle.sql_harmonic_centrality(t=3, mod=m)),
         "cocitation": _uni(q_cocitation, oracle.sql_cocitation(mod=m)),
+        "bowtie": _uni(q_bowtie, oracle.sql_bowtie(mod=m)),
         "quality_filter_stream": (q_quality_filter_stream,
                                   oracle.sql_quality_filter()),
         "source_reputation": (q_source_reputation,
