@@ -459,8 +459,11 @@ def test_harmonic_centrality_matches_python_pipeline(spark):
             frontier = {w for u in frontier for w in adj[u]} - ball
             ball |= frontier
             ests.append(est(ball))
-        want = r6(sum(r6((ests[r] - ests[r - 1]) / r)
-                      for r in (1, 2, 3)))
+        # engine discipline: exact-decimal deltas scaled by lcm/r,
+        # one double division — no rounding site anywhere
+        harm6 = sum((Decimal(repr(ests[r])) - Decimal(repr(ests[r - 1])))
+                    * (6 // r) for r in (1, 2, 3))
+        want = float(harm6) / 6.0
         assert abs(got[v] - want) < 1e-9, v
 
 

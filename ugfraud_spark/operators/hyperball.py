@@ -28,6 +28,8 @@ both engines (the 2^-r terms are exact dyadic doubles).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -176,10 +178,17 @@ def harmonic_centrality(edges_ab: DataFrame, t: int = 3) -> DataFrame:
     exact all-pairs distances are impossible.
 
     Each round's estimate frame is already hash-partitioned on id (it
-    ends in a groupBy), so the t+1-way id join re-uses the layout. The
-    delta/divide/sum arithmetic is a FIXED, tiny expression evaluated
-    in the same term order on both engines (each term rounded to 6 dp;
-    no corpus-sized float reduction is involved)."""
+    ends in a groupBy), so the t+1-way id join re-uses the layout.
+
+    Float discipline — this one is a trap: the ball estimates are
+    already exact 6-dp decimals, so EVERY naively-rounded intermediate
+    ((Δ/r) rounded, or the rounded term sum) lands EXACTLY on .5e-6
+    rounding ties, where Spark's BigDecimal HALF_UP and DuckDB's
+    double rounding disagree (measured: 114/9931 vertices flipped at
+    sf0.01). So no rounding happens at all: deltas are EXACT decimal
+    subtractions, each is scaled by the integer lcm(1..t)/r (exact),
+    summed in decimal (exact), and ONE double division by lcm at the
+    end — deterministic IEEE on identical inputs, zero tie sites."""
     ests = [
         ball_estimates(state).withColumnRenamed("ball_est", f"e{r}")
         for r, state in hyperball_states(edges_ab, t)
@@ -187,13 +196,19 @@ def harmonic_centrality(edges_ab: DataFrame, t: int = 3) -> DataFrame:
     df = ests[0]
     for e in ests[1:]:
         df = df.join(e, "id")
+    lcm = math.lcm(*range(1, t + 1))
     harm = None
     for r in range(1, t + 1):
-        term = F.round(
-            (F.col(f"e{r}") - F.col(f"e{r-1}")) / F.lit(float(r)), 6
+        delta = (
+            F.col(f"e{r}").cast("decimal(28,6)")
+            - F.col(f"e{r-1}").cast("decimal(28,6)")
         )
+        term = delta * F.lit(lcm // r)
         harm = term if harm is None else harm + term
-    return df.select("id", F.round(harm, 6).alias("harmonic"))
+    return df.select(
+        "id",
+        (harm.cast("double") / F.lit(float(lcm))).alias("harmonic"),
+    )
 
 
 def effective_diameter(nf: DataFrame, alpha: float = 0.9) -> DataFrame:

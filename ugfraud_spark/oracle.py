@@ -1859,21 +1859,27 @@ def sql_hyperball_nf_curve(t: int = 3, mod: int = UNI_MOD, m: int = 16,
 
 def sql_harmonic_centrality(t: int = 3, mod: int = UNI_MOD, m: int = 16,
                             alpha: float = 0.673) -> str:
-    """Mirror of hyperball.harmonic_centrality: per-round estimate
-    frames joined on id, delta/divide/sum in the identical term order
-    (each term rounded to 6 dp)."""
+    """Mirror of hyperball.harmonic_centrality: exact-decimal deltas
+    scaled by integer lcm/r, summed exactly, ONE double division at
+    the end — zero rounding sites (see the engine docstring for why
+    any intermediate ROUND here lands exactly on .5e-6 ties)."""
+    import math
+
     ctes = _hyperball_ctes(t, mod, m)
     for r in range(t + 1):
         ctes.append((f"est{r}", _hb_est_sql(f"r{r}", m, alpha)))
     joins = " ".join(f"JOIN est{r} e{r} USING (id)"
                      for r in range(1, t + 1))
+    lcm = math.lcm(*range(1, t + 1))
     terms = " + ".join(
-        f"ROUND((e{r}.ball_est - e{r-1}.ball_est) / {_d(float(r))}, 6)"
+        f"(CAST(e{r}.ball_est AS DECIMAL(28,6)) "
+        f"- CAST(e{r-1}.ball_est AS DECIMAL(28,6))) * {lcm // r}"
         for r in range(1, t + 1)
     )
     return _with(
         ctes,
-        f"SELECT id, ROUND({terms}, 6) AS harmonic FROM est0 e0 {joins}",
+        f"SELECT id, CAST({terms} AS DOUBLE) / {_d(float(lcm))} "
+        f"AS harmonic FROM est0 e0 {joins}",
     )
 
 
