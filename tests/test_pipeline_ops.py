@@ -602,3 +602,54 @@ def test_epoch_pack_composes_shuffle_and_prefix_sum(spark):
         assert got[d]["tok_offset"] == off, d
         assert got[d]["seq_id"] == off // 50
         off += ntok[d]
+
+
+def _bpe_python(texts, merges):
+    """Reference model of learn_bpe's exact semantics: word-freq
+    table, weighted adjacent-pair counts, (n DESC, pair ASC) argmax,
+    single-pass boundary-safe str.replace merge."""
+    from collections import Counter
+
+    wf = Counter(w for t in texts for w in t.split(" "))
+    seqs = {" ".join(w): c for w, c in wf.items()}
+    out = []
+    for k in range(1, merges + 1):
+        pc = Counter()
+        for s, c in seqs.items():
+            a = s.split(" ")
+            for i in range(len(a) - 1):
+                pc[a[i] + " " + a[i + 1]] += c
+        pair, n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((k, pair, pair.replace(" ", ""), n))
+        seqs = {
+            (" " + s + " ").replace(" " + pair + " ",
+                                    " " + pair.replace(" ", "") + " ")
+            .strip(): c
+            for s, c in seqs.items()
+        }
+    return out
+
+
+def test_learn_bpe_matches_python_model(spark):
+    """The full training loop equals the python reference on a corpus
+    with planted frequency structure ('th' must be merge #1, 'the'
+    a later merge), including tie-breaks and the single-pass merge
+    semantics on a consecutive-run word ('aaaa')."""
+    from ugfraud_spark.operators import bpe
+
+    texts = [
+        "the there then them the the theory",
+        "the cat then the hat aaaa",
+        "this the that aaaa aaaa",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = sorted(
+        (r["round"], r["pair"], r["merged"], r["n"])
+        for r in bpe.learn_bpe(docs, merges=6).collect()
+    )
+    want = _bpe_python(texts, 6)
+    assert got == want, (got, want)
+    assert got[0][1] == "t h" and got[0][2] == "th"  # planted structure
+    merges = [g[2] for g in got]
+    assert "the" in merges  # cascaded merge builds on round 1's symbol

@@ -1743,6 +1743,48 @@ def sql_pack_sequences(budget: int = 256) -> str:
     )
 
 
+def sql_learn_bpe(merges: int = 8) -> str:
+    """Mirror of bpe.learn_bpe: the whole training loop unrolled —
+    per round, weighted adjacent-pair counts, the (n DESC, pair ASC)
+    arg-max, and the identical boundary-safe single-pass REPLACE
+    (probed: Spark replace and DuckDB REPLACE share scan semantics)."""
+    ctes = [
+        ("w",
+         "SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("
+         "SELECT UNNEST(string_split(text, ' ')) AS word FROM documents"
+         ") GROUP BY word"),
+        ("s0",
+         "SELECT TRIM(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, "
+         "cnt FROM w"),
+    ]
+    for k in range(1, merges + 1):
+        ctes.append((
+            f"p{k}",
+            f"SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM ("
+            f"SELECT UNNEST(list_transform(range(1, LEN(a)), "
+            f"i -> a[i] || ' ' || a[i + 1])) AS pair, cnt FROM ("
+            f"SELECT string_split(seq, ' ') AS a, cnt FROM s{k-1}"
+            f")) GROUP BY pair",
+        ))
+        ctes.append((
+            f"t{k}",
+            f"SELECT pair, n FROM p{k} ORDER BY n DESC, pair LIMIT 1",
+        ))
+        ctes.append((
+            f"s{k}",
+            f"SELECT TRIM(REPLACE(' ' || seq || ' ', "
+            f"' ' || t.pair || ' ', "
+            f"' ' || REPLACE(t.pair, ' ', '') || ' ')) AS seq, cnt "
+            f"FROM s{k-1}, t{k} t",
+        ))
+    final = " UNION ALL ".join(
+        f"SELECT {k} AS round, pair, REPLACE(pair, ' ', '') AS merged, n "
+        f"FROM t{k}"
+        for k in range(1, merges + 1)
+    )
+    return _with(ctes, final)
+
+
 def sql_epoch_pack(seed: int = 1, budget: int = 256) -> str:
     """Mirror of packing.epoch_pack — the naive composition: shuffle
     rank via global ROW_NUMBER over the seeded hash, prefix sum via a

@@ -716,6 +716,15 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.quality_filter(tables.load(spark, sf_dir, "documents"))
 
 
+def q_learn_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: top-8 BPE merges learned from the corpus
+    word-frequency table (per round: one pair-count groupBy, a 1-row
+    argmax broadcast, a narrow merge projection)."""
+    from .operators import bpe
+
+    return bpe.learn_bpe(tables.load(spark, sf_dir, "documents"))
+
+
 def q_epoch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real epoch batch layout: docs packed into budget-token
     training sequences in SEEDED SHUFFLE order (shuffle rank + prefix
@@ -1341,6 +1350,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "source_reputation": (q_source_reputation,
                               oracle.sql_source_reputation()),
         "epoch_pack": (q_epoch_pack, oracle.sql_epoch_pack()),
+        "bpe_merges": (q_learn_bpe, oracle.sql_learn_bpe()),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(
