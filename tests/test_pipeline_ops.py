@@ -630,6 +630,48 @@ def _bpe_python(texts, merges):
     return out
 
 
+def _bpe_python_encode(texts, merges):
+    """Reference model of token_counts: apply _bpe_python's final
+    word→sequence state to each doc."""
+    from collections import Counter
+
+    wf = Counter(w for t in texts for w in t.split(" "))
+    seqs = {w: " ".join(w) for w in wf}
+    merged = _bpe_python(texts, merges)
+    for _, pair, new, _n in merged:
+        seqs = {
+            w: (" " + s + " ").replace(" " + pair + " ", " " + new + " ")
+            .strip()
+            for w, s in seqs.items()
+        }
+    out = {}
+    for d, t in enumerate(texts):
+        ws = t.split(" ")
+        out[d] = (len(ws), sum(len(seqs[w].split(" ")) for w in ws))
+    return out
+
+
+def test_bpe_token_counts_matches_python_model(spark):
+    """Encoding with the learned merges: per-doc word + token counts
+    equal the python model's replay of the final merge state."""
+    from ugfraud_spark.operators import bpe
+
+    texts = [
+        "the there then them the the theory",
+        "the cat then the hat aaaa",
+        "this the that aaaa aaaa",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+           for r in bpe.token_counts(docs, merges=6).collect()}
+    assert got == _bpe_python_encode(texts, 6), got
+    # merging strictly compresses: tokens < chars, tokens >= words
+    for d, t in enumerate(texts):
+        n_sym = len(t.replace(" ", ""))
+        assert got[d][0] <= got[d][1] < n_sym
+
+
 def test_learn_bpe_matches_python_model(spark):
     """The full training loop equals the python reference on a corpus
     with planted frequency structure ('th' must be merge #1, 'the'

@@ -66,10 +66,10 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
     )
 
 
-def learn_bpe(docs: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
-    """(round, pair, merged, n): the learned merge table — round k's
-    most frequent adjacent symbol pair (weighted by word frequency),
-    its merged symbol, and its count at selection time."""
+def _train(docs: DataFrame, merges: int):
+    """Run the training loop; returns (per-round merge frames, final
+    word→symbol-sequence state). The state stays vocabulary-sized and
+    bijective with the word table (strip spaces = word)."""
     seqs = (
         word_freqs(docs)
         .select(
@@ -104,6 +104,14 @@ def learn_bpe(docs: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    return rounds, seqs
+
+
+def learn_bpe(docs: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
+    """(round, pair, merged, n): the learned merge table — round k's
+    most frequent adjacent symbol pair (weighted by word frequency),
+    its merged symbol, and its count at selection time."""
+    rounds, _ = _train(docs, merges)
     out = rounds[0]
     for r in rounds[1:]:
         out = out.unionAll(r)
@@ -111,4 +119,35 @@ def learn_bpe(docs: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
         "round", "pair",
         F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
         "n",
+    )
+
+
+def token_counts(docs: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
+    """(doc_id, n_words, n_tokens): encode the corpus with the learned
+    merges — per document, word count and BPE token count (sum of each
+    word's post-merge symbol count).
+
+    The encode path reuses training's FINAL word→sequence state as the
+    vocabulary dimension (word, tokens-per-word): no per-document merge
+    replay, just one corpus-sized explode joined to the vocabulary on
+    ``word``. The join's build side has exactly one row per key, so
+    stopword skew is probe-side only (AQE splits it); at web scale the
+    vocabulary outgrows a broadcast, so the default shuffle join is the
+    scale-correct shape.
+    """
+    _, seqs = _train(docs, merges)
+    vocab = seqs.select(
+        F.replace(F.col("seq"), F.lit(" "), F.lit("")).alias("word"),
+        F.size(F.split(F.col("seq"), " ")).alias("wtok"),
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    return (
+        words.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wtok").alias("n_tokens"),
+        )
     )

@@ -1743,11 +1743,11 @@ def sql_pack_sequences(budget: int = 256) -> str:
     )
 
 
-def sql_learn_bpe(merges: int = 8) -> str:
-    """Mirror of bpe.learn_bpe: the whole training loop unrolled —
-    per round, weighted adjacent-pair counts, the (n DESC, pair ASC)
-    arg-max, and the identical boundary-safe single-pass REPLACE
-    (probed: Spark replace and DuckDB REPLACE share scan semantics)."""
+def _bpe_ctes(merges: int) -> list[tuple[str, str]]:
+    """The unrolled BPE training chain: word freqs w, char-split s0,
+    then per round pair counts p{k}, the arg-max t{k}, and the merged
+    state s{k} (the identical boundary-safe single-pass REPLACE —
+    probed: Spark replace and DuckDB REPLACE share scan semantics)."""
     ctes = [
         ("w",
          "SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("
@@ -1777,12 +1777,40 @@ def sql_learn_bpe(merges: int = 8) -> str:
             f"' ' || REPLACE(t.pair, ' ', '') || ' ')) AS seq, cnt "
             f"FROM s{k-1}, t{k} t",
         ))
+    return ctes
+
+
+def sql_learn_bpe(merges: int = 8) -> str:
+    """Mirror of bpe.learn_bpe: the whole training loop unrolled."""
     final = " UNION ALL ".join(
         f"SELECT {k} AS round, pair, REPLACE(pair, ' ', '') AS merged, n "
         f"FROM t{k}"
         for k in range(1, merges + 1)
     )
-    return _with(ctes, final)
+    return _with(_bpe_ctes(merges), final)
+
+
+def sql_bpe_token_counts(merges: int = 8) -> str:
+    """Mirror of bpe.token_counts: the final state s{K} as the
+    (word, tokens-per-word) vocabulary, joined to the per-doc word
+    explode; per-doc word and BPE-token totals."""
+    ctes = _bpe_ctes(merges)
+    ctes.append((
+        "vocab",
+        f"SELECT REPLACE(seq, ' ', '') AS word, "
+        f"LEN(string_split(seq, ' ')) AS wtok FROM s{merges}",
+    ))
+    ctes.append((
+        "dw",
+        "SELECT doc_id, UNNEST(string_split(text, ' ')) AS word "
+        "FROM documents",
+    ))
+    return _with(
+        ctes,
+        "SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+        "CAST(SUM(v.wtok) AS BIGINT) AS n_tokens "
+        "FROM dw JOIN vocab v USING (word) GROUP BY dw.doc_id",
+    )
 
 
 def sql_epoch_pack(seed: int = 1, budget: int = 256) -> str:

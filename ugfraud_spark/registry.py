@@ -725,6 +725,15 @@ def q_learn_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.learn_bpe(tables.load(spark, sf_dir, "documents"))
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer apply: encode every document with the learned merges
+    — per doc, word count and BPE token count (vocabulary-dimension
+    join, no per-doc merge replay)."""
+    from .operators import bpe
+
+    return bpe.token_counts(tables.load(spark, sf_dir, "documents"))
+
+
 def q_epoch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real epoch batch layout: docs packed into budget-token
     training sequences in SEEDED SHUFFLE order (shuffle rank + prefix
@@ -1351,6 +1360,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                               oracle.sql_source_reputation()),
         "epoch_pack": (q_epoch_pack, oracle.sql_epoch_pack()),
         "bpe_merges": (q_learn_bpe, oracle.sql_learn_bpe()),
+        "bpe_tokens": (q_bpe_token_counts, oracle.sql_bpe_token_counts()),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(
