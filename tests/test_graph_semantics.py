@@ -517,3 +517,57 @@ def test_bowtie_known_digraph(spark):
     got = {r["id"]: r["region"] for r in bt.bowtie(e, iters=5).collect()}
     assert got == {0: "SCC", 1: "SCC", 2: "SCC", 5: "IN",
                    6: "OUT", 7: "OUT", 8: "OTHER", 9: "OTHER"}
+
+
+def test_spam_mass_known_digraph_and_python_model(spark):
+    """TrustRank on a graph with a 'spam farm' (3→4→3 mutual boost,
+    fed by nothing trusted) and an endorsed core (everyone links 0):
+    the farm carries high spam mass and trips the relative-mass
+    verdict; the trusted hub does not. Values equal a python replay of
+    both rank chains with k=1 seed (vertex 0, the in-degree max)."""
+    from collections import defaultdict
+
+    from ugfraud_spark.operators import trustrank
+
+    edges = [(1, 0), (2, 0), (5, 0), (0, 1), (1, 2),
+             (3, 4), (4, 3), (5, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    got = {r["id"]: r for r in
+           trustrank.spam_mass(df, k=1, max_iter=5).collect()}
+
+    ids = sorted({v for e in edges for v in e})
+    out = defaultdict(int)
+    for s, _d in edges:
+        out[s] += 1
+    # seed by construction: 0 has in-degree 3, the unique max
+    pr = {v: 1 / len(ids) for v in ids}
+    tr = {v: (1.0 if v == 0 else 0.0) for v in ids}
+    for _ in range(5):
+        npr = {v: 0.15 / len(ids) for v in ids}
+        ntr = {v: (0.15 if v == 0 else 0.0) for v in ids}
+        for s, d in edges:
+            npr[d] += 0.85 * pr[s] / out[s]
+            ntr[d] += 0.85 * tr[s] / out[s]
+        pr, tr = npr, ntr
+    for v in ids:
+        prd, trd = round(pr[v], 6), round(tr[v], 6)
+        assert abs(got[v]["pagerank"] - prd) < 1e-12, v
+        assert abs(got[v]["trustrank"] - trd) < 1e-12, v
+        assert abs(got[v]["spam_mass"] - round(prd - trd, 6)) < 1e-12, v
+        assert got[v]["spammy"] == (2 * (prd - trd) > prd), v
+    # the farm {3,4} never sees trust; the hub 0 is saturated with it
+    assert got[3]["spammy"] and got[4]["spammy"]
+    assert not got[0]["spammy"]
+    assert got[0]["trustrank"] > 0.3
+
+
+def test_trusted_seeds_topk_tiebreak(spark):
+    from ugfraud_spark.operators import trustrank
+
+    e = spark.createDataFrame(
+        [(1, 0), (2, 0), (0, 5), (1, 5), (2, 9), (3, 9)],
+        "src long, dst long")
+    # in-degree: 0→2, 5→2, 9→2 — k=2 keeps the two smallest ids
+    got = sorted(r["id"] for r in trustrank.trusted_seeds(e, k=2).collect())
+    assert got == [0, 5]

@@ -1514,6 +1514,69 @@ def sql_ppr(iters: int = 5, damping: float = 0.85, seed_mod: int = 97, mod: int 
     return _with(ctes, f"SELECT id, ROUND(pr, 6) AS ppr FROM r{iters}")
 
 
+def sql_spam_mass(iters: int = 5, damping: float = 0.85, k: int = 64,
+                  mod: int = UNI_MOD) -> str:
+    """Mirror of trustrank.spam_mass: the PageRank chain (a*) and the
+    trusted-seed PPR chain (b*) unrolled side by side, seeds = top-k
+    in-degree (id tie-break), spam mass as the exact DECIMAL(18,6)
+    difference of the two 6-dp-rounded ranks, and the relative-mass
+    verdict as the exact comparison 2*(pr-tr) > pr (never a rounded
+    ratio — a ratio of 6-dp decimals can land exactly on a .5e-6 tie)."""
+    d = f"CAST({damping!r} AS DOUBLE)"
+    ctes = [
+        ("uni", uni_frag(mod)),
+        ("v", VERTS),
+        ("od", "SELECT src AS id, COUNT(*) AS out_deg FROM uni GROUP BY src"),
+        ("nn", "SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v"),
+        ("sd",
+         f"SELECT dst AS id FROM (SELECT dst, COUNT(*) AS ind FROM uni "
+         f"GROUP BY dst ORDER BY ind DESC, dst LIMIT {k})"),
+        ("ns", "SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM sd"),
+        ("tp",
+         f"SELECT v.id, CASE WHEN sd.id IS NOT NULL THEN "
+         f"(CAST(1.0 AS DOUBLE) - {d}) / ns.n ELSE CAST(0.0 AS DOUBLE) END "
+         f"AS tp FROM v CROSS JOIN ns LEFT JOIN sd ON sd.id = v.id"),
+        ("a0", "SELECT v.id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM v, nn"),
+        ("b0",
+         f"SELECT id, tp / (CAST(1.0 AS DOUBLE) - {d}) AS pr FROM tp"),
+    ]
+    for t in range(1, iters + 1):
+        ctes.append((
+            f"a{t}",
+            f"SELECT v.id, (CAST(1.0 AS DOUBLE) - {d}) / nn.n "
+            f"+ {d} * COALESCE(s.mass, CAST(0.0 AS DOUBLE)) AS pr\n"
+            f"FROM v CROSS JOIN nn LEFT JOIN (\n"
+            f"  SELECT uni.dst AS id, SUM(a{t-1}.pr / od.out_deg) AS mass\n"
+            f"  FROM uni JOIN a{t-1} ON a{t-1}.id = uni.src "
+            f"JOIN od ON od.id = uni.src GROUP BY uni.dst\n"
+            f") s ON s.id = v.id",
+        ))
+        ctes.append((
+            f"b{t}",
+            f"SELECT tp.id, tp.tp + {d} * COALESCE(s.mass, "
+            f"CAST(0.0 AS DOUBLE)) AS pr\n"
+            f"FROM tp LEFT JOIN (\n"
+            f"  SELECT uni.dst AS id, SUM(b{t-1}.pr / od.out_deg) AS mass\n"
+            f"  FROM uni JOIN b{t-1} ON b{t-1}.id = uni.src "
+            f"JOIN od ON od.id = uni.src GROUP BY uni.dst\n"
+            f") s ON s.id = tp.id",
+        ))
+    ctes.append((
+        "fin",
+        f"SELECT a.id, "
+        f"CAST(ROUND(a.pr, 6) AS DECIMAL(18,6)) AS prd, "
+        f"CAST(ROUND(b.pr, 6) AS DECIMAL(18,6)) AS trd "
+        f"FROM a{iters} a JOIN b{iters} b ON a.id = b.id",
+    ))
+    return _with(
+        ctes,
+        "SELECT id, CAST(prd AS DOUBLE) AS pagerank, "
+        "CAST(trd AS DOUBLE) AS trustrank, "
+        "CAST(prd - trd AS DOUBLE) AS spam_mass, "
+        "2 * (prd - trd) > prd AS spammy FROM fin",
+    )
+
+
 def sql_gang_semi(iters: int = 5, weight: float = 0.008,
                   frac: float = 0.25, yelp_shape: bool = False) -> str:
     """GANG with semi-supervised clamped priors on the sampled seed set

@@ -725,6 +725,16 @@ def q_learn_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.learn_bpe(tables.load(spark, sf_dir, "documents"))
 
 
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank spam mass (Gyöngyi et al., VLDB'04): PageRank minus
+    trusted-seed PPR as exact 6-dp decimals, plus the relative-mass
+    verdict — the web-spam composition of two existing kernels."""
+    from .operators import trustrank
+
+    e = tables.uni_edges_directed(spark, sf_dir)
+    return trustrank.spam_mass(e, max_iter=PR_ITERS)
+
+
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer apply: encode every document with the learned merges
     — per doc, word count and BPE token count (vocabulary-dimension
@@ -1361,6 +1371,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "epoch_pack": (q_epoch_pack, oracle.sql_epoch_pack()),
         "bpe_merges": (q_learn_bpe, oracle.sql_learn_bpe()),
         "bpe_tokens": (q_bpe_token_counts, oracle.sql_bpe_token_counts()),
+        "spam_mass": _uni(q_spam_mass,
+                          oracle.sql_spam_mass(iters=PR_ITERS, mod=m)),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(
