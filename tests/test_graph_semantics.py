@@ -571,3 +571,62 @@ def test_trusted_seeds_topk_tiebreak(spark):
     # in-degree: 0→2, 5→2, 9→2 — k=2 keeps the two smallest ids
     got = sorted(r["id"] for r in trustrank.trusted_seeds(e, k=2).collect())
     assert got == [0, 5]
+
+
+def test_salsa_python_model_and_mass_conservation(spark):
+    """SALSA on a digraph with a hub-ish node and a spam-farm 2-cycle:
+    values equal a python replay of both stochastic chains, each
+    side's scores sum to exactly 1 (no normalization step exists to
+    hide a mass leak), and zero-degree sides are exactly 0.0."""
+    from collections import defaultdict
+
+    from ugfraud_spark.operators import salsa as sa
+
+    edges = [(1, 0), (2, 0), (5, 0), (0, 1), (1, 2),
+             (3, 4), (4, 3), (5, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r for r in sa.salsa(df, iters=5).collect()}
+
+    ind, outd = defaultdict(int), defaultdict(int)
+    for s, d in edges:
+        outd[s] += 1
+        ind[d] += 1
+    a = {v: 1 / len(ind) for v in ind}
+    h = {v: 1 / len(outd) for v in outd}
+    for _ in range(5):
+        hm, na = defaultdict(float), defaultdict(float)
+        for s, d in edges:
+            hm[s] += a[d] / ind[d]
+        for s, d in edges:
+            na[d] += hm[s] / outd[s]
+        am, nh = defaultdict(float), defaultdict(float)
+        for s, d in edges:
+            am[d] += h[s] / outd[s]
+        for s, d in edges:
+            nh[s] += am[d] / ind[d]
+        a, h = dict(na), dict(nh)
+
+    ids = sorted({v for e in edges for v in e})
+    for v in ids:
+        assert abs(got[v]["authority"] - a.get(v, 0.0)) < 1e-9, v
+        assert abs(got[v]["hub"] - h.get(v, 0.0)) < 1e-9, v
+    assert abs(sum(r["authority"] for r in got.values()) - 1.0) < 1e-9
+    assert abs(sum(r["hub"] for r in got.values()) - 1.0) < 1e-9
+    # 5 never appears as a dst — pure hub, authority exactly 0
+    assert got[5]["authority"] == 0.0 and got[5]["hub"] > 0.0
+
+
+def test_salsa_stationary_indegree_proportional(spark):
+    """Lempel–Moran closed form: on a CONNECTED authority support
+    component the stationary authority weight is proportional to
+    in-degree. A star + chord graph converges there within ~20 iters."""
+    from ugfraud_spark.operators import salsa as sa
+
+    edges = [(1, 0), (2, 0), (3, 0), (4, 0), (0, 2), (1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["authority"]
+           for r in sa.salsa(df, iters=40).collect()}
+    ind = {0: 4, 2: 2, 3: 1}
+    tot = sum(ind.values())
+    for v, d in ind.items():
+        assert abs(got[v] - d / tot) < 1e-6, (v, got[v], d / tot)

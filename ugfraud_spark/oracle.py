@@ -1445,6 +1445,59 @@ def sql_hits(iters: int = 5, mod: int = UNI_MOD) -> str:
     )
 
 
+def sql_salsa(iters: int = 5, mod: int = UNI_MOD) -> str:
+    """Unrolled SALSA (operators/salsa.py): per iteration the authority
+    chain does backward(÷ind) then forward(÷outd) and the hub chain the
+    mirror — both stochastic, so there is NO normalization CTE at all
+    (L1 mass is preserved by construction). Division sits on the state
+    side of each SpMV exactly like the Spark kernel (state/degree is a
+    per-vertex value replicated per edge row by the join)."""
+    ctes = [
+        ("uni", uni_frag(mod)),
+        ("v", VERTS),
+        ("ind", "SELECT dst AS id, COUNT(*) AS n FROM uni GROUP BY dst"),
+        ("outd", "SELECT src AS id, COUNT(*) AS n FROM uni GROUP BY src"),
+        ("a0",
+         "SELECT id, CAST(1.0 AS DOUBLE) / "
+         "(SELECT CAST(COUNT(*) AS DOUBLE) FROM ind) AS x FROM ind"),
+        ("h0",
+         "SELECT id, CAST(1.0 AS DOUBLE) / "
+         "(SELECT CAST(COUNT(*) AS DOUBLE) FROM outd) AS x FROM outd"),
+    ]
+    for t in range(1, iters + 1):
+        ctes.append((
+            f"hm{t}",
+            f"SELECT uni.src AS id, SUM(a{t-1}.x / ind.n) AS x FROM uni "
+            f"JOIN a{t-1} ON a{t-1}.id = uni.dst "
+            f"JOIN ind ON ind.id = uni.dst GROUP BY uni.src",
+        ))
+        ctes.append((
+            f"a{t}",
+            f"SELECT uni.dst AS id, SUM(hm{t}.x / outd.n) AS x FROM uni "
+            f"JOIN hm{t} ON hm{t}.id = uni.src "
+            f"JOIN outd ON outd.id = uni.src GROUP BY uni.dst",
+        ))
+        ctes.append((
+            f"am{t}",
+            f"SELECT uni.dst AS id, SUM(h{t-1}.x / outd.n) AS x FROM uni "
+            f"JOIN h{t-1} ON h{t-1}.id = uni.src "
+            f"JOIN outd ON outd.id = uni.src GROUP BY uni.dst",
+        ))
+        ctes.append((
+            f"h{t}",
+            f"SELECT uni.src AS id, SUM(am{t}.x / ind.n) AS x FROM uni "
+            f"JOIN am{t} ON am{t}.id = uni.dst "
+            f"JOIN ind ON ind.id = uni.dst GROUP BY uni.src",
+        ))
+    return _with(
+        ctes,
+        f"SELECT v.id, ROUND(COALESCE(h.x, CAST(0.0 AS DOUBLE)), 6) AS hub, "
+        f"ROUND(COALESCE(a.x, CAST(0.0 AS DOUBLE)), 6) AS authority "
+        f"FROM v LEFT JOIN h{iters} h ON h.id = v.id "
+        f"LEFT JOIN a{iters} a ON a.id = v.id",
+    )
+
+
 def sql_kcore(k: int, iters: int = 10, mod: int = UNI_MOD) -> str:
     """Unrolled k-core peeling over the symmetric undirected edges."""
     ctes = [("uni", uni_frag(mod)), ("und", UND), ("e0", SYM)]

@@ -735,6 +735,16 @@ def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trustrank.spam_mass(e, max_iter=PR_ITERS)
 
 
+def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA (Lempel & Moran, WWW'00): random-walk hubs/authorities —
+    the TKC-resistant production counterpart of HITS; stochastic, so
+    the loop has zero normalization aggregations."""
+    from .operators import salsa
+
+    e = tables.uni_edges_directed(spark, sf_dir)
+    return _round6(salsa.salsa(e, iters=HITS_ITERS), "hub", "authority")
+
+
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer apply: encode every document with the learned merges
     — per doc, word count and BPE token count (vocabulary-dimension
@@ -1373,6 +1383,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "bpe_tokens": (q_bpe_token_counts, oracle.sql_bpe_token_counts()),
         "spam_mass": _uni(q_spam_mass,
                           oracle.sql_spam_mass(iters=PR_ITERS, mod=m)),
+        "salsa": _uni(q_salsa, oracle.sql_salsa(iters=HITS_ITERS, mod=m)),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(
