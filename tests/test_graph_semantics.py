@@ -630,3 +630,61 @@ def test_salsa_stationary_indegree_proportional(spark):
     tot = sum(ind.values())
     for v, d in ind.items():
         assert abs(got[v] - d / tot) < 1e-6, (v, got[v], d / tot)
+
+
+def test_katz_python_model(spark):
+    """Katz on the known digraph equals a python replay of the
+    truncated series x_{t+1} = beta + alpha * sum of in-neighbor x_t."""
+    from collections import defaultdict
+
+    from ugfraud_spark.operators import pagerank as pr
+
+    edges = [(1, 0), (2, 0), (5, 0), (0, 1), (1, 2),
+             (3, 4), (4, 3), (5, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["value"]
+           for r in pr.katz(df, max_iter=5).state.collect()}
+
+    ids = sorted({v for e in edges for v in e})
+    x = {v: 1.0 for v in ids}
+    for _ in range(5):
+        nx = defaultdict(float)
+        for s, d in edges:
+            nx[d] += x[s]
+        x = {v: 1.0 + 0.1 * nx[v] for v in ids}
+    for v in ids:
+        assert abs(got[v] - x[v]) < 1e-12, v
+    # in-degree-0 vertex 5 stays at the beta floor exactly
+    assert got[5] == 1.0
+
+
+def test_resource_allocation_python_model(spark):
+    """RA index on a known digraph: a directory-ish source (out-degree
+    3) endorses its co-cited pairs at 1/3 per wedge while a focused
+    source (out-degree 2) endorses at 1/2; scores equal the python
+    replay and the >=128 cap guard trips."""
+    import pytest as _pytest
+    from collections import defaultdict
+    from itertools import combinations
+
+    edges = [(10, 0), (10, 1), (10, 2),   # directory: od 3
+             (11, 0), (11, 1),            # focused: od 2
+             (12, 1), (12, 2), (12, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["a"], r["b"]): r["ra_score"] for r in
+           triangles.resource_allocation(df).collect()}
+
+    outs = defaultdict(list)
+    od = defaultdict(int)
+    for s, d in edges:
+        outs[s].append(d)
+        od[s] += 1
+    want = defaultdict(float)
+    for s, ds in outs.items():
+        for a, b in combinations(sorted(ds), 2):
+            want[(a, b)] += round(1.0 / od[s], 6)
+    assert got == {k: round(v, 6) for k, v in want.items()}
+    # (0,1) is co-cited by both sources: 1/3 + 1/2
+    assert abs(got[(0, 1)] - (1 / 3 + 1 / 2)) < 2e-6
+    with _pytest.raises(ValueError, match="128"):
+        triangles.resource_allocation(df, max_out=128)

@@ -171,6 +171,65 @@ def personalized_pagerank(
     return res
 
 
+def katz(
+    edges: DataFrame,
+    *,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    max_iter: int = 5,
+    tol: float | None = None,
+    checkpoint_every: int = 1,
+    checkpoint_dir: str | None = None,
+) -> SuperstepResult:
+    """Katz centrality (Katz 1953): x_{t+1}(v) = β + α·Σ_{(u,v)∈E} x_t(u),
+    x_0 ≡ β — the attenuated all-walks count (β·Σ_k α^k paths of length
+    ≤ t into v), the third classic centrality next to PageRank (degree-
+    normalized) and HITS/SALSA (spectral/stochastic). No out-degree
+    division, so the superstep is the cheapest of the family: one
+    co-partitioned edge⋈state join + one map-side-combined groupBy.
+
+    Fixed ``max_iter`` is the truncated-series semantics the oracle
+    unrolls; convergence of the infinite series needs α < 1/λ_max,
+    irrelevant at fixed iterations."""
+    edges = colocate_edges(edges.select("src", "dst"))
+    base = _vertex_base(edges).persist()
+    base.count()
+    state0 = base.withColumn("value", F.lit(beta))
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        contribs = (
+            edges.join(
+                # dangling vertices have no out-edges — pruning them from
+                # the probe side is plan-only (the join would drop them)
+                state.where(F.col("out_deg").isNotNull())
+                .select(F.col("id").alias("src"), F.col("value").alias("c"))
+                .hint("shuffle_hash"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("mass"))
+        )
+        return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
+            "id",
+            "out_deg",
+            (F.lit(beta) + F.lit(alpha) * F.coalesce("mass", F.lit(0.0))).alias(
+                "value"
+            ),
+        )
+
+    res = iterate(
+        state0,
+        step,
+        residual_fn=(None if tol is None else l1_residual),
+        max_iter=max_iter,
+        tol=tol or 0.0,
+        checkpoint_every=checkpoint_every,
+        checkpoint_dir=checkpoint_dir,
+    )
+    res.state = res.state.select("id", "value")
+    return res
+
+
 def pagerank_blocks(
     edges: DataFrame,
     *,

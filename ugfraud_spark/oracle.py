@@ -413,6 +413,29 @@ def sql_cocitation(max_out: int | None = None,
     )
 
 
+def sql_resource_allocation(max_out: int | None = None,
+                            mod: int = UNI_MOD) -> str:
+    """Mirror of triangles.resource_allocation: identical cap, weight
+    ROUND(1.0/od, 6)::DECIMAL(28,6) (IEEE division is bit-identical
+    across engines and the rounding is tie-free for od < 128), exact
+    decimal sum, one final cast to double."""
+    if max_out is None:
+        from .operators.triangles import COCITE_MAX_OUT
+        max_out = COCITE_MAX_OUT
+    return _with(
+        [("uni", uni_frag(mod)),
+         ("ok",
+          f"SELECT src, COUNT(*) AS od FROM uni GROUP BY src "
+          f"HAVING COUNT(*) <= {max_out}"),
+         ("e",
+          "SELECT u.src, u.dst, CAST(ROUND(CAST(1.0 AS DOUBLE) / ok.od, 6) "
+          "AS DECIMAL(28,6)) AS w FROM uni u JOIN ok USING (src)")],
+        "SELECT l.dst AS a, r.dst AS b, CAST(SUM(l.w) AS DOUBLE) "
+        "AS ra_score FROM e l JOIN e r "
+        "ON l.src = r.src AND l.dst < r.dst GROUP BY 1, 2",
+    )
+
+
 def sql_ktruss(k: int = 4, rounds: int = 6, mod: int = UNI_MOD) -> str:
     """Unrolled k-truss peeling: ``rounds`` fixed iterations of
     (triangle support over remaining edges → drop support < k-2).
@@ -1443,6 +1466,30 @@ def sql_hits(iters: int = 5, mod: int = UNI_MOD) -> str:
         ctes,
         f"SELECT id, ROUND(hub, 6) AS hub, ROUND(auth, 6) AS authority FROM {prev}",
     )
+
+
+def sql_katz(iters: int = 5, alpha: float = 0.1, beta: float = 1.0,
+             mod: int = UNI_MOD) -> str:
+    """Unrolled Katz centrality: x_{t+1} = β + α·Σ in-neighbor x_t,
+    x_0 ≡ β — mirror of pagerank.katz (no out-degree division)."""
+    a = f"CAST({alpha!r} AS DOUBLE)"
+    b = f"CAST({beta!r} AS DOUBLE)"
+    ctes = [
+        ("uni", uni_frag(mod)),
+        ("v", VERTS),
+        ("x0", f"SELECT id, {b} AS x FROM v"),
+    ]
+    for t in range(1, iters + 1):
+        ctes.append((
+            f"x{t}",
+            f"SELECT v.id, {b} + {a} * COALESCE(s.mass, CAST(0.0 AS DOUBLE)) "
+            f"AS x FROM v LEFT JOIN (\n"
+            f"  SELECT uni.dst AS id, SUM(x{t-1}.x) AS mass FROM uni "
+            f"JOIN x{t-1} ON x{t-1}.id = uni.src GROUP BY uni.dst\n"
+            f") s ON s.id = v.id",
+        ))
+    return _with(
+        ctes, f"SELECT id, ROUND(x, 6) AS katz FROM x{iters}")
 
 
 def sql_salsa(iters: int = 5, mod: int = UNI_MOD) -> str:

@@ -735,6 +735,14 @@ def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trustrank.spam_mass(e, max_iter=PR_ITERS)
 
 
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality: attenuated all-walks count, the cheapest
+    superstep of the centrality family (no degree division)."""
+    e = tables.uni_edges_directed(spark, sf_dir)
+    res = pagerank.katz(e, max_iter=PR_ITERS)
+    return _round6(res.state.withColumnRenamed("value", "katz"), "katz")
+
+
 def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SALSA (Lempel & Moran, WWW'00): random-walk hubs/authorities —
     the TKC-resistant production counterpart of HITS; stochastic, so
@@ -840,6 +848,14 @@ def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation similarity pairs (common in-link wedges) with the
     out-degree skew cap applied before the wedge self-join."""
     return triangles.cocitation(tables.uni_edges_directed(spark, sf_dir))
+
+
+def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou et al. 2009): the
+    co-citation wedge weighted 1/out-degree per co-citing source —
+    exact-decimal sum, tie-free rounding (cap < 128 guarded)."""
+    return triangles.resource_allocation(
+        tables.uni_edges_directed(spark, sf_dir))
 
 
 def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1373,6 +1389,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "harmonic_centrality": _uni(
             q_harmonic_centrality, oracle.sql_harmonic_centrality(t=3, mod=m)),
         "cocitation": _uni(q_cocitation, oracle.sql_cocitation(mod=m)),
+        "resource_allocation": _uni(q_resource_allocation,
+                                    oracle.sql_resource_allocation(mod=m)),
         "bowtie": _uni(q_bowtie, oracle.sql_bowtie(mod=m)),
         "quality_filter_stream": (q_quality_filter_stream,
                                   oracle.sql_quality_filter()),
@@ -1384,6 +1402,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "spam_mass": _uni(q_spam_mass,
                           oracle.sql_spam_mass(iters=PR_ITERS, mod=m)),
         "salsa": _uni(q_salsa, oracle.sql_salsa(iters=HITS_ITERS, mod=m)),
+        "katz": _uni(q_katz, oracle.sql_katz(iters=PR_ITERS, mod=m)),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(
