@@ -688,3 +688,60 @@ def test_resource_allocation_python_model(spark):
     assert abs(got[(0, 1)] - (1 / 3 + 1 / 2)) < 2e-6
     with _pytest.raises(ValueError, match="128"):
         triangles.resource_allocation(df, max_out=128)
+
+
+def test_betweenness_matches_textbook_brandes(spark):
+    """On a small digraph where the pivot set covers EVERY source and
+    the depth exceeds the diameter, the estimator must equal exact
+    directed betweenness — checked against a textbook Brandes (BFS +
+    dependency accumulation) implemented independently here."""
+    from collections import defaultdict, deque
+
+    from ugfraud_spark.operators import betweenness as bw
+
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (4, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["bc"] for r in bw.betweenness(df).collect()}
+
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    ids = sorted({v for e in edges for v in e})
+    bc = defaultdict(float)
+    for s in ids:  # every vertex is a source here, so pivots == all
+        dist = {s: 0}
+        sigma = defaultdict(int)
+        sigma[s] = 1
+        order = []
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        delta = defaultdict(float)
+        for u in reversed(order):
+            for w in adj[u]:
+                if dist.get(w) == dist[u] + 1:
+                    delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+            if u != s:
+                bc[u] += delta[u]
+    for v in ids:
+        assert abs(got[v] - round(bc[v], 6)) < 1e-9, (v, got[v], bc[v])
+    # 3 is the bridge every 0/1/2-sourced path to 4 crosses
+    assert got[3] == max(got.values())
+
+
+def test_betweenness_depth_truncation(spark):
+    """Depth 1 sees only single-hop paths — no intermediate vertices
+    exist, so every dependency is 0."""
+    from ugfraud_spark.operators import betweenness as bw
+
+    edges = [(0, 1), (1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["bc"] for r in bw.betweenness(df, depth=1).collect()}
+    assert got == {0: 0.0, 1: 0.0, 2: 0.0, 3: 0.0}

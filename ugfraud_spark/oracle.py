@@ -1468,6 +1468,72 @@ def sql_hits(iters: int = 5, mod: int = UNI_MOD) -> str:
     )
 
 
+def sql_betweenness(k: int = 8, depth: int = 5, mod: int = UNI_MOD) -> str:
+    """Mirror of betweenness.betweenness: k smallest out-degree>0 ids
+    as pivots, forward path-count BFS unrolled ``depth`` rounds
+    (sigma exact BIGINT), backward Brandes dependency sweep unrolled
+    level-by-level with the identical per-term float shape
+    (sigma_v/sigma_w)*(1+delta_w), summed per vertex over non-pv
+    rows and rounded once."""
+    ctes = [
+        ("uni", uni_frag(mod)),
+        ("v", VERTS),
+        ("piv",
+         f"SELECT src AS pv FROM (SELECT DISTINCT src FROM uni "
+         f"ORDER BY src LIMIT {k})"),
+        ("f0",
+         "SELECT pv, pv AS id, 0 AS dist, CAST(1 AS BIGINT) "
+         "AS sigma FROM piv"),
+        ("vis0", "SELECT * FROM f0"),
+    ]
+    for t in range(1, depth + 1):
+        ctes.append((
+            f"f{t}",
+            f"SELECT c.pv, c.id, {t} AS dist, c.sigma FROM (\n"
+            f"  SELECT f.pv, uni.dst AS id, "
+            f"CAST(SUM(f.sigma) AS BIGINT) AS sigma\n"
+            f"  FROM uni JOIN f{t-1} f ON f.id = uni.src "
+            f"GROUP BY f.pv, uni.dst\n"
+            f") c LEFT JOIN vis{t-1} p ON p.pv = c.pv AND p.id = c.id "
+            f"WHERE p.id IS NULL",
+        ))
+        ctes.append((
+            f"vis{t}",
+            f"SELECT * FROM vis{t-1} UNION ALL SELECT * FROM f{t}",
+        ))
+    vis = f"vis{depth}"
+    ctes.append((
+        f"d{depth}",
+        f"SELECT pv, id, sigma, CAST(0.0 AS DOUBLE) AS delta "
+        f"FROM {vis} WHERE dist = {depth}",
+    ))
+    for lvl in range(depth - 1, -1, -1):
+        ctes.append((
+            f"d{lvl}",
+            f"SELECT vl.pv, vl.id, vl.sigma, "
+            f"COALESCE(m.d, CAST(0.0 AS DOUBLE)) AS delta\n"
+            f"FROM (SELECT pv, id, sigma FROM {vis} WHERE dist = {lvl}) vl\n"
+            f"LEFT JOIN (\n"
+            f"  SELECT vl2.pv, uni.src AS id, "
+            f"SUM(vl2.sigma / w.sigma * (CAST(1.0 AS DOUBLE) + w.delta)) AS d\n"
+            f"  FROM uni "
+            f"JOIN (SELECT pv, id, sigma FROM {vis} WHERE dist = {lvl}) vl2 "
+            f"ON vl2.id = uni.src\n"
+            f"  JOIN d{lvl+1} w ON w.id = uni.dst AND w.pv = vl2.pv\n"
+            f"  GROUP BY vl2.pv, uni.src\n"
+            f") m ON m.pv = vl.pv AND m.id = vl.id",
+        ))
+    unions = " UNION ALL ".join(
+        f"SELECT pv, id, delta FROM d{l}" for l in range(depth + 1))
+    ctes.append(("acc", unions))
+    return _with(
+        ctes,
+        "SELECT v.id, ROUND(COALESCE(b.bc, CAST(0.0 AS DOUBLE)), 6) AS bc "
+        "FROM v LEFT JOIN (SELECT id, SUM(delta) AS bc FROM acc "
+        "WHERE id <> pv GROUP BY id) b ON b.id = v.id",
+    )
+
+
 def sql_katz(iters: int = 5, alpha: float = 0.1, beta: float = 1.0,
              mod: int = UNI_MOD) -> str:
     """Unrolled Katz centrality: x_{t+1} = β + α·Σ in-neighbor x_t,

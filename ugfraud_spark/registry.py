@@ -743,6 +743,16 @@ def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(res.state.withColumnRenamed("value", "katz"), "katz")
 
 
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate betweenness (Brandes–Pich pivot estimator,
+    depth-truncated): summed dependency sweeps from the k smallest
+    out-degree>0 ids."""
+    from .operators import betweenness as bw
+
+    e = tables.uni_edges_directed(spark, sf_dir)
+    return bw.betweenness(e)
+
+
 def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SALSA (Lempel & Moran, WWW'00): random-walk hubs/authorities —
     the TKC-resistant production counterpart of HITS; stochastic, so
@@ -1403,6 +1413,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                           oracle.sql_spam_mass(iters=PR_ITERS, mod=m)),
         "salsa": _uni(q_salsa, oracle.sql_salsa(iters=HITS_ITERS, mod=m)),
         "katz": _uni(q_katz, oracle.sql_katz(iters=PR_ITERS, mod=m)),
+        "betweenness": _uni(q_betweenness, oracle.sql_betweenness(mod=m)),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(
