@@ -745,3 +745,80 @@ def test_betweenness_depth_truncation(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["id"]: r["bc"] for r in bw.betweenness(df, depth=1).collect()}
     assert got == {0: 0.0, 1: 0.0, 2: 0.0, 3: 0.0}
+
+
+def test_bibliographic_coupling_known_graph_and_cap(spark):
+    """Dual of co-citation: 1 and 2 both cite {8, 9} -> n_shared 2;
+    the in-degree cap drops a super-popular target BEFORE pairing."""
+    edges = [(1, 8), (1, 9), (2, 8), (2, 9), (3, 9),
+             (1, 7), (2, 7), (3, 7), (4, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["a"], r["b"]): r["n_shared"] for r in
+           triangles.bibliographic_coupling(df).collect()}
+    assert got == {(1, 2): 3, (1, 3): 2, (2, 3): 2,
+                   (1, 4): 1, (2, 4): 1, (3, 4): 1}
+    # cap 3 drops target 7 (in-degree 4) before the self-join
+    capped = {(r["a"], r["b"]): r["n_shared"] for r in
+              triangles.bibliographic_coupling(df, max_in=3).collect()}
+    assert capped == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+
+def test_closeness_lin_matches_python_pipeline(spark):
+    """Full-pipeline python model (same as the harmonic test): exact
+    BFS balls -> md5 registers -> HLL estimate per round -> exact
+    decimal delta*r sum, single IEEE divisions for closeness and
+    Lin's index (the sd == 0 degenerate branch is asserted from the
+    model side whenever the HLL estimates make it fire)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ugfraud_spark.operators import hyperball as hb
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                               rounding=ROUND_HALF_UP))
+
+    rng = np.random.RandomState(23)
+    edges = sorted({(int(a), int(b)) for a, b in
+                    rng.randint(0, 40, size=(150, 2)) if a < b})
+    edges.append((98, 99))  # far 2-vertex component
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["id"]: r for r in hb.closeness_lin(df, t=3).collect()}
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def est(ball):
+        regs = [0] * 16
+        for w in ball:
+            bkt, rho = _hb_bucket_rho(w)
+            regs[bkt] = max(regs[bkt], rho)
+        z = sum(2.0 ** -r for r in regs)
+        v = sum(1 for r in regs if r == 0)
+        raw = 0.673 * 256 / z
+        e = 16 * math.log(16 / v) if raw <= 40 and v > 0 else raw
+        return r6(e)
+
+    for v in adj:
+        ball, frontier = {v}, {v}
+        ests = [est(ball)]
+        for _ in range(3):
+            frontier = {w for u in frontier for w in adj[u]} - ball
+            ball |= frontier
+            ests.append(est(ball))
+        sd_dec = sum((Decimal(repr(ests[r])) - Decimal(repr(ests[r - 1])))
+                     * r for r in (1, 2, 3))
+        rc_dec = Decimal(repr(ests[3])) - 1
+        sd, rc = float(sd_dec), float(rc_dec)
+        assert abs(got[v]["sum_dist"] - sd) < 1e-12, v
+        assert abs(got[v]["reachable"] - rc) < 1e-12, v
+        if sd == 0.0:
+            assert got[v]["closeness"] == 0.0 and got[v]["lin"] == 1.0
+        else:
+            assert got[v]["closeness"] == 1.0 / sd, v
+            assert got[v]["lin"] == rc * rc / sd, v
+    # the 2-vertex component {98, 99}: each reaches exactly the other
+    # at distance 1 (up to HLL estimate error, exact at this size)
+    assert got[98]["reachable"] == got[99]["reachable"]

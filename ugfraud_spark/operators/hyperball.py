@@ -211,6 +211,53 @@ def harmonic_centrality(edges_ab: DataFrame, t: int = 3) -> DataFrame:
     )
 
 
+def closeness_lin(edges_ab: DataFrame, t: int = 3) -> DataFrame:
+    """(id, sum_dist, reachable, closeness, lin): the OTHER HyperBall
+    centralities (Boldi–Vigna §3): total distance T(v) ≈
+    Σ_{r=1..t} r·(|B(v,r)|−|B(v,r−1)|), the reachable count
+    |B(v,t)|−1, classic closeness 1/T(v), and Lin's index
+    reachable²/T(v) — the variant that doesn't degenerate on graphs
+    with many small components (isolated vertices get Lin = 1 by
+    definition, closeness = 0).
+
+    Float discipline (same trap as ``harmonic_centrality``): ball
+    estimates are exact 6-dp decimals, so sum_dist is built from exact
+    decimal subtractions scaled by the INTEGER radius and summed
+    exactly — no rounding site at all. closeness and lin are then
+    single IEEE divisions of deterministic doubles (numerator and
+    denominator are partitioning-independent exact decimals), so the
+    raw quotient is itself deterministic and is NOT re-rounded —
+    ROUND here could land on a .5e-6 tie (the inputs are exact
+    decimals by construction)."""
+    ests = [
+        ball_estimates(state).withColumnRenamed("ball_est", f"e{r}")
+        for r, state in hyperball_states(edges_ab, t)
+    ]
+    df = ests[0]
+    for e in ests[1:]:
+        df = df.join(e, "id")
+    sum_dist = None
+    for r in range(1, t + 1):
+        delta = (
+            F.col(f"e{r}").cast("decimal(28,6)")
+            - F.col(f"e{r-1}").cast("decimal(28,6)")
+        )
+        term = delta * F.lit(r)
+        sum_dist = term if sum_dist is None else sum_dist + term
+    reach = F.col(f"e{t}").cast("decimal(28,6)") - F.lit(1)
+    sd = sum_dist.cast("double")
+    rc = reach.cast("double")
+    return df.select(
+        "id",
+        sd.alias("sum_dist"),
+        rc.alias("reachable"),
+        F.when(sd == F.lit(0.0), F.lit(0.0))
+        .otherwise(F.lit(1.0) / sd).alias("closeness"),
+        F.when(sd == F.lit(0.0), F.lit(1.0))
+        .otherwise(rc * rc / sd).alias("lin"),
+    )
+
+
 def effective_diameter(nf: DataFrame, alpha: float = 0.9) -> DataFrame:
     """(eff_diam): the α-effective diameter read off an ``nf_curve``
     frame — the smallest t with NF(t) ≥ α·NF(t_max), linearly

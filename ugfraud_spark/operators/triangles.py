@@ -197,6 +197,37 @@ def triangle_total(edges_ab: DataFrame, oriented: bool = True) -> DataFrame:
 COCITE_MAX_OUT = 64
 
 
+def bibliographic_coupling(edges_dir: DataFrame,
+                           max_in: int = COCITE_MAX_OUT) -> DataFrame:
+    """(a, b, n_shared) with a < b: pairs of pages that cite at least
+    one common target, weighted by how many targets they share —
+    bibliographic coupling (Kessler 1963), the exact dual of
+    ``cocitation`` (wedges pivot on the shared *target* instead of the
+    shared *source*; 'two papers citing the same references are
+    related' vs 'two papers cited together are related').
+
+    Dual skew trade too: a target of in-degree d fans out d² pairs, so
+    targets above ``max_in`` are dropped BEFORE the self-join (a
+    super-popular page like a homepage would otherwise pair every
+    pair of its citers); the oracle applies the identical integer
+    cut."""
+    ok_dst = (
+        edges_dir.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("ind"))
+        .where(F.col("ind") <= max_in)
+        .select("dst")
+    )
+    e = edges_dir.join(ok_dst, "dst", "left_semi").select("src", "dst")
+    l, r = e.alias("l"), e.alias("r")
+    return (
+        l.join(r, (F.col("l.dst") == F.col("r.dst"))
+               & (F.col("l.src") < F.col("r.src")))
+        .select(F.col("l.src").alias("a"), F.col("r.src").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def resource_allocation(edges_dir: DataFrame,
                         max_out: int = COCITE_MAX_OUT) -> DataFrame:
     """(a, b, ra_score) with a < b: co-citation link prediction with

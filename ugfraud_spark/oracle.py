@@ -413,6 +413,25 @@ def sql_cocitation(max_out: int | None = None,
     )
 
 
+def sql_bibliographic_coupling(max_in: int | None = None,
+                               mod: int = UNI_MOD) -> str:
+    """Mirror of triangles.bibliographic_coupling: identical in-degree
+    cap before the shared-target wedge self-join, (a < b) canonical."""
+    if max_in is None:
+        from .operators.triangles import COCITE_MAX_OUT
+        max_in = COCITE_MAX_OUT
+    return _with(
+        [("uni", uni_frag(mod)),
+         ("ok",
+          f"SELECT dst FROM uni GROUP BY dst "
+          f"HAVING COUNT(*) <= {max_in}"),
+         ("e", "SELECT u.src, u.dst FROM uni u JOIN ok USING (dst)")],
+        "SELECT l.src AS a, r.src AS b, CAST(COUNT(*) AS BIGINT) "
+        "AS n_shared FROM e l JOIN e r "
+        "ON l.dst = r.dst AND l.src < r.src GROUP BY 1, 2",
+    )
+
+
 def sql_resource_allocation(max_out: int | None = None,
                             mod: int = UNI_MOD) -> str:
     """Mirror of triangles.resource_allocation: identical cap, weight
@@ -2179,6 +2198,38 @@ def sql_harmonic_centrality(t: int = 3, mod: int = UNI_MOD, m: int = 16,
         ctes,
         f"SELECT id, CAST({terms} AS DOUBLE) / {_d(float(lcm))} "
         f"AS harmonic FROM est0 e0 {joins}",
+    )
+
+
+def sql_closeness_lin(t: int = 3, mod: int = UNI_MOD, m: int = 16,
+                      alpha: float = 0.673) -> str:
+    """Mirror of hyperball.closeness_lin: exact-decimal deltas scaled
+    by the integer radius, summed exactly (sum_dist has NO rounding
+    site); closeness and lin as single IEEE divisions of the resulting
+    deterministic doubles, deliberately not re-rounded."""
+    ctes = _hyperball_ctes(t, mod, m)
+    for r in range(t + 1):
+        ctes.append((f"est{r}", _hb_est_sql(f"r{r}", m, alpha)))
+    joins = " ".join(f"JOIN est{r} e{r} USING (id)"
+                     for r in range(1, t + 1))
+    terms = " + ".join(
+        f"(CAST(e{r}.ball_est AS DECIMAL(28,6)) "
+        f"- CAST(e{r-1}.ball_est AS DECIMAL(28,6))) * {r}"
+        for r in range(1, t + 1)
+    )
+    ctes.append((
+        "base",
+        f"SELECT id, CAST({terms} AS DOUBLE) AS sd, "
+        f"CAST(CAST(e{t}.ball_est AS DECIMAL(28,6)) - 1 AS DOUBLE) AS rc "
+        f"FROM est0 e0 {joins}",
+    ))
+    return _with(
+        ctes,
+        "SELECT id, sd AS sum_dist, rc AS reachable, "
+        "CASE WHEN sd = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE) "
+        "ELSE CAST(1.0 AS DOUBLE) / sd END AS closeness, "
+        "CASE WHEN sd = CAST(0.0 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) "
+        "ELSE rc * rc / sd END AS lin FROM base",
     )
 
 

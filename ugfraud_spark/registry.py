@@ -837,6 +837,15 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hb.effective_diameter(hb.nf_curve(e, t=3))
 
 
+def q_closeness_lin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness + Lin's index from the HyperBall ball-size deltas —
+    total distance, reachable count, 1/T(v), reachable²/T(v)."""
+    from .operators import hyperball as hb
+
+    e = tables.uni_edges_undirected(spark, sf_dir)
+    return hb.closeness_lin(e, t=3)
+
+
 def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harmonic centrality from the HyperBall ball-size deltas
     (Boldi–Vigna) — the Common-Crawl host-ranking statistic."""
@@ -858,6 +867,13 @@ def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation similarity pairs (common in-link wedges) with the
     out-degree skew cap applied before the wedge self-join."""
     return triangles.cocitation(tables.uni_edges_directed(spark, sf_dir))
+
+
+def q_bibliographic_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963): shared-out-link pairs —
+    the dual of co-citation, with the dual in-degree skew cap."""
+    return triangles.bibliographic_coupling(
+        tables.uni_edges_directed(spark, sf_dir))
 
 
 def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1398,9 +1414,14 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "epoch_shuffle": (q_epoch_shuffle, oracle.sql_epoch_shuffle()),
         "harmonic_centrality": _uni(
             q_harmonic_centrality, oracle.sql_harmonic_centrality(t=3, mod=m)),
+        "closeness_lin": _uni(
+            q_closeness_lin, oracle.sql_closeness_lin(t=3, mod=m)),
         "cocitation": _uni(q_cocitation, oracle.sql_cocitation(mod=m)),
         "resource_allocation": _uni(q_resource_allocation,
                                     oracle.sql_resource_allocation(mod=m)),
+        "bibliographic_coupling": _uni(
+            q_bibliographic_coupling,
+            oracle.sql_bibliographic_coupling(mod=m)),
         "bowtie": _uni(q_bowtie, oracle.sql_bowtie(mod=m)),
         "quality_filter_stream": (q_quality_filter_stream,
                                   oracle.sql_quality_filter()),
