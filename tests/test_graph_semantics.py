@@ -822,3 +822,61 @@ def test_closeness_lin_matches_python_pipeline(spark):
     # the 2-vertex component {98, 99}: each reaches exactly the other
     # at distance 1 (up to HLL estimate error, exact at this size)
     assert got[98]["reachable"] == got[99]["reachable"]
+
+
+def test_random_walks_structure_and_replay(spark):
+    """Every consecutive (step t, t+1) pair must be a real edge; the
+    full corpus equals an independent python replay of the walk rule
+    (ranked adjacency + counter hash); dead ends truncate."""
+    from ugfraud_spark.operators import walks as wk
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (3, 4)]  # 4 dead-ends
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = wk.random_walks(df, n_walks=3, length=5).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+
+    adj = {}
+    for s, d in sorted(edges):
+        adj.setdefault(s, []).append(d)
+    want = {}
+    for start in adj:
+        for w in range(3):
+            wid = start * 3 + w
+            cur, path = start, {0: start}
+            for t in range(1, 6):
+                if cur not in adj:
+                    break
+                nbrs = sorted(adj[cur])
+                h = (cur * wk.WALK_A + wid * wk.WALK_B
+                     + t * wk.WALK_C + 1) % wk.WALK_P
+                pick = ((h * wk.WALK_A + wk.WALK_B) % wk.WALK_P) % len(nbrs)
+                cur = nbrs[pick]
+                path[t] = cur
+            want[wid] = path
+    assert got == want
+    eset = set(edges)
+    for path in got.values():
+        for t in range(1, max(path) + 1):
+            if t in path:
+                assert (path[t - 1], path[t]) in eset
+
+
+def test_random_walks_choices_spread(spark):
+    """Semantic (non-parity) claim: on a 32-out-neighbor star, the
+    first-step picks across 64 walks are well spread — many distinct
+    neighbors, no neighbor grossly over-chosen. Guards against the
+    shared-formula-oracle blind spot (PLANS §32/§40): parity alone
+    would pass even if every walk made the same choice."""
+    from collections import Counter
+
+    from ugfraud_spark.operators import walks as wk
+
+    edges = [(0, i) for i in range(1, 33)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = wk.random_walks(df, n_walks=64, length=1).collect()
+    first = Counter(r["vertex"] for r in rows if r["step"] == 1)
+    assert sum(first.values()) == 64
+    assert len(first) >= 20          # covers most of the 32 neighbors
+    assert max(first.values()) <= 6  # no single neighbor dominates

@@ -1,0 +1,106 @@
+"""Deterministic random-walk corpus over the link graph — the
+DeepWalk/node2vec(p=q=1) training-data generator.
+
+Graph-embedding pipelines (Perozzi et al., KDD'14) consume a corpus of
+truncated random walks the way text pipelines consume sentences. At
+web scale the walk generator must be (a) distributed — every step is
+one co-partitioned join, state is |V|·n_walks rows, never a driver
+loop — and (b) reproducible, so a re-run (or a backfilled partition)
+emits byte-identical walks. Reproducibility here comes from a
+counter-based integer hash in place of an RNG: step t of walk w at
+vertex v picks out-neighbor index
+
+    h = (v·A + w·B + t·C + seed) mod P        (combine)
+    pick = ((h·A + B) mod P) mod outdeg(v)    (scramble, then bound)
+
+with fixed odd multipliers and the Mersenne prime P = 2^31−1 — pure
+64-bit integer math (h < P so h·A < 2^61), exactly replayable by the
+DuckDB oracle (the same trade ``shuffle.epoch_shuffle`` makes; a
+production deployment would swap in xxhash64, which Spark has but
+DuckDB cannot mirror). The scramble round is load-bearing: the bare
+linear combine mod P mod d clusters badly (measured: 64 walks from a
+32-out-neighbor star hit only 5 distinct neighbors — each wrap of the
+outer mod shifts the inner residue by P mod d, a Beatty-sequence
+artifact), while one multiplicative round spreads the same 64 walks
+over 25 neighbors with max multiplicity 4. The §32
+shared-formula-oracle lesson applies: the oracle proves the
+distributed decomposition, so the SEMANTIC claim — neighbor choices
+are near-uniform and decorrelated across walks — is pinned by its own
+property test, not by parity.
+
+Neighbor addressing: each vertex's out-edges are ranked once by dst
+(one shuffle+sort, the same one-time layout cost as the CSR build),
+giving an (src, idx) → dst table every step joins against. Walks stop
+early at dead ends (inner join against the ranked table drops them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+WALK_A = 1_103_515_245
+WALK_B = 747_796_405
+WALK_C = 2_891_336_453
+WALK_P = 2_147_483_647  # 2^31 - 1
+
+
+def random_walks(edges: DataFrame, n_walks: int = 2,
+                 length: int = 4, seed: int = 1) -> DataFrame:
+    """edges(src, dst) directed → (walk_id, step, vertex): ``n_walks``
+    truncated walks of ≤ ``length`` steps from every vertex with an
+    out-edge; walk_id = start·n_walks + w. Deterministic in (edges,
+    n_walks, length, seed)."""
+    e = edges.select("src", "dst")
+    # one-time neighbor layout: idx-addressable out-adjacency + degree.
+    # The window is per-src (bounded by the max out-degree), never global.
+    w_src = Window.partitionBy("src").orderBy("dst")
+    nbr = (
+        e.select("src", "dst",
+                 (F.row_number().over(w_src) - 1).alias("idx"))
+        .repartition("src")
+        .persist()
+    )
+    outd = nbr.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+
+    state = (
+        nbr.select("src").distinct()
+        .select(
+            F.col("src").alias("cur"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("w"),
+        )
+        .select(
+            (F.col("cur") * n_walks + F.col("w")).alias("walk_id"), "cur",
+        )
+    )
+    out = state.select("walk_id", F.lit(0).alias("step"),
+                       F.col("cur").alias("vertex"))
+    for t in range(1, length + 1):
+        # every term is nonnegative and < 2^63 (cur and walk_id are
+        # bounded by the id namespace, multipliers < 2^32, and the
+        # scramble input is < P), so plain % agrees across engines
+        # with no pmod dance
+        h = (
+            F.col("cur") * F.lit(WALK_A)
+            + F.col("walk_id") * F.lit(WALK_B)
+            + F.lit(t * WALK_C + seed)
+        ) % F.lit(WALK_P)
+        h = (h * F.lit(WALK_A) + F.lit(WALK_B)) % F.lit(WALK_P)
+        step = (
+            state.join(outd.withColumnRenamed("src", "cur")
+                       .hint("shuffle_hash"), "cur")
+            .select("walk_id", "cur", (h % F.col("od")).alias("pick"))
+            .join(
+                nbr.select(F.col("src").alias("cur"),
+                           F.col("idx").alias("pick"),
+                           F.col("dst").alias("nxt")),
+                ["cur", "pick"],
+            )
+            .select("walk_id", F.col("nxt").alias("cur"))
+        )
+        state = step.localCheckpoint(eager=True)
+        out = out.unionAll(
+            state.select("walk_id", F.lit(t).alias("step"),
+                         F.col("cur").alias("vertex")))
+    return out

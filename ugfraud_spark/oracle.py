@@ -1487,6 +1487,41 @@ def sql_hits(iters: int = 5, mod: int = UNI_MOD) -> str:
     )
 
 
+def sql_random_walks(n_walks: int = 2, length: int = 4, seed: int = 1,
+                     mod: int = UNI_MOD) -> str:
+    """Mirror of walks.random_walks: ranked out-adjacency, the same
+    counter-based integer hash pick per unrolled step. Shares the
+    engine's formula (the §32 caveat) — the semantic uniformity /
+    structure claims are pinned by walks' own property tests."""
+    from .operators.walks import WALK_A, WALK_B, WALK_C, WALK_P
+
+    ctes = [
+        ("uni", uni_frag(mod)),
+        ("nbr",
+         "SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src "
+         "ORDER BY dst) - 1 AS idx FROM uni"),
+        ("od", "SELECT src, COUNT(*) AS od FROM uni GROUP BY src"),
+        ("s0",
+         f"SELECT s.src * {n_walks} + w.w AS walk_id, s.src AS cur "
+         f"FROM (SELECT DISTINCT src FROM uni) s CROSS JOIN "
+         f"(SELECT UNNEST(generate_series(0, {n_walks - 1})) AS w) w"),
+    ]
+    for t in range(1, length + 1):
+        ctes.append((
+            f"s{t}",
+            f"SELECT s.walk_id, n.dst AS cur FROM s{t-1} s "
+            f"JOIN od ON od.src = s.cur "
+            f"JOIN nbr n ON n.src = s.cur AND n.idx = "
+            f"((((s.cur * {WALK_A} + s.walk_id * {WALK_B} "
+            f"+ {t * WALK_C + seed}) % {WALK_P}) * {WALK_A} + {WALK_B}) "
+            f"% {WALK_P}) % od.od",
+        ))
+    unions = " UNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, cur AS vertex FROM s{t}"
+        for t in range(length + 1))
+    return _with(ctes, unions)
+
+
 def sql_betweenness(k: int = 8, depth: int = 5, mod: int = UNI_MOD) -> str:
     """Mirror of betweenness.betweenness: k smallest out-degree>0 ids
     as pivots, forward path-count BFS unrolled ``depth`` rounds

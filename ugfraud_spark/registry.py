@@ -743,6 +743,16 @@ def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(res.state.withColumnRenamed("value", "katz"), "katz")
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk corpus: deterministic truncated random walks (counter-
+    based integer hash in place of an RNG, so re-runs and backfills
+    are byte-identical)."""
+    from .operators import walks
+
+    e = tables.uni_edges_directed(spark, sf_dir)
+    return walks.random_walks(e)
+
+
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate betweenness (Brandes–Pich pivot estimator,
     depth-truncated): summed dependency sweeps from the k smallest
@@ -1435,6 +1445,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "salsa": _uni(q_salsa, oracle.sql_salsa(iters=HITS_ITERS, mod=m)),
         "katz": _uni(q_katz, oracle.sql_katz(iters=PR_ITERS, mod=m)),
         "betweenness": _uni(q_betweenness, oracle.sql_betweenness(mod=m)),
+        "random_walks": _uni(q_random_walks, oracle.sql_random_walks(mod=m)),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(
