@@ -695,3 +695,30 @@ def test_learn_bpe_matches_python_model(spark):
     assert got[0][1] == "t h" and got[0][2] == "th"  # planted structure
     merges = [g[2] for g in got]
     assert "the" in merges  # cascaded merge builds on round 1's symbol
+
+
+def test_grouped_split_purity_fraction_and_model(spark):
+    """Leakage-safety is GROUP purity: every doc of a source lands on
+    one side. The decision replays in python (md5 nibble math), and
+    over many synthetic sources the test fraction is near 10%."""
+    import hashlib
+
+    from ugfraud_spark.operators import mix
+
+    rows = [(i, f"site{i % 400}.example") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = mix.grouped_split(docs).collect()
+
+    by_source = {}
+    for r in got:
+        by_source.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_source.values())  # purity
+
+    def want(source):
+        v = int(hashlib.md5(source.encode()).hexdigest()[:8], 16)
+        return "test" if v % 1000 < 100 else "train"
+
+    for r in got:
+        assert r["split"] == want(r["source"]), r["source"]
+    test_sources = sum(1 for s, v in by_source.items() if v == {"test"})
+    assert 15 <= test_sources <= 70  # ~10% of 400, loose binomial band

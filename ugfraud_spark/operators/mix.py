@@ -52,3 +52,31 @@ def corpus_sample(docs: DataFrame, rates: dict[str, float],
         .where(h < F.coalesce("cut", F.lit(default_cut)))
         .select("doc_id", strat_col, "source")
     )
+
+
+TEST_PERMILLE = 100
+
+
+def grouped_split(docs: DataFrame, test_permille: int = TEST_PERMILLE,
+                  group_col: str = "source") -> DataFrame:
+    """(doc_id, source, split): leakage-safe train/test holdout —
+    the split decision is a function of the GROUP (source domain), so
+    every document from one source lands on the same side. Splitting
+    i.i.d. by document leaks: near-duplicate boilerplate within a
+    domain puts effectively-identical text on both sides and inflates
+    held-out scores — group-aware splitting is the standard fix
+    (cf. scikit-learn's GroupShuffleSplit; dedup-aware LM eval splits).
+
+    Decision rule: the first 8 hex chars of md5(source) as an integer,
+    mod 1000, < ``test_permille`` → test. md5-string math is the
+    engine's one cross-engine-exact string hash (the HyperBall /
+    integrity-hash trick): Spark evaluates it with one ``conv``, the
+    oracle with positional nibble arithmetic — identical int64.
+    Shuffle-free narrow projection; group sizes never matter because
+    nothing aggregates."""
+    h = F.conv(F.substring(F.md5(F.col(group_col)), 1, 8), 16, 10)
+    return docs.select(
+        "doc_id", group_col,
+        F.when((h.cast("bigint") % 1000) < test_permille, F.lit("test"))
+        .otherwise(F.lit("train")).alias("split"),
+    )

@@ -1051,6 +1051,22 @@ def sql_quality_repetition() -> str:
     )
 
 
+def sql_grouped_split(test_permille: int = 100) -> str:
+    """Mirror of mix.grouped_split: the first 8 hex chars of
+    md5(source) as an integer via positional nibble arithmetic
+    (DuckDB has no hex→int conv), mod 1000 against the cut."""
+    nib = " + ".join(
+        f"(STRPOS('0123456789abcdef', SUBSTRING(h, {i}, 1)) - 1) "
+        f"* {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return _with(
+        [("hd", "SELECT doc_id, source, MD5(source) AS h FROM documents")],
+        f"SELECT doc_id, source, CASE WHEN ({nib}) % 1000 "
+        f"< {test_permille} THEN 'test' ELSE 'train' END AS split FROM hd",
+    )
+
+
 def sql_corpus_sample_mix(rates: dict[str, float],
                           default_rate: float) -> str:
     """Mirror of mix.corpus_sample: keep a doc iff its Knuth hash falls

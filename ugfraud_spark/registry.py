@@ -634,6 +634,13 @@ def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                              MIX_RATES, default_rate=MIX_DEFAULT)
 
 
+def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe holdout: the train/test decision is a function of
+    the source domain, so near-dup boilerplate within a domain can't
+    straddle the split."""
+    return mix.grouped_split(tables.load(spark, sf_dir, "documents"))
+
+
 def q_doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-language doc-length percentiles via the histogram +
     cumulative-distribution plan — no group's raw values are ever
@@ -1388,6 +1395,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
             q_corpus_sample_mix,
             oracle.sql_corpus_sample_mix(MIX_RATES, MIX_DEFAULT),
         ),
+        "grouped_split": (q_grouped_split, oracle.sql_grouped_split()),
         "quality_repetition": (q_quality_repetition,
                                oracle.sql_quality_repetition()),
         "incremental_dedup": (
