@@ -722,3 +722,51 @@ def test_grouped_split_purity_fraction_and_model(spark):
         assert r["split"] == want(r["source"]), r["source"]
     test_sources = sum(1 for s, v in by_source.items() if v == {"test"})
     assert 15 <= test_sources <= 70  # ~10% of 400, loose binomial band
+
+
+def test_kmeans_assign_python_replay_and_separation(spark):
+    """Lloyd on two well-separated planted blobs: the full algorithm
+    (init = k smallest ids, argmin with id tie-break, scaled-int64
+    mean updates, empty-cluster carry) replays in python exactly, and
+    the two blobs end up in two pure clusters."""
+    import numpy as np
+
+    from ugfraud_spark.operators import kmeans as km
+
+    rng = np.random.RandomState(7)
+    pts = np.vstack([rng.normal(0.0, 0.05, (20, 4)),
+                     rng.normal(1.0, 0.05, (20, 4))]).astype(np.float32)
+    order = rng.permutation(40)
+    rows = [(int(i), [float(x) for x in pts[order[i]]])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["cluster"]
+           for r in km.kmeans_assign(emb, k=2, iters=3).collect()}
+
+    v = {i: [float(np.float64(x)) for x in pts[order[i]]]
+         for i in range(40)}
+    cents = [v[0], v[1]]
+    assign = {}
+    for it in range(3):
+        for i, vec in v.items():
+            ds = [sum((x - c) * (x - c) for x, c in zip(vec, cc))
+                  for cc in cents]
+            assign[i] = min(range(2), key=lambda j: (ds[j], j))
+        if it == 2:
+            break
+        for j in range(2):
+            mine = [v[i] for i in v if assign[i] == j]
+            if not mine:
+                continue
+            n = len(mine)
+            cents[j] = [
+                sum(int(round(x * 1e6)) for x in (vec[d] for vec in mine))
+                / (n * 1e6)
+                for d in range(4)
+            ]
+    assert got == assign
+    blob = {i: (0 if order[i] < 20 else 1) for i in range(40)}
+    sides = {}
+    for i, c in got.items():
+        sides.setdefault(c, set()).add(blob[i])
+    assert all(len(s) == 1 for s in sides.values())

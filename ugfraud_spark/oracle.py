@@ -1051,6 +1051,54 @@ def sql_quality_repetition() -> str:
     )
 
 
+def sql_kmeans_assign(k: int = 8, iters: int = 3) -> str:
+    """Mirror of kmeans.kmeans_assign: init = k smallest vec_ids,
+    per-iteration argmin with the identical sequential fold
+    (list_transform + list_reduce; seed difference 0.0+e1 vs e1 is
+    float-identical), centroid update via scaled-int64 sums and ONE
+    double division, empty clusters keeping their previous centroid."""
+    dist = ("list_reduce(list_transform(e.v, (x, i) -> "
+            "(x - c.cent[i]) * (x - c.cent[i])), (a, b) -> a + b)")
+    ctes = [
+        ("e", "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"),
+        ("c0",
+         f"SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, "
+         f"v AS cent FROM (SELECT vec_id, v FROM e ORDER BY vec_id "
+         f"LIMIT {k})"),
+    ]
+    for t in range(iters):
+        ctes.append((
+            f"a{t}",
+            f"SELECT vec_id, v, cluster FROM (\n"
+            f"  SELECT e.vec_id, e.v, c.cluster, ROW_NUMBER() OVER "
+            f"(PARTITION BY e.vec_id ORDER BY {dist}, c.cluster) AS rn\n"
+            f"  FROM e CROSS JOIN c{t} c\n"
+            f") WHERE rn = 1",
+        ))
+        if t == iters - 1:
+            break
+        ctes.append((
+            f"u{t}",
+            f"SELECT cluster, dim, SUM(CAST(ROUND(x * 1000000.0, 0) "
+            f"AS BIGINT)) AS s, COUNT(*) AS n FROM (\n"
+            f"  SELECT cluster, UNNEST(v) AS x, "
+            f"UNNEST(range(len(v))) AS dim FROM a{t}\n"
+            f") GROUP BY cluster, dim",
+        ))
+        ctes.append((
+            f"c{t+1}",
+            f"SELECT p.cluster, "
+            f"CASE WHEN m.cent IS NULL THEN p.cent ELSE m.cent END AS cent "
+            f"FROM c{t} p LEFT JOIN (\n"
+            f"  SELECT cluster, list(CAST(s AS DOUBLE) / (n * 1000000.0) "
+            f"ORDER BY dim) AS cent FROM u{t} GROUP BY cluster\n"
+            f") m USING (cluster)",
+        ))
+    return _with(
+        ctes,
+        f"SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a{iters-1}")
+
+
 def sql_grouped_split(test_permille: int = 100) -> str:
     """Mirror of mix.grouped_split: the first 8 hex chars of
     md5(source) as an integer via positional nibble arithmetic

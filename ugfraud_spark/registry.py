@@ -634,6 +634,15 @@ def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                              MIX_RATES, default_rate=MIX_DEFAULT)
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus distributed Lloyd k-means over the embeddings —
+    the trainer the IVF coarse quantizer assumes; exact scaled-int64
+    centroid updates, integer-only output."""
+    from .operators import kmeans
+
+    return kmeans.kmeans_assign(tables.load(spark, sf_dir, "embeddings"))
+
+
 def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe holdout: the train/test decision is a function of
     the source domain, so near-dup boilerplate within a domain can't
@@ -1396,6 +1405,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
             oracle.sql_corpus_sample_mix(MIX_RATES, MIX_DEFAULT),
         ),
         "grouped_split": (q_grouped_split, oracle.sql_grouped_split()),
+        "kmeans_assign": (q_kmeans_assign, oracle.sql_kmeans_assign()),
         "quality_repetition": (q_quality_repetition,
                                oracle.sql_quality_repetition()),
         "incremental_dedup": (
