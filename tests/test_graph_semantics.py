@@ -880,3 +880,36 @@ def test_random_walks_choices_spread(spark):
     assert sum(first.values()) == 64
     assert len(first) >= 20          # covers most of the 32 neighbors
     assert max(first.values()) <= 6  # no single neighbor dominates
+
+
+def test_eigenvector_centrality_python_and_numpy(spark):
+    """Power iteration replayed in python on the known digraph; on a
+    strongly connected graph with enough iterations the result aligns
+    with numpy's principal eigenvector of A^T (Perron-Frobenius)."""
+    from ugfraud_spark.operators import hits as h
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 1), (1, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["eigen"]
+           for r in h.eigenvector_centrality(df, iters=5).collect()}
+
+    x = {v: 1.0 for v in (0, 1, 2)}
+    for _ in range(5):
+        m = {v: 0.0 for v in (0, 1, 2)}
+        for s, d in edges:
+            m[d] += x[s]
+        nrm = sum(val * val for val in m.values()) ** 0.5
+        x = {v: m[v] / nrm for v in m}
+    for v in x:
+        assert abs(got[v] - x[v]) < 1e-12, v
+
+    big = {r["id"]: r["eigen"]
+           for r in h.eigenvector_centrality(df, iters=60).collect()}
+    A = np.zeros((3, 3))
+    for s, d in edges:
+        A[d, s] += 1.0
+    w, V = np.linalg.eig(A)
+    p = np.abs(V[:, np.argmax(w.real)].real)
+    p /= np.linalg.norm(p)
+    for v in (0, 1, 2):
+        assert abs(big[v] - p[v]) < 1e-6, v

@@ -110,6 +110,52 @@ def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
     )
 
 
+def eigenvector_centrality(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """edges(src, dst) directed → (id, eigen): power iteration on Aᵀ,
+    x_{t+1} = Aᵀx_t / ‖Aᵀx_t‖₂ from x_0 ≡ 1 — the in-link prestige
+    score (Bonacich): being linked by high-score pages is worth more,
+    with no damping (PageRank) and no degree normalization (SALSA).
+    Exactly the HITS authority half-step iterated alone; same
+    message-only state discipline (a vertex receiving no message is an
+    exact 0 contributing nothing to the norm or the next step — the
+    |V| zero-fill join happens ONCE at the end), one co-partitioned
+    SpMV + one scalar norm agg per iteration."""
+    fwd = colocate_edges(edges.select("src", "dst"))
+    verts = (
+        fwd.select(F.col("src").alias("id"))
+        .unionAll(fwd.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition("id")
+        .persist()
+    )
+    verts.count()
+    if fwd.isEmpty():
+        raise ValueError("eigenvector_centrality: empty edge set — the "
+                         "L2 norm would be 0")
+
+    x = verts.select("id", F.lit(1.0).alias("x"))
+    for i in range(iters):
+        m = (
+            fwd.join(
+                x.select(F.col("id").alias("src"), "x")
+                .hint("shuffle_hash"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("x").alias("raw"))
+            .persist()  # feeds BOTH the norm agg and the normalize
+        )
+        n = m.agg(F.sqrt(F.sum(F.col("raw") ** 2)).alias("_n"))
+        x = (
+            m.crossJoin(n)
+            .select("id", (F.col("raw") / F.col("_n")).alias("x"))
+            .localCheckpoint(eager=True)
+        )
+        m.unpersist()
+    return (
+        verts.join(x, "id", "left")
+        .select("id", F.coalesce("x", F.lit(0.0)).alias("eigen"))
+    )
+
+
 # kcore: below this per-round casualty count the edge filter switches
 # from shuffle semi-joins on the alive set to broadcast anti-joins on
 # the removed set (same scale rationale as fraudar.BULK_PEEL_BCAST_IDS;

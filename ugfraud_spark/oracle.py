@@ -1676,6 +1676,33 @@ def sql_katz(iters: int = 5, alpha: float = 0.1, beta: float = 1.0,
         ctes, f"SELECT id, ROUND(x, 6) AS katz FROM x{iters}")
 
 
+def sql_eigenvector(iters: int = 5, mod: int = UNI_MOD) -> str:
+    """Unrolled power iteration on Aᵀ with L2 normalization — mirror of
+    hits.eigenvector_centrality (norms computed over the raw message
+    rows, zero-fill once at the end, like the HITS oracle)."""
+    ctes = [
+        ("uni", uni_frag(mod)),
+        ("v", VERTS),
+        ("x0", "SELECT id, CAST(1.0 AS DOUBLE) AS x FROM v"),
+    ]
+    for t in range(1, iters + 1):
+        ctes.append((
+            f"m{t}",
+            f"SELECT uni.dst AS id, SUM(x{t-1}.x) AS raw FROM uni "
+            f"JOIN x{t-1} ON x{t-1}.id = uni.src GROUP BY uni.dst",
+        ))
+        ctes.append((
+            f"x{t}",
+            f"SELECT id, raw / (SELECT SQRT(SUM(raw * raw)) FROM m{t}) "
+            f"AS x FROM m{t}",
+        ))
+    return _with(
+        ctes,
+        f"SELECT v.id, ROUND(COALESCE(x.x, CAST(0.0 AS DOUBLE)), 6) "
+        f"AS eigen FROM v LEFT JOIN x{iters} x ON x.id = v.id",
+    )
+
+
 def sql_salsa(iters: int = 5, mod: int = UNI_MOD) -> str:
     """Unrolled SALSA (operators/salsa.py): per iteration the authority
     chain does backward(÷ind) then forward(÷outd) and the hub chain the

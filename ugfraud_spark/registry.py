@@ -779,6 +779,14 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bw.betweenness(e)
 
 
+def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality (Bonacich in-link prestige): L2-normalized
+    power iteration on the transposed adjacency."""
+    e = tables.uni_edges_directed(spark, sf_dir)
+    return _round6(hits.eigenvector_centrality(e, iters=HITS_ITERS),
+                   "eigen")
+
+
 def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SALSA (Lempel & Moran, WWW'00): random-walk hubs/authorities —
     the TKC-resistant production counterpart of HITS; stochastic, so
@@ -1464,6 +1472,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "katz": _uni(q_katz, oracle.sql_katz(iters=PR_ITERS, mod=m)),
         "betweenness": _uni(q_betweenness, oracle.sql_betweenness(mod=m)),
         "random_walks": _uni(q_random_walks, oracle.sql_random_walks(mod=m)),
+        "eigenvector": _uni(q_eigenvector,
+                            oracle.sql_eigenvector(iters=HITS_ITERS, mod=m)),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(
