@@ -67,3 +67,37 @@ def test_stream_incremental_dedup_microbatch_invariant(spark, sf_small):
         assert s_rows == b_rows and len(s_rows) > 0
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_windowed_approx_distinct_stream_equals_batch_and_is_close(
+        spark, sf_small):
+    """The HLL windowed-distinct sketch: the REAL streaming run equals
+    the batch plan row-for-row (same registers, same estimate), and
+    the estimate lands within the m=16 sketch's error envelope of the
+    exact per-window distinct count."""
+    from pyspark.sql import functions as F
+
+    from ugfraud_spark.sources import tables
+    from ugfraud_spark.streaming import events as se
+
+    ev = tables.load(spark, sf_small, "events")
+    batch = {r["window_start"]: r for r in
+             se.windowed_approx_distinct(ev).collect()}
+    stream = {r["window_start"]: r for r in
+              se.run_stream_approx_distinct(
+                  spark, f"{sf_small}/events.parquet").collect()}
+    assert set(batch) == set(stream)
+    for k in batch:
+        assert batch[k]["n_events"] == stream[k]["n_events"], k
+        assert batch[k]["approx_users"] == stream[k]["approx_users"], k
+
+    exact = {r["window_start"]: r["n"] for r in
+             ev.groupBy(F.window("ts", "60 minutes").alias("w"))
+             .agg(F.count_distinct("user_id").alias("n"))
+             .select(F.col("w.start").cast("string").alias("window_start"),
+                     "n").collect()}
+    assert set(exact) == set(batch)
+    for k, n in exact.items():
+        est = batch[k]["approx_users"]
+        # m=16 HLL: ~26% relative std error; allow a generous 3-sigma
+        assert abs(est - n) <= max(0.8 * n, 4), (k, est, n)

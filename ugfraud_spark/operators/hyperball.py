@@ -40,16 +40,16 @@ HB_ALPHA = 0.673   # HLL bias constant for m = 16
 _REGS = [f"c{j}" for j in range(HB_M)]
 
 
-def _register_init(verts: DataFrame) -> DataFrame:
-    """(id, c0..c15): each vertex's own-hash one-hot register vector.
-
-    bucket/rho come from the md5 hex of the DECIMAL id string (both
-    engines render bigint→string identically); rho's leading-zero-bit
-    count is pure ANSI string math so the oracle can share it verbatim.
-    """
-    h = F.md5(F.col("id").cast("string"))
-    with_h = verts.select("id", h.alias("h")).select(
-        "id",
+def hll_bucket_rho(df: DataFrame, id_col: str = "id",
+                   carry: tuple[str, ...] = ("id",)) -> DataFrame:
+    """(carry..., bucket, rho) from the md5 hex of ``id_col`` rendered
+    as its DECIMAL string (both engines render bigint→string
+    identically); rho's leading-zero-bit count is pure ANSI string
+    math so the oracle can share it verbatim. Shared by the HyperBall
+    register init and the streaming windowed-distinct sketch."""
+    h = F.md5(F.col(id_col).cast("string"))
+    with_h = df.select(*carry, h.alias("h")).select(
+        *carry,
         F.conv(F.substring("h", 1, 1), 16, 10).cast("int").alias("bucket"),
         F.expr("trim(LEADING '0' FROM substring(h, 2, 12))").alias("t"),
     )
@@ -63,7 +63,12 @@ def _register_init(verts: DataFrame) -> DataFrame:
     rho = F.when(F.length("t") == 0, F.lit(49)).otherwise(
         (F.lit(12) - F.length("t")) * 4 + lz4 + 1
     )
-    hb = with_h.select("id", "bucket", rho.alias("rho"))
+    return with_h.select(*carry, "bucket", rho.alias("rho"))
+
+
+def _register_init(verts: DataFrame) -> DataFrame:
+    """(id, c0..c15): each vertex's own-hash one-hot register vector."""
+    hb = hll_bucket_rho(verts, "id", carry=("id",))
     return hb.select(
         "id",
         *[
@@ -121,8 +126,8 @@ def hyperball(edges_ab: DataFrame, t: int = 3) -> DataFrame:
     return state
 
 
-def ball_estimates(registers: DataFrame) -> DataFrame:
-    """(id, ball_est): the HLL estimate read off a register frame —
+def hll_estimate_expr():
+    """The HLL estimate Column read off c0..c15 register columns —
     alpha_16·m²/Z with the linear-counting small-range branch, rounded
     to 6 dp (term order fixed so both engines sum identical doubles)."""
     z = None
@@ -137,7 +142,12 @@ def ball_estimates(registers: DataFrame) -> DataFrame:
         (raw <= F.lit(2.5 * HB_M)) & (v > 0),
         F.lit(float(HB_M)) * F.log(F.lit(float(HB_M)) / v.cast("double")),
     ).otherwise(raw)
-    return registers.select("id", F.round(est, 6).alias("ball_est"))
+    return F.round(est, 6)
+
+
+def ball_estimates(registers: DataFrame) -> DataFrame:
+    """(id, ball_est): the HLL estimate read off a register frame."""
+    return registers.select("id", hll_estimate_expr().alias("ball_est"))
 
 
 def nf_curve(edges_ab: DataFrame, t: int = 3) -> DataFrame:

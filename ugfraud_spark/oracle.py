@@ -1458,6 +1458,40 @@ def sql_windowed_event_stats(minutes: int = 60) -> str:
     )
 
 
+def sql_windowed_approx_distinct(minutes: int = 60, m: int = 16,
+                                 alpha: float = 0.673) -> str:
+    """Mirror of streaming.events.windowed_approx_distinct: the same
+    md5-string register math as the HyperBall oracles, max-merged per
+    tumbling window, same estimator expression — registers and
+    estimate reproduce EXACTLY."""
+    assert minutes == 60, "oracle written for hour windows"
+    lz4 = ("CASE WHEN f = '1' THEN 3 WHEN f IN ('2','3') THEN 2 "
+           "WHEN f IN ('4','5','6','7') THEN 1 ELSE 0 END")
+    regs = ", ".join(
+        f"MAX(CASE WHEN bucket = {j} THEN rho ELSE 0 END) AS c{j}"
+        for j in range(m))
+    ctes = [
+        ("ev",
+         "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS id, "
+         "MD5(CAST(user_id AS VARCHAR)) AS h FROM events"),
+        ("hb",
+         "SELECT id, STRPOS('0123456789abcdef', SUBSTRING(h, 1, 1)) - 1 "
+         "AS bucket, CASE WHEN LENGTH(t) = 0 THEN 49 ELSE "
+         f"(12 - LENGTH(t)) * 4 + {lz4} + 1 END AS rho FROM ("
+         "SELECT id, h, TRIM(LEADING '0' FROM SUBSTRING(h, 2, 12)) AS t, "
+         "SUBSTRING(TRIM(LEADING '0' FROM SUBSTRING(h, 2, 12)), 1, 1) AS f "
+         "FROM ev)"),
+        ("rw",
+         f"SELECT id, COUNT(*) AS n_events, {regs} FROM hb GROUP BY id"),
+        ("est", _hb_est_sql("rw", m, alpha)),
+    ]
+    return _with(
+        ctes,
+        "SELECT r.id AS window_start, r.n_events, "
+        "e.ball_est AS approx_users FROM rw r JOIN est e USING (id)",
+    )
+
+
 def sql_parse_props() -> str:
     return (
         "SELECT event_id, "

@@ -634,6 +634,15 @@ def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                              MIX_RATES, default_rate=MIX_DEFAULT)
 
 
+def q_approx_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL windowed distinct-user sketch executed as a REAL Structured
+    Streaming query — bounded per-window state (16 registers) vs
+    exact-distinct's per-user state; shares the batch oracle because
+    stream/batch equivalence is the checked invariant."""
+    return streaming_events.run_stream_approx_distinct(
+        spark, f"{sf_dir}/events.parquet")
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus distributed Lloyd k-means over the embeddings —
     the trainer the IVF coarse quantizer assumes; exact scaled-int64
@@ -1414,6 +1423,9 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         ),
         "grouped_split": (q_grouped_split, oracle.sql_grouped_split()),
         "kmeans_assign": (q_kmeans_assign, oracle.sql_kmeans_assign()),
+        "approx_distinct_stream": (
+            q_approx_distinct_stream,
+            oracle.sql_windowed_approx_distinct(60)),
         "quality_repetition": (q_quality_repetition,
                                oracle.sql_quality_repetition()),
         "incremental_dedup": (

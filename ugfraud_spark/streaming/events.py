@@ -262,3 +262,75 @@ def run_stream_once(spark: SparkSession, parquet_path: str,
         if tmp_dir is not None:  # drained — the symlink dir is dead weight
             shutil.rmtree(tmp_dir, ignore_errors=True)
     return spark.table(name)
+
+
+def windowed_approx_distinct(events: DataFrame,
+                             minutes: int = 60) -> DataFrame:
+    """(window_start, n_events, approx_users): HLL(m=16) approximate
+    distinct user_id per tumbling window — the streaming-native
+    cardinality sketch. Per-window state is 16 small ints + a count
+    REGARDLESS of user cardinality (exact distinct would hold every
+    user id in state), which is the whole point at 100 TB: the agg is
+    a map-side-combinable MAX over the HyperBall register math
+    (``hyperball.hll_bucket_rho`` — md5 string math both engines share
+    verbatim), so batch and streaming run the identical plan and the
+    DuckDB oracle reproduces registers and estimate EXACTLY."""
+    from ..operators import hyperball as hb
+
+    w = F.window("ts", f"{minutes} minutes")
+    br = hb.hll_bucket_rho(events, "user_id", carry=("ts",))
+    regs = br.groupBy(w.alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            F.max(F.when(F.col("bucket") == j, F.col("rho"))
+                  .otherwise(F.lit(0))).alias(f"c{j}")
+            for j in range(hb.HB_M)
+        ],
+    )
+    return regs.select(
+        F.col("w.start").cast("string").alias("window_start"),
+        "n_events",
+        hb.hll_estimate_expr().alias("approx_users"),
+    )
+
+
+def run_stream_approx_distinct(spark: SparkSession, parquet_path: str,
+                               minutes: int = 60,
+                               watermark: str = "2 hours") -> DataFrame:
+    """The HLL windowed-distinct sketch as a REAL Structured Streaming
+    query (same drain pattern as ``run_stream_once``: file source over
+    a symlink-staged dir, watermark, complete-mode memory sink,
+    ``trigger(availableNow=True)``)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tmp_dir = None
+    if os.path.isfile(parquet_path):
+        tmp_dir = tempfile.mkdtemp(prefix="events_stream_src_")
+        os.symlink(parquet_path,
+                   os.path.join(tmp_dir, os.path.basename(parquet_path)))
+        parquet_path = tmp_dir
+
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(parquet_path)
+        .withWatermark("ts", watermark)
+    )
+    agg = windowed_approx_distinct(src, minutes=minutes)
+    tag = hashlib.md5(parquet_path.encode()).hexdigest()[:10]
+    name = f"events_approx_distinct_{tag}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if tmp_dir is not None:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+    return spark.table(name)
