@@ -101,3 +101,43 @@ def test_windowed_approx_distinct_stream_equals_batch_and_is_close(
         est = batch[k]["approx_users"]
         # m=16 HLL: ~26% relative std error; allow a generous 3-sigma
         assert abs(est - n) <= max(0.8 * n, 4), (k, est, n)
+
+
+def test_attribution_stream_equals_batch_and_known_case(spark, sf_small):
+    """The stream-stream interval join recovers the batch join exactly
+    on the real events table, and a hand-built case pins the window
+    semantics (inclusive bounds, multi-click fan-out, exact-µs gaps)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ugfraud_spark.sources import tables
+    from ugfraud_spark.streaming import events as se
+
+    ev = tables.load(spark, sf_small, "events")
+    batch = {(r["user_id"], r["purchase_id"], r["click_id"], r["gap_us"])
+             for r in se.purchase_attribution(
+                 ev.where(F.col("event_type") == "purchase"),
+                 ev.where(F.col("event_type") == "click")).collect()}
+    stream = {(r["user_id"], r["purchase_id"], r["click_id"], r["gap_us"])
+              for r in se.run_stream_attribution(
+                  spark, f"{sf_small}/events.parquet").collect()}
+    assert batch == stream and len(batch) > 0
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mk = dt.timedelta
+    rows = [
+        (1, t0, 7, "click", 0.0, "{}"),                 # 30:00 before: IN
+        (2, t0 + mk(minutes=29), 7, "click", 0.0, "{}"),  # in window
+        (3, t0 + mk(minutes=30), 7, "purchase", 1.0, "{}"),
+        (4, t0 + mk(minutes=31), 7, "click", 0.0, "{}"),  # after: OUT
+        (5, t0, 8, "click", 0.0, "{}"),                  # other user: OUT
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {(r["purchase_id"], r["click_id"]): r["gap_us"]
+           for r in se.purchase_attribution(
+               df.where(F.col("event_type") == "purchase"),
+               df.where(F.col("event_type") == "click")).collect()}
+    assert got == {(3, 1): 30 * 60 * 1_000_000, (3, 2): 60 * 1_000_000}

@@ -1492,6 +1492,20 @@ def sql_windowed_approx_distinct(minutes: int = 60, m: int = 16,
     )
 
 
+def sql_purchase_attribution(window_minutes: int = 30) -> str:
+    """Mirror of streaming.events.purchase_attribution: inclusive
+    interval join, gap in exact integer microseconds."""
+    return (
+        f"SELECT p.user_id, p.event_id AS purchase_id, "
+        f"c.event_id AS click_id, "
+        f"date_diff('microsecond', c.ts, p.ts) AS gap_us "
+        f"FROM events p JOIN events c ON c.user_id = p.user_id "
+        f"AND p.event_type = 'purchase' AND c.event_type = 'click' "
+        f"AND c.ts <= p.ts "
+        f"AND c.ts >= p.ts - INTERVAL {window_minutes} MINUTE"
+    )
+
+
 def sql_parse_props() -> str:
     return (
         "SELECT event_id, "

@@ -634,6 +634,15 @@ def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                              MIX_RATES, default_rate=MIX_DEFAULT)
 
 
+def q_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution as a REAL stream-stream interval
+    join (two watermarked streams, event-time bound = state expiry);
+    shares the batch oracle because stream/batch equivalence is the
+    checked invariant."""
+    return streaming_events.run_stream_attribution(
+        spark, f"{sf_dir}/events.parquet")
+
+
 def q_approx_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL windowed distinct-user sketch executed as a REAL Structured
     Streaming query — bounded per-window state (16 registers) vs
@@ -1426,6 +1435,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "approx_distinct_stream": (
             q_approx_distinct_stream,
             oracle.sql_windowed_approx_distinct(60)),
+        "attribution_stream": (
+            q_attribution_stream, oracle.sql_purchase_attribution(30)),
         "quality_repetition": (q_quality_repetition,
                                oracle.sql_quality_repetition()),
         "incremental_dedup": (

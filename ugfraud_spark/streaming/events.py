@@ -334,3 +334,87 @@ def run_stream_approx_distinct(spark: SparkSession, parquet_path: str,
         if tmp_dir is not None:
             shutil.rmtree(tmp_dir, ignore_errors=True)
     return spark.table(name)
+
+
+def purchase_attribution(purchases: DataFrame, clicks: DataFrame,
+                         window_minutes: int = 30) -> DataFrame:
+    """(user_id, purchase_id, click_id, gap_us): every click by the
+    same user within ``window_minutes`` BEFORE (inclusive) a purchase —
+    the classic attribution interval join. Works on batch frames or on
+    two watermarked streams (the time-bound condition is exactly what
+    lets Structured Streaming expire join state). The gap is exact
+    integer microseconds (``unix_micros`` both sides — no float
+    timestamp math anywhere)."""
+    # unix_micros needs TIMESTAMP; parquet/createDataFrame yield NTZ.
+    # The cast is wall-clock-preserving under the session's UTC tz.
+    p = purchases.select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+    )
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        [
+            p["user_id"] == c["user_id"],
+            c["c_ts"] <= p["p_ts"],
+            c["c_ts"] >= p["p_ts"] - F.expr(
+                f"INTERVAL {window_minutes} MINUTES"),
+        ],
+    )
+    return joined.select(
+        p["user_id"],
+        "purchase_id",
+        "click_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+
+
+def run_stream_attribution(spark: SparkSession, parquet_path: str,
+                           window_minutes: int = 30,
+                           watermark: str = "2 hours") -> DataFrame:
+    """The attribution join as a REAL stream-stream interval join: two
+    watermarked streams off the same staged source, event-time-bounded
+    inner join (append mode — the bound is what lets Spark expire the
+    click-side state), availableNow drain into a memory sink."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tmp_dir = None
+    if os.path.isfile(parquet_path):
+        tmp_dir = tempfile.mkdtemp(prefix="events_stream_src_")
+        os.symlink(parquet_path,
+                   os.path.join(tmp_dir, os.path.basename(parquet_path)))
+        parquet_path = tmp_dir
+
+    def _side(kind: str) -> DataFrame:
+        return (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .parquet(parquet_path)
+            .where(F.col("event_type") == kind)
+            .withWatermark("ts", watermark)
+        )
+
+    out = purchase_attribution(_side("purchase"), _side("click"),
+                               window_minutes=window_minutes)
+    tag = hashlib.md5(parquet_path.encode()).hexdigest()[:10]
+    name = f"events_attribution_{tag}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if tmp_dir is not None:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+    return spark.table(name)
