@@ -913,3 +913,47 @@ def test_eigenvector_centrality_python_and_numpy(spark):
     p /= np.linalg.norm(p)
     for v in (0, 1, 2):
         assert abs(big[v] - p[v]) < 1e-6, v
+
+
+def test_lpa_modularity_known_partitions(spark):
+    """Two 4-cliques joined by one bridge: LPA finds the two cliques
+    and Q equals the hand-computed integer formula; a clique-free
+    star's trivial single community scores Q = 0 exactly."""
+    from ugfraud_spark.operators import labelprop as lp
+
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a + 10, b + 10) for a, b in c1]
+    edges = c1 + c2 + [(3, 10)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = lp.lpa_modularity(df, iters=4).collect()[0]
+
+    labels = {r["id"]: r["label"] for r in lp.lpa(df, iters=4).collect()}
+    assert len({labels[v] for v in range(4)}) == 1
+    assert len({labels[v + 10] for v in range(4)}) == 1
+    assert labels[0] != labels[10]
+
+    m = len(edges)
+    com = {}
+    for v, l in labels.items():
+        com.setdefault(l, set()).add(v)
+    eset = [(a, b) for a, b in edges]
+    num = 0
+    for members in com.values():
+        ec = sum(1 for a, b in eset if a in members and b in members)
+        dcv = sum(sum(1 for e in eset if v in e) for v in members)
+        num += 4 * m * ec - dcv * dcv
+    assert got["modularity"] == num / (4 * m * m)
+    assert got["n_communities"] == len(com)
+    assert got["m_edges"] == m
+
+    tri = spark.createDataFrame([(0, 1), (1, 2), (0, 2)],
+                                "a long, b long")
+    q0 = lp.lpa_modularity(tri, iters=4).collect()[0]
+    # one community: e_c = m, d_c = 2m -> 4m*m - 4m^2 = 0 exactly
+    assert q0["modularity"] == 0.0 and q0["n_communities"] == 1
+    # known synchronous-LPA artifact, pinned: a star (bipartite)
+    # oscillates hub<->leaves, landing Q = -1/2 at even iters
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)],
+                                 "a long, b long")
+    qs = lp.lpa_modularity(star, iters=4).collect()[0]
+    assert qs["modularity"] == -0.5 and qs["n_communities"] == 2

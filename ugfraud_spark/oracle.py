@@ -185,10 +185,9 @@ def sql_cc_minprop(iters: int = 30, mod: int = UNI_MOD) -> str:
     return _with(ctes, f"SELECT id, lbl AS component FROM c{iters}")
 
 
-def sql_lpa(iters: int = 4, mod: int = UNI_MOD) -> str:
-    """Synchronous label propagation, deterministic tie-break: the new
-    label is the neighbor label with the highest count, ties broken by
-    the smallest label; isolated vertices keep their own."""
+def _lpa_ctes(iters: int, mod: int) -> list[tuple[str, str]]:
+    """The shared LPA register chain behind sql_lpa and
+    sql_lpa_modularity, leaving label frames l0..l{iters}."""
     ctes = [
         ("uni", uni_frag(mod)),
         ("und", UND),
@@ -213,7 +212,48 @@ def sql_lpa(iters: int = 4, mod: int = UNI_MOD) -> str:
                 f") w ON w.id = v.id",
             )
         )
-    return _with(ctes, f"SELECT id, lbl AS label FROM l{iters}")
+    return ctes
+
+
+def sql_lpa(iters: int = 4, mod: int = UNI_MOD) -> str:
+    """Synchronous label propagation, deterministic tie-break: the new
+    label is the neighbor label with the highest count, ties broken by
+    the smallest label; isolated vertices keep their own."""
+    return _with(_lpa_ctes(iters, mod),
+                 f"SELECT id, lbl AS label FROM l{iters}")
+
+
+def sql_lpa_modularity(iters: int = 4, mod: int = UNI_MOD) -> str:
+    """Mirror of labelprop.lpa_modularity: Newman modularity of the LPA
+    communities with the INTEGER-EXACT numerator
+    Σ_c (4m·e_c − d_c²) and one double division by 4m² — no float
+    accumulation, no rounding site (see the engine docstring)."""
+    ctes = _lpa_ctes(iters, mod)
+    ctes += [
+        ("lab", f"SELECT id, lbl AS label FROM l{iters}"),
+        ("m1", "SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und"),
+        ("deg",
+         "SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM "
+         "(SELECT a AS id FROM und UNION ALL SELECT b FROM und) "
+         "GROUP BY id"),
+        ("dc",
+         "SELECT lab.label, SUM(deg.d) AS dc FROM deg "
+         "JOIN lab ON lab.id = deg.id GROUP BY lab.label"),
+        ("ec",
+         "SELECT la.label, CAST(COUNT(*) AS BIGINT) AS ec FROM und "
+         "JOIN lab la ON la.id = und.a JOIN lab lb ON lb.id = und.b "
+         "WHERE la.label = lb.label GROUP BY la.label"),
+        ("num",
+         "SELECT SUM(4 * m1.m * COALESCE(ec.ec, 0) - dc.dc * dc.dc) "
+         "AS num, CAST(COUNT(*) AS BIGINT) AS n_communities "
+         "FROM dc LEFT JOIN ec USING (label) CROSS JOIN m1"),
+    ]
+    return _with(
+        ctes,
+        "SELECT CAST(num.num AS DOUBLE) / "
+        "CAST(4 * m1.m * m1.m AS DOUBLE) AS modularity, "
+        "num.n_communities, m1.m AS m_edges FROM num CROSS JOIN m1",
+    )
 
 
 def sql_triangles(mod: int = UNI_MOD) -> str:

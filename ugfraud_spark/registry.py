@@ -797,6 +797,13 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bw.betweenness(e)
 
 
+def q_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities — integer-exact
+    numerator, one double division, bit-identical across engines."""
+    e = tables.uni_edges_undirected(spark, sf_dir)
+    return labelprop.lpa_modularity(e, iters=LPA_ITERS)
+
+
 def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigenvector centrality (Bonacich in-link prestige): L2-normalized
     power iteration on the transposed adjacency."""
@@ -1497,6 +1504,9 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "random_walks": _uni(q_random_walks, oracle.sql_random_walks(mod=m)),
         "eigenvector": _uni(q_eigenvector,
                             oracle.sql_eigenvector(iters=HITS_ITERS, mod=m)),
+        "lpa_modularity": _uni(
+            q_lpa_modularity,
+            oracle.sql_lpa_modularity(iters=LPA_ITERS, mod=m)),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(
