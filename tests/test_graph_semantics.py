@@ -957,3 +957,33 @@ def test_lpa_modularity_known_partitions(spark):
                                  "a long, b long")
     qs = lp.lpa_modularity(star, iters=4).collect()[0]
     assert qs["modularity"] == -0.5 and qs["n_communities"] == 2
+
+
+def test_pagerank_dangling_mass_conserved_and_python_model(spark):
+    """Google-matrix PageRank on a digraph with two dangling sinks:
+    total rank stays exactly 1 (up to float), matching a python replay;
+    the plain kernel on the same graph leaks the dangling mass."""
+    from ugfraud_spark.operators import pagerank as pr
+
+    edges = [(0, 1), (0, 2), (1, 3), (2, 4)]  # 3 and 4 are dangling
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["value"]
+           for r in pr.pagerank_dangling(df, max_iter=5).state.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+    leaky = {r["id"]: r["value"]
+             for r in pr.pagerank(df, max_iter=5).state.collect()}
+    assert sum(leaky.values()) < 1.0 - 1e-6
+
+    ids = [0, 1, 2, 3, 4]
+    out = {0: 2, 1: 1, 2: 1}
+    n = len(ids)
+    x = {v: 1 / n for v in ids}
+    for _ in range(5):
+        dm = sum(x[v] for v in ids if v not in out)
+        m = {v: 0.0 for v in ids}
+        for s, d2 in edges:
+            m[d2] += x[s] / out[s]
+        x = {v: 0.15 / n + 0.85 * (m[v] + dm / n) for v in ids}
+    for v in ids:
+        assert abs(got[v] - x[v]) < 1e-12, v

@@ -171,6 +171,71 @@ def personalized_pagerank(
     return res
 
 
+def pagerank_dangling(
+    edges: DataFrame,
+    *,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float | None = None,
+    checkpoint_every: int = 1,
+    checkpoint_dir: str | None = None,
+) -> SuperstepResult:
+    """Full Google-matrix PageRank: dangling mass redistributed
+    uniformly instead of dropped —
+
+        r_{t+1}(v) = (1-d)/N + d·[Σ_{(u,v)} r_t(u)/od(u) + D_t/N],
+        D_t = Σ_{dangling u} r_t(u)
+
+    so Σr stays exactly 1 (the ``pagerank`` kernel's documented
+    simplification, closed here as a first-class oracle-gated
+    variant). One extra scalar aggregation per superstep (the dangling
+    mass), carried as a crossJoin'd 1-row frame so the superstep stays
+    lazy — the same trick as the HITS norms."""
+    edges = colocate_edges(edges.select("src", "dst"))
+    base = _vertex_base(edges).persist()
+    n = base.count()
+    teleport = (1.0 - damping) / n
+    state0 = base.withColumn("value", F.lit(1.0 / n))
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        contribs = (
+            edges.join(
+                state.where(F.col("out_deg").isNotNull())
+                .select(F.col("id").alias("src"),
+                        (F.col("value") / F.col("out_deg")).alias("c"))
+                .hint("shuffle_hash"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("mass"))
+        )
+        dang = state.where(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("value"), F.lit(0.0)).alias("dm"))
+        return (
+            base.join(contribs.hint("shuffle_hash"), "id", "left")
+            .crossJoin(dang)
+            .select(
+                "id",
+                "out_deg",
+                (F.lit(teleport) + F.lit(damping)
+                 * (F.coalesce("mass", F.lit(0.0))
+                    + F.col("dm") / F.lit(float(n)))).alias("value"),
+            )
+        )
+
+    res = iterate(
+        state0,
+        step,
+        residual_fn=(None if tol is None else l1_residual),
+        max_iter=max_iter,
+        tol=tol or 0.0,
+        checkpoint_every=checkpoint_every,
+        checkpoint_dir=checkpoint_dir,
+    )
+    res.state = res.state.select("id", "value")
+    return res
+
+
 def katz(
     edges: DataFrame,
     *,

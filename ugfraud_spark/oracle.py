@@ -1913,6 +1913,41 @@ def sql_ppr(iters: int = 5, damping: float = 0.85, seed_mod: int = 97, mod: int 
     return _with(ctes, f"SELECT id, ROUND(pr, 6) AS ppr FROM r{iters}")
 
 
+def sql_pagerank_dangling(iters: int = 5, damping: float = 0.85,
+                          mod: int = UNI_MOD) -> str:
+    """Mirror of pagerank.pagerank_dangling: the dangling mass D_t as
+    a per-iteration scalar CTE, redistributed uniformly — identical
+    expression shape (teleport + d*(mass + D/n))."""
+    d = f"CAST({damping!r} AS DOUBLE)"
+    ctes = [
+        ("uni", uni_frag(mod)),
+        ("v", VERTS),
+        ("od", "SELECT src AS id, COUNT(*) AS out_deg FROM uni GROUP BY src"),
+        ("nn", "SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v"),
+        ("x0", "SELECT v.id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM v, nn"),
+    ]
+    for t in range(1, iters + 1):
+        ctes.append((
+            f"dm{t}",
+            f"SELECT COALESCE(SUM(x.pr), CAST(0.0 AS DOUBLE)) AS dm "
+            f"FROM x{t-1} x LEFT JOIN od ON od.id = x.id "
+            f"WHERE od.id IS NULL",
+        ))
+        ctes.append((
+            f"x{t}",
+            f"SELECT v.id, (CAST(1.0 AS DOUBLE) - {d}) / nn.n "
+            f"+ {d} * (COALESCE(s.mass, CAST(0.0 AS DOUBLE)) "
+            f"+ dm{t}.dm / nn.n) AS pr\n"
+            f"FROM v CROSS JOIN nn CROSS JOIN dm{t} LEFT JOIN (\n"
+            f"  SELECT uni.dst AS id, SUM(x{t-1}.pr / od.out_deg) AS mass\n"
+            f"  FROM uni JOIN x{t-1} ON x{t-1}.id = uni.src "
+            f"JOIN od ON od.id = uni.src GROUP BY uni.dst\n"
+            f") s ON s.id = v.id",
+        ))
+    return _with(
+        ctes, f"SELECT id, ROUND(pr, 6) AS pagerank FROM x{iters}")
+
+
 def sql_spam_mass(iters: int = 5, damping: float = 0.85, k: int = 64,
                   mod: int = UNI_MOD) -> str:
     """Mirror of trustrank.spam_mass: the PageRank chain (a*) and the

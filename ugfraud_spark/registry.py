@@ -797,6 +797,16 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bw.betweenness(e)
 
 
+def q_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Google-matrix PageRank (dangling mass redistributed
+    uniformly) — closes the plain kernel's documented simplification
+    as an oracle-gated variant."""
+    e = tables.uni_edges_directed(spark, sf_dir)
+    res = pagerank.pagerank_dangling(e, max_iter=PR_ITERS)
+    return _round6(res.state.withColumnRenamed("value", "pagerank"),
+                   "pagerank")
+
+
 def q_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the LPA communities — integer-exact
     numerator, one double division, bit-identical across engines."""
@@ -1507,6 +1517,9 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "lpa_modularity": _uni(
             q_lpa_modularity,
             oracle.sql_lpa_modularity(iters=LPA_ITERS, mod=m)),
+        "pagerank_dangling": _uni(
+            q_pagerank_dangling,
+            oracle.sql_pagerank_dangling(iters=PR_ITERS, mod=m)),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(
