@@ -213,3 +213,35 @@ def test_quality_filter_scan_prunes_columns(spark, sf_small):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"doc_id", "text"}, cols
+
+
+def test_grouped_split_plan_is_narrow(spark):
+    """grouped_split must stay a pure narrow projection — no Exchange,
+    no aggregation: the leakage-safe split is per-ROW arithmetic on
+    the group hash, so it runs at scan speed on any corpus size."""
+    from ugfraud_spark.operators import mix
+
+    docs = spark.createDataFrame(
+        [(1, "a.com"), (2, "b.com")], "doc_id long, source string")
+    plan = _plan(mix.grouped_split(docs))
+    assert "Exchange" not in plan, plan
+    assert "Aggregate" not in plan, plan
+
+
+def test_attribution_gap_stays_jvm_side(spark):
+    """The interval-join attribution plan must contain no Python UDF
+    (BatchEvalPython) and no cartesian product — the time bound plus
+    the user_id equi-key keep it a real join."""
+    from ugfraud_spark.streaming import events as se
+
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0), 7, "click"),
+         (2, dt.datetime(2024, 1, 1, 0, 10), 7, "purchase")],
+        "event_id long, ts timestamp, user_id long, event_type string")
+    plan = _plan(se.purchase_attribution(
+        ev.where("event_type = 'purchase'"),
+        ev.where("event_type = 'click'")))
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
