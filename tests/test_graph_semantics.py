@@ -987,3 +987,25 @@ def test_pagerank_dangling_mass_conserved_and_python_model(spark):
         x = {v: 0.15 / n + 0.85 * (m[v] + dm / n) for v in ids}
     for v in ids:
         assert abs(got[v] - x[v]) < 1e-12, v
+
+
+def test_lpa_conductance_known_partitions(spark):
+    """Two 4-cliques + one bridge: each community has cut 1 and volume
+    13 (12 intra degree-ends + 1 bridge end) -> phi = 1/13 exactly; a
+    lone triangle is the whole graph -> phi = 0.0 by definition."""
+    from ugfraud_spark.operators import labelprop as lp
+
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a + 10, b + 10) for a, b in c1]
+    df = spark.createDataFrame(c1 + c2 + [(3, 10)], "a long, b long")
+    got = {r["label"]: r for r in lp.lpa_conductance(df, iters=4).collect()}
+    assert len(got) == 2
+    for r in got.values():
+        assert r["cut_edges"] == 1 and r["volume"] == 13
+        assert r["conductance"] == 1 / 13
+
+    tri = spark.createDataFrame([(0, 1), (1, 2), (0, 2)],
+                                "a long, b long")
+    whole = lp.lpa_conductance(tri, iters=4).collect()
+    assert len(whole) == 1
+    assert whole[0]["cut_edges"] == 0 and whole[0]["conductance"] == 0.0

@@ -109,3 +109,54 @@ def lpa_modularity(edges_ab: DataFrame, iters: int = 4) -> DataFrame:
         "n_communities",
         F.col("m").alias("m_edges"),
     )
+
+
+def lpa_conductance(edges_ab: DataFrame, iters: int = 4) -> DataFrame:
+    """(label, cut_edges, volume, conductance): per-LPA-community
+    conductance φ(c) = cut(c) / min(vol(c), 2m − vol(c)) — the
+    community-quality score bounded-cut spectral theory cares about
+    (low φ = well-separated community).
+
+    Same exactness recipe as ``lpa_modularity``: cut and volume are
+    exact BIGINT counts; φ is ONE double division of two exact ints
+    (deterministic IEEE, not re-rounded). A community equal to the
+    whole graph has no boundary — denominator 0 — and is defined to
+    φ = 0.0 in both engines."""
+    und = edges_ab.select("a", "b")
+    lab = lpa(edges_ab, iters=iters)
+    m1 = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    vol = deg.join(lab, "id").groupBy("label").agg(
+        F.sum("d").alias("volume"))
+    tagged = (
+        und.join(lab.select(F.col("id").alias("a"),
+                            F.col("label").alias("la")), "a")
+        .join(lab.select(F.col("id").alias("b"),
+                         F.col("label").alias("lb")), "b")
+    )
+    # a cut edge leaves each of ITS TWO communities once
+    cut = (
+        tagged.where(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("label"))
+        .unionAll(tagged.where(F.col("la") != F.col("lb"))
+                  .select(F.col("lb").alias("label")))
+        .groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("cut"))
+    )
+    denom = F.least(F.col("volume"),
+                    F.lit(2) * F.col("m") - F.col("volume"))
+    return (
+        vol.join(cut, "label", "left")
+        .crossJoin(m1)
+        .select(
+            "label",
+            F.coalesce("cut", F.lit(0)).cast("long").alias("cut_edges"),
+            "volume",
+            F.when(denom == 0, F.lit(0.0))
+            .otherwise(F.coalesce("cut", F.lit(0)).cast("double")
+                       / denom.cast("double")).alias("conductance"),
+        )
+    )

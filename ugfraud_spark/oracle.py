@@ -256,6 +256,41 @@ def sql_lpa_modularity(iters: int = 4, mod: int = UNI_MOD) -> str:
     )
 
 
+def sql_lpa_conductance(iters: int = 4, mod: int = UNI_MOD) -> str:
+    """Mirror of labelprop.lpa_conductance: exact BIGINT cut/volume per
+    LPA community, ONE double division, whole-graph community → 0.0."""
+    ctes = _lpa_ctes(iters, mod)
+    ctes += [
+        ("lab", f"SELECT id, lbl AS label FROM l{iters}"),
+        ("m1", "SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und"),
+        ("deg",
+         "SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM "
+         "(SELECT a AS id FROM und UNION ALL SELECT b FROM und) "
+         "GROUP BY id"),
+        ("vol",
+         "SELECT lab.label, SUM(deg.d) AS volume FROM deg "
+         "JOIN lab ON lab.id = deg.id GROUP BY lab.label"),
+        ("tg",
+         "SELECT la.label AS la, lb.label AS lb FROM und "
+         "JOIN lab la ON la.id = und.a JOIN lab lb ON lb.id = und.b"),
+        ("cut",
+         "SELECT label, CAST(COUNT(*) AS BIGINT) AS cut FROM ("
+         "SELECT la AS label FROM tg WHERE la <> lb "
+         "UNION ALL SELECT lb FROM tg WHERE la <> lb) GROUP BY label"),
+    ]
+    return _with(
+        ctes,
+        "SELECT vol.label, CAST(COALESCE(cut.cut, 0) AS BIGINT) "
+        "AS cut_edges, vol.volume, "
+        "CASE WHEN LEAST(vol.volume, 2 * m1.m - vol.volume) = 0 "
+        "THEN CAST(0.0 AS DOUBLE) ELSE "
+        "CAST(COALESCE(cut.cut, 0) AS DOUBLE) / "
+        "CAST(LEAST(vol.volume, 2 * m1.m - vol.volume) AS DOUBLE) END "
+        "AS conductance "
+        "FROM vol LEFT JOIN cut USING (label) CROSS JOIN m1",
+    )
+
+
 def sql_triangles(mod: int = UNI_MOD) -> str:
     """Per-vertex triangle counts over the canonical undirected edges
     (each triangle a<b<c enumerated once)."""

@@ -797,6 +797,13 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bw.betweenness(e)
 
 
+def q_lpa_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LPA-community conductance — exact integer cut/volume, one
+    double division, whole-graph community defined to 0.0."""
+    e = tables.uni_edges_undirected(spark, sf_dir)
+    return labelprop.lpa_conductance(e, iters=LPA_ITERS)
+
+
 def q_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Google-matrix PageRank (dangling mass redistributed
     uniformly) — closes the plain kernel's documented simplification
@@ -1520,6 +1527,9 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "pagerank_dangling": _uni(
             q_pagerank_dangling,
             oracle.sql_pagerank_dangling(iters=PR_ITERS, mod=m)),
+        "lpa_conductance": _uni(
+            q_lpa_conductance,
+            oracle.sql_lpa_conductance(iters=LPA_ITERS, mod=m)),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(
