@@ -5,6 +5,7 @@ these prove the kernels compute the right *mathematical* object."""
 
 from __future__ import annotations
 
+import math
 from collections import defaultdict
 
 import numpy as np
@@ -1009,3 +1010,29 @@ def test_lpa_conductance_known_partitions(spark):
     whole = lp.lpa_conductance(tri, iters=4).collect()
     assert len(whole) == 1
     assert whole[0]["cut_edges"] == 0 and whole[0]["conductance"] == 0.0
+
+
+def test_adamic_adar_and_jaccard_known_graph(spark):
+    """10→{0,1}, 11→{0,1}, 12→{0,1,2}, 13→{0}: AA(0,1) sums two
+    1/ln2 wedges and one 1/ln3 (the od-1 source 13 contributes no
+    wedge and no weight); Jaccard counts 13 in the union for pairs
+    touching 0. With max_out=2 the od-3 source drops from BOTH the
+    wedge and the in-degree counts."""
+    e = spark.createDataFrame(
+        [(10, 0), (10, 1), (11, 0), (11, 1),
+         (12, 0), (12, 1), (12, 2), (13, 0)],
+        "src long, dst long")
+    w2, w3 = round(1 / math.log(2), 6), round(1 / math.log(3), 6)
+    aa = {(r["a"], r["b"]): r["aa_score"]
+          for r in triangles.adamic_adar(e).collect()}
+    assert aa == {(0, 1): round(2 * w2 + w3, 6),
+                  (0, 2): w3, (1, 2): w3}
+    jac = {(r["a"], r["b"]): (r["n_common"], r["jaccard"])
+           for r in triangles.jaccard_inlinks(e).collect()}
+    # in(0) = {10,11,12,13}, in(1) = {10,11,12}, in(2) = {12}
+    assert jac == {(0, 1): (3, 3 / 4), (0, 2): (1, 1 / 4),
+                   (1, 2): (1, 1 / 3)}
+    capped = {(r["a"], r["b"]): (r["n_common"], r["jaccard"])
+              for r in triangles.jaccard_inlinks(e, max_out=2).collect()}
+    # source 12 gone everywhere: in(0) = {10,11,13}, in(1) = {10,11}
+    assert capped == {(0, 1): (2, 2 / 3)}

@@ -301,3 +301,104 @@ def cocitation(edges_dir: DataFrame,
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+
+
+def aa_weight_rows(max_out: int = COCITE_MAX_OUT) -> list:
+    """(od, weight) literal pairs for the Adamic–Adar weight 1/ln(od),
+    od in 2..max_out, rounded to 6 dp ON THE DRIVER. Both the engine
+    (a broadcast dim table) and the DuckDB oracle (a VALUES list)
+    consume these same constants, so neither engine ever evaluates a
+    transcendental — ln() is only within-1-ulp-accurate and NOT
+    guaranteed identically rounded across libm implementations, which
+    would make a cross-engine ROUND(1/LN(od), 6) a latent tie bomb.
+    The dim table is O(max_out) rows: broadcast for free at any scale."""
+    import math
+
+    return [(d, format(round(1.0 / math.log(d), 6), ".6f"))
+            for d in range(2, max_out + 1)]
+
+
+def adamic_adar(edges_dir: DataFrame,
+                max_out: int = COCITE_MAX_OUT) -> DataFrame:
+    """(a, b, aa_score) with a < b: Adamic–Adar link prediction on the
+    directed web graph — each common citing source s contributes
+    1/ln(od(s)) (Adamic & Adar, Social Networks 2003), the classic
+    midpoint between raw co-citation (weight 1) and Resource
+    Allocation (weight 1/od). Completes the common-neighbor family
+    alongside ``cocitation``/``resource_allocation``/
+    ``jaccard_inlinks``.
+
+    Scale shape is ``resource_allocation``'s exactly: out-degree cap
+    BEFORE the wedge self-join (quadratic-skew guard, oracle applies
+    the identical cut), map-side-combined (a, b) groupBy. Sources with
+    od = 1 can't form a wedge and are dropped by the weight join
+    (1/ln(1) is undefined anyway). Float discipline: weights are exact
+    6-dp decimal LITERALS from ``aa_weight_rows`` (no engine-side ln),
+    summed as DECIMAL(28,6) — associative, partitioning-independent —
+    and cast to double once, zero rounding sites."""
+    from decimal import Decimal
+
+    spark = edges_dir.sparkSession
+    wtab = spark.createDataFrame(
+        [(d, Decimal(w)) for d, w in aa_weight_rows(max_out)],
+        "od BIGINT, w DECIMAL(28,6)")
+    deg = edges_dir.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    e = (
+        edges_dir.join(deg, "src")
+        .join(F.broadcast(wtab), "od")
+        .select("src", "dst", "w")
+    )
+    l, r = e.alias("l"), e.alias("r")
+    return (
+        l.join(r, (F.col("l.src") == F.col("r.src"))
+               & (F.col("l.dst") < F.col("r.dst")))
+        .select(F.col("l.dst").alias("a"), F.col("r.dst").alias("b"),
+                F.col("l.w").alias("w"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("double").alias("aa_score"))
+    )
+
+
+def jaccard_inlinks(edges_dir: DataFrame,
+                    max_out: int = COCITE_MAX_OUT) -> DataFrame:
+    """(a, b, n_common, jaccard) with a < b: Jaccard similarity of
+    in-link sets — |in(a) ∩ in(b)| / |in(a) ∪ in(b)| over the capped
+    subgraph (sources with out-degree ≤ ``max_out``; the cap must gate
+    the DEGREES too, not just the wedge join, or the union term counts
+    sources the intersection can never see and the score stops being a
+    Jaccard). The common-neighbor family's normalized member: raw
+    co-citation rewards popularity, Jaccard rewards exclusivity.
+
+    Exactness: intersection and union sizes are exact BIGINTs from the
+    same capped edge frame, closed with ONE double division
+    n_common / (da + db − n_common) — a single IEEE op on
+    exactly-representable integers, bit-identical across engines, no
+    rounding site. Scale shape: one wedge self-join (capped) + two
+    broadcast-size joins against the in-degree table."""
+    ok_src = (
+        edges_dir.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .where(F.col("od") <= max_out)
+        .select("src")
+    )
+    e = edges_dir.join(ok_src, "src", "left_semi").select("src", "dst")
+    ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    l, r = e.alias("l"), e.alias("r")
+    cn = (
+        l.join(r, (F.col("l.src") == F.col("r.src"))
+               & (F.col("l.dst") < F.col("r.dst")))
+        .select(F.col("l.dst").alias("a"), F.col("r.dst").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ia = ind.select(F.col("dst").alias("a"), F.col("d").alias("da"))
+    ib = ind.select(F.col("dst").alias("b"), F.col("d").alias("db"))
+    return (
+        cn.join(ia, "a").join(ib, "b")
+        .select(
+            "a", "b", "n_common",
+            (F.col("n_common")
+             / (F.col("da") + F.col("db") - F.col("n_common")))
+            .alias("jaccard"),
+        )
+    )

@@ -530,6 +530,55 @@ def sql_resource_allocation(max_out: int | None = None,
     )
 
 
+def sql_adamic_adar(max_out: int | None = None, mod: int = UNI_MOD) -> str:
+    """Mirror of triangles.adamic_adar: the SAME driver-computed 6-dp
+    weight literals (aa_weight_rows) as a VALUES dim table — neither
+    engine evaluates ln() — exact decimal sum, one cast to double."""
+    from .operators.triangles import COCITE_MAX_OUT, aa_weight_rows
+
+    if max_out is None:
+        max_out = COCITE_MAX_OUT
+    vals = ", ".join(f"({d}, CAST({w} AS DECIMAL(28,6)))"
+                     for d, w in aa_weight_rows(max_out))
+    return _with(
+        [("uni", uni_frag(mod)),
+         ("wt", f"SELECT * FROM (VALUES {vals}) AS t(od, w)"),
+         ("dg", "SELECT src, COUNT(*) AS od FROM uni GROUP BY src"),
+         ("e",
+          "SELECT u.src, u.dst, wt.w FROM uni u "
+          "JOIN dg USING (src) JOIN wt USING (od)")],
+        "SELECT l.dst AS a, r.dst AS b, CAST(SUM(l.w) AS DOUBLE) "
+        "AS aa_score FROM e l JOIN e r "
+        "ON l.src = r.src AND l.dst < r.dst GROUP BY 1, 2",
+    )
+
+
+def sql_jaccard_inlinks(max_out: int | None = None,
+                        mod: int = UNI_MOD) -> str:
+    """Mirror of triangles.jaccard_inlinks: identical out-degree cap
+    gating BOTH the wedge join and the in-degree counts, exact BIGINT
+    intersection/union, one integer→double division."""
+    if max_out is None:
+        from .operators.triangles import COCITE_MAX_OUT
+        max_out = COCITE_MAX_OUT
+    return _with(
+        [("uni", uni_frag(mod)),
+         ("ok",
+          f"SELECT src FROM uni GROUP BY src "
+          f"HAVING COUNT(*) <= {max_out}"),
+         ("e", "SELECT u.src, u.dst FROM uni u JOIN ok USING (src)"),
+         ("ind", "SELECT dst, COUNT(*) AS d FROM e GROUP BY dst"),
+         ("cn",
+          "SELECT l.dst AS a, r.dst AS b, CAST(COUNT(*) AS BIGINT) "
+          "AS n_common FROM e l JOIN e r "
+          "ON l.src = r.src AND l.dst < r.dst GROUP BY 1, 2")],
+        "SELECT cn.a, cn.b, cn.n_common, "
+        "cn.n_common / (ia.d + ib.d - cn.n_common) AS jaccard "
+        "FROM cn JOIN ind ia ON ia.dst = cn.a "
+        "JOIN ind ib ON ib.dst = cn.b",
+    )
+
+
 def sql_ktruss(k: int = 4, rounds: int = 6, mod: int = UNI_MOD) -> str:
     """Unrolled k-truss peeling: ``rounds`` fixed iterations of
     (triangle support over remaining edges → drop support < k-2).

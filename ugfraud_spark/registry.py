@@ -960,6 +960,21 @@ def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.uni_edges_directed(spark, sf_dir))
 
 
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar 2003): co-citation
+    wedge weighted 1/ln(out-degree) — weights are driver-computed 6-dp
+    decimal literals broadcast as a dim table, so neither engine
+    evaluates a transcendental."""
+    return triangles.adamic_adar(tables.uni_edges_directed(spark, sf_dir))
+
+
+def q_jaccard_inlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard similarity of in-link sets: exact BIGINT
+    intersection/union over the capped subgraph, one double division."""
+    return triangles.jaccard_inlinks(
+        tables.uni_edges_directed(spark, sf_dir))
+
+
 def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host quotient graph: page-level directed edges collapsed onto
     host buckets (one map-side-combined groupBy; output bounded by
@@ -1505,6 +1520,9 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "bibliographic_coupling": _uni(
             q_bibliographic_coupling,
             oracle.sql_bibliographic_coupling(mod=m)),
+        "adamic_adar": _uni(q_adamic_adar, oracle.sql_adamic_adar(mod=m)),
+        "jaccard_inlinks": _uni(q_jaccard_inlinks,
+                                oracle.sql_jaccard_inlinks(mod=m)),
         "bowtie": _uni(q_bowtie, oracle.sql_bowtie(mod=m)),
         "quality_filter_stream": (q_quality_filter_stream,
                                   oracle.sql_quality_filter()),
