@@ -1036,3 +1036,86 @@ def test_adamic_adar_and_jaccard_known_graph(spark):
               for r in triangles.jaccard_inlinks(e, max_out=2).collect()}
     # source 12 gone everywhere: in(0) = {10,11,13}, in(1) = {10,11}
     assert capped == {(0, 1): (2, 2 / 3)}
+
+
+def test_node2vec_walks_structure_and_replay(spark):
+    """Full corpus equals an independent python replay of the
+    second-order rule (ranked adjacency, CASE weight, cumulative-slot
+    integer draw); every consecutive pair is a real edge; dead ends
+    truncate; non-integer weights are rejected."""
+    from ugfraud_spark.operators import walks as wk
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (3, 4), (1, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = wk.node2vec_walks(df, n_walks=3, length=5).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+
+    adj, eset = {}, set(edges)
+    for s, d in sorted(edges):
+        adj.setdefault(s, []).append(d)
+
+    def scramble(h):
+        return (((h % wk.WALK_P) * wk.WALK_A + wk.WALK_B) % wk.WALK_P)
+
+    w_ret, w_adj, w_out = 1, 4, 16
+    want = {}
+    for start in adj:
+        for w in range(3):
+            wid = start * 3 + w
+            prev, cur, path = None, start, {0: start}
+            for t in range(1, 6):
+                if cur not in adj:
+                    break
+                nbrs = sorted(adj[cur])
+                h = scramble(cur * wk.WALK_A + wid * wk.WALK_B
+                             + t * wk.WALK_C + 1)
+                if t == 1:
+                    nxt = nbrs[h % len(nbrs)]
+                else:
+                    wts = [w_ret if x == prev
+                           else (w_adj if (prev, x) in eset else w_out)
+                           for x in nbrs]
+                    r, cum = h % sum(wts), 0
+                    for x, wt in zip(nbrs, wts):
+                        cum += wt
+                        if r < cum:
+                            nxt = x
+                            break
+                prev, cur = cur, nxt
+                path[t] = cur
+            want[wid] = path
+    assert got == want
+    for path in got.values():
+        for t in range(1, max(path) + 1):
+            if t in path:
+                assert (path[t - 1], path[t]) in eset
+    with pytest.raises(ValueError, match="integer"):
+        wk.node2vec_walks(df, w_adj=4.0)
+
+
+def test_node2vec_bias_frequencies(spark):
+    """Semantic (non-parity) claim — the §32 guard: pick frequencies
+    are proportional to the bias weights. For walks that step 0→1,
+    the step-2 candidates from 1 with prev=0 are 0 (return, w=1),
+    2 (adjacent to 0, w=4), 3 (far, w=16): pick fractions must sit
+    near 1/21, 4/21, 16/21 — which parity alone could not distinguish
+    from a degenerate draw."""
+    from collections import Counter
+
+    from ugfraud_spark.operators import walks as wk
+
+    edges = [(0, 1), (0, 2), (1, 0), (1, 2), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = wk.node2vec_walks(df, n_walks=840, length=2).collect()
+    via1 = {r["walk_id"] for r in rows
+            if r["step"] == 1 and r["vertex"] == 1}
+    n = len(via1)
+    assert 300 <= n <= 540  # step-1 uniform pick over {1, 2}
+    second = Counter(r["vertex"] for r in rows
+                     if r["step"] == 2 and r["walk_id"] in via1)
+    assert sum(second.values()) == n
+    assert 0.01 <= second[0] / n <= 0.10   # weight 1/21  ~ 0.048
+    assert 0.10 <= second[2] / n <= 0.30   # weight 4/21  ~ 0.190
+    assert 0.65 <= second[3] / n <= 0.85   # weight 16/21 ~ 0.762

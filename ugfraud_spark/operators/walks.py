@@ -104,3 +104,112 @@ def random_walks(edges: DataFrame, n_walks: int = 2,
             state.select("walk_id", F.lit(t).alias("step"),
                          F.col("cur").alias("vertex")))
     return out
+
+
+def node2vec_walks(edges: DataFrame, n_walks: int = 2, length: int = 4,
+                   seed: int = 1, w_ret: int = 1, w_adj: int = 4,
+                   w_out: int = 16) -> DataFrame:
+    """Second-order biased walks (node2vec; Grover & Leskovec, KDD'16):
+    (walk_id, step, vertex) where step t ≥ 2 picks the next out-neighbor
+    x of ``cur`` with weight
+
+        w_ret  if x == prev              (node2vec α = 1/p, d(prev,x)=0)
+        w_adj  if edge prev→x exists     (α = 1,   d=1)
+        w_out  otherwise                 (α = 1/q, d=2)
+
+    i.e. p = w_adj/w_ret and q = w_adj/w_out — the defaults (1, 4, 16)
+    are p=4, q=1/4: exploration-leaning (DFS-ish). Weights are INTEGERS
+    by contract: the weighted draw is "r = hash mod Σw lands in x's
+    cumulative slot", pure 64-bit integer math — exact, reproducible,
+    and replayable by the DuckDB oracle, where the float alternative
+    (exponential clocks, -ln(u)/w) would hit the cross-engine
+    transcendental problem. Step 1 has no ``prev`` and is the uniform
+    first-order pick, bit-identical to ``random_walks``'s step 1.
+
+    Distribution shape per step: state ⋈ out-adjacency (fan-out Σ
+    od(cur), the same cardinality any gather takes), one LEFT join
+    against the edge set keyed (prev, x) for the d=1 test, and a
+    per-walk window (partitioned by walk_id, bounded by max out-degree
+    — never global) for the cumulative slot. The d=1 test uses the
+    DIRECTED edge prev→x, the natural reading on a web graph. The §32
+    shared-formula caveat applies: parity proves the decomposition, so
+    the bias semantics get their own property test (pick frequencies
+    proportional to weights)."""
+    for w in (w_ret, w_adj, w_out):
+        if not isinstance(w, int) or w <= 0:
+            raise ValueError("node2vec_walks: weights must be positive "
+                             "integers (the draw is integer-exact)")
+    e = edges.select("src", "dst")
+    w_src = Window.partitionBy("src").orderBy("dst")
+    nbr = (
+        e.select("src", "dst",
+                 (F.row_number().over(w_src) - 1).alias("idx"))
+        .repartition("src")
+        .persist()
+    )
+    outd = nbr.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+
+    starts = (
+        nbr.select("src").distinct()
+        .select(
+            F.col("src").alias("cur"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("w"),
+        )
+        .select((F.col("cur") * n_walks + F.col("w")).alias("walk_id"),
+                "cur")
+    )
+    out = starts.select("walk_id", F.lit(0).alias("step"),
+                        F.col("cur").alias("vertex"))
+
+    def _hash(t: int):
+        h = (
+            F.col("cur") * F.lit(WALK_A)
+            + F.col("walk_id") * F.lit(WALK_B)
+            + F.lit(t * WALK_C + seed)
+        ) % F.lit(WALK_P)
+        return (h * F.lit(WALK_A) + F.lit(WALK_B)) % F.lit(WALK_P)
+
+    # step 1: uniform, no prev — random_walks' formula verbatim
+    state = (
+        starts.join(outd.withColumnRenamed("src", "cur")
+                    .hint("shuffle_hash"), "cur")
+        .select("walk_id", "cur", (_hash(1) % F.col("od")).alias("pick"))
+        .join(nbr.select(F.col("src").alias("cur"),
+                         F.col("idx").alias("pick"),
+                         F.col("dst").alias("nxt")), ["cur", "pick"])
+        .select("walk_id", F.col("cur").alias("prev"),
+                F.col("nxt").alias("cur"))
+    ).localCheckpoint(eager=True)
+    out = out.unionAll(state.select("walk_id", F.lit(1).alias("step"),
+                                    F.col("cur").alias("vertex")))
+
+    adj = e.select(F.col("src").alias("prev"), F.col("dst").alias("x"),
+                   F.lit(1).alias("is_adj"))
+    w_walk = Window.partitionBy("walk_id").orderBy("idx")
+    for t in range(2, length + 1):
+        cand = (
+            state.join(nbr.select(F.col("src").alias("cur"), "idx",
+                                  F.col("dst").alias("x")), "cur")
+            .join(adj, ["prev", "x"], "left")
+            .select(
+                "walk_id", "prev", "cur", "idx", "x",
+                F.when(F.col("x") == F.col("prev"), F.lit(w_ret))
+                .when(F.col("is_adj").isNotNull(), F.lit(w_adj))
+                .otherwise(F.lit(w_out)).alias("wt"),
+            )
+        )
+        cum = F.sum("wt").over(
+            w_walk.rowsBetween(Window.unboundedPreceding, 0))
+        tot = F.sum("wt").over(Window.partitionBy("walk_id"))
+        r = _hash(t) % tot
+        state = (
+            cand.select("walk_id", "cur", "x", "wt",
+                        cum.alias("cum"), r.alias("r"))
+            .where((F.col("cum") - F.col("wt") <= F.col("r"))
+                   & (F.col("r") < F.col("cum")))
+            .select("walk_id", F.col("cur").alias("prev"),
+                    F.col("x").alias("cur"))
+        ).localCheckpoint(eager=True)
+        out = out.unionAll(state.select("walk_id", F.lit(t).alias("step"),
+                                        F.col("cur").alias("vertex")))
+    return out

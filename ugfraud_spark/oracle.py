@@ -1758,6 +1758,63 @@ def sql_random_walks(n_walks: int = 2, length: int = 4, seed: int = 1,
     return _with(ctes, unions)
 
 
+def sql_node2vec_walks(n_walks: int = 2, length: int = 4, seed: int = 1,
+                       w_ret: int = 1, w_adj: int = 4, w_out: int = 16,
+                       mod: int = UNI_MOD) -> str:
+    """Mirror of walks.node2vec_walks: uniform hash pick at step 1,
+    then per unrolled step the candidate fan-out with the CASE weight
+    (return / directed-adjacent / far), per-walk cumulative-slot
+    window, and the same scrambled counter hash mod Σw. Shares the
+    engine's formula (§32 caveat) — the bias SEMANTICS are pinned by
+    walks' own frequency property test."""
+    from .operators.walks import WALK_A, WALK_B, WALK_C, WALK_P
+
+    def h(t: int) -> str:
+        return (f"((((cur * {WALK_A} + walk_id * {WALK_B} "
+                f"+ {t * WALK_C + seed}) % {WALK_P}) * {WALK_A} "
+                f"+ {WALK_B}) % {WALK_P})")
+
+    ctes = [
+        ("uni", uni_frag(mod)),
+        ("nbr",
+         "SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src "
+         "ORDER BY dst) - 1 AS idx FROM uni"),
+        ("od", "SELECT src, COUNT(*) AS od FROM uni GROUP BY src"),
+        ("s0",
+         f"SELECT s.src * {n_walks} + w.w AS walk_id, s.src AS cur "
+         f"FROM (SELECT DISTINCT src FROM uni) s CROSS JOIN "
+         f"(SELECT UNNEST(generate_series(0, {n_walks - 1})) AS w) w"),
+        ("s1",
+         f"SELECT s.walk_id, s.cur AS prev, n.dst AS cur FROM s0 s "
+         f"JOIN od ON od.src = s.cur "
+         f"JOIN nbr n ON n.src = s.cur AND n.idx = {h(1)} % od.od"),
+    ]
+    for t in range(2, length + 1):
+        ctes.append((
+            f"c{t}",
+            f"SELECT s.walk_id, s.cur, n.idx, n.dst AS x,\n"
+            f"  CASE WHEN n.dst = s.prev THEN {w_ret}\n"
+            f"       WHEN e2.src IS NOT NULL THEN {w_adj}\n"
+            f"       ELSE {w_out} END AS wt\n"
+            f"FROM s{t-1} s JOIN nbr n ON n.src = s.cur\n"
+            f"LEFT JOIN uni e2 ON e2.src = s.prev AND e2.dst = n.dst",
+        ))
+        ctes.append((
+            f"s{t}",
+            f"SELECT walk_id, cur AS prev, x AS cur FROM (\n"
+            f"  SELECT walk_id, cur, x, wt,\n"
+            f"    SUM(wt) OVER (PARTITION BY walk_id ORDER BY idx\n"
+            f"      ROWS UNBOUNDED PRECEDING) AS cum,\n"
+            f"    {h(t)} % SUM(wt) OVER (PARTITION BY walk_id) AS r\n"
+            f"  FROM c{t})\n"
+            f"WHERE cum - wt <= r AND r < cum",
+        ))
+    unions = ["SELECT walk_id, 0 AS step, cur AS vertex FROM s0"]
+    unions += [f"SELECT walk_id, {t} AS step, cur AS vertex FROM s{t}"
+               for t in range(1, length + 1)]
+    return _with(ctes, " UNION ALL ".join(unions))
+
+
 def sql_betweenness(k: int = 8, depth: int = 5, mod: int = UNI_MOD) -> str:
     """Mirror of betweenness.betweenness: k smallest out-degree>0 ids
     as pivots, forward path-count BFS unrolled ``depth`` rounds

@@ -787,6 +787,16 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walks.random_walks(e)
 
 
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec corpus: second-order biased walks with integer bias
+    weights (p=4, q=1/4 defaults) — the weighted draw is an exact
+    integer cumulative-slot pick, reproducible and oracle-replayable."""
+    from .operators import walks
+
+    e = tables.uni_edges_directed(spark, sf_dir)
+    return walks.node2vec_walks(e)
+
+
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate betweenness (Brandes–Pich pivot estimator,
     depth-truncated): summed dependency sweeps from the k smallest
@@ -1537,6 +1547,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "katz": _uni(q_katz, oracle.sql_katz(iters=PR_ITERS, mod=m)),
         "betweenness": _uni(q_betweenness, oracle.sql_betweenness(mod=m)),
         "random_walks": _uni(q_random_walks, oracle.sql_random_walks(mod=m)),
+        "node2vec_walks": _uni(q_node2vec_walks,
+                               oracle.sql_node2vec_walks(mod=m)),
         "eigenvector": _uni(q_eigenvector,
                             oracle.sql_eigenvector(iters=HITS_ITERS, mod=m)),
         "lpa_modularity": _uni(
