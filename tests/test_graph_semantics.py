@@ -1119,3 +1119,32 @@ def test_node2vec_bias_frequencies(spark):
     assert 0.01 <= second[0] / n <= 0.10   # weight 1/21  ~ 0.048
     assert 0.10 <= second[2] / n <= 0.30   # weight 4/21  ~ 0.190
     assert 0.65 <= second[3] / n <= 0.85   # weight 16/21 ~ 0.762
+
+
+def test_negative_samples_semantics(spark):
+    """Semantic claims (the oracle shares the formula): no emitted
+    pair is a true edge or a self-pair, every dst is a real vertex,
+    at most k per source ranked 1..k contiguously, deterministic
+    across re-runs, and on a sparse graph most sources fill all k."""
+    from ugfraud_spark.operators import walks as wk
+
+    edges = [(s, (s * 7 + o) % 50) for s in range(40) for o in (1, 2, 3)
+             if s != (s * 7 + o) % 50]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = wk.negative_samples(df, k=3).collect()
+    eset = set(edges)
+    verts = {v for e in edges for v in e}
+    per_src = defaultdict(list)
+    for r in rows:
+        assert (r["src"], r["dst"]) not in eset
+        assert r["dst"] != r["src"]
+        assert r["dst"] in verts
+        per_src[r["src"]].append(r["neg_rank"])
+    assert set(per_src) <= {s for s, _ in edges}
+    for s, ranks in per_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+    filled = sum(1 for v in per_src.values() if len(v) == 3)
+    assert filled >= 0.9 * len(per_src)
+    again = wk.negative_samples(df, k=3).collect()
+    assert {tuple(r) for r in rows} == {tuple(r) for r in again}

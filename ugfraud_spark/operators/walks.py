@@ -213,3 +213,62 @@ def node2vec_walks(edges: DataFrame, n_walks: int = 2, length: int = 4,
         out = out.unionAll(state.select("walk_id", F.lit(t).alias("step"),
                                         F.col("cur").alias("vertex")))
     return out
+
+
+def negative_samples(edges: DataFrame, k: int = 3, oversample: int = 4,
+                     seed: int = 7) -> DataFrame:
+    """(src, dst, neg_rank): for every vertex with an out-edge, up to
+    ``k`` deterministic NEGATIVE examples — vertices it does NOT link
+    to — for contrastive link-prediction training (the corruption step
+    of skip-gram negative sampling / margin losses, done once as data
+    prep instead of per-batch).
+
+    Distributed shape: proposal j ∈ [0, k·oversample) for source s is
+    the counter hash scramble(s·A + j·B + seed) mod lim, where lim =
+    max vertex id + 1 (one scalar aggregate, carried as a crossJoin'd
+    1-row frame so the plan stays lazy — the HITS-norm trick). A
+    proposal survives if it is a REAL vertex (semi-join against the
+    vertex set — the id space has holes), isn't s itself, and isn't a
+    true edge (anti-join on (src, dst)); the first k survivors by
+    proposal order are kept via a per-src window bounded by
+    k·oversample — never global. Every check is a key-partitioned join
+    against data that is already shuffled on that key at training
+    scale; nothing is collected.
+
+    Deterministic in (edges, k, oversample, seed): re-runs and
+    backfills emit identical negatives (the same reproducibility
+    contract as ``random_walks``). Sources adjacent to almost the
+    whole graph may yield fewer than k rows — oversample bounds that
+    loss instead of looping. lim must stay < 2^31−1 per id-namespace
+    fold (holds by construction for the mod-folded tables)."""
+    e = edges.select("src", "dst")
+    verts = (e.select(F.col("src").alias("id"))
+             .union(e.select(F.col("dst").alias("id"))).distinct())
+    lim = verts.agg((F.max("id") + 1).alias("lim"))
+    m = k * oversample
+    props = (
+        e.select("src").distinct()
+        .crossJoin(F.broadcast(lim))
+        .select(
+            "src",
+            # long-typed sequence: the hash multiply needs 64-bit
+            F.explode(F.sequence(F.lit(0).cast("long"),
+                                 F.lit(m - 1).cast("long"))).alias("j"),
+            "lim",
+        )
+    )
+    h = (F.col("src") * F.lit(WALK_A) + F.col("j") * F.lit(WALK_B)
+         + F.lit(seed)) % F.lit(WALK_P)
+    h = (h * F.lit(WALK_A) + F.lit(WALK_B)) % F.lit(WALK_P)
+    cand = (
+        props.select("src", "j", (h % F.col("lim")).alias("dst"))
+        .where(F.col("dst") != F.col("src"))
+        .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .join(e, ["src", "dst"], "left_anti")
+    )
+    w_src = Window.partitionBy("src").orderBy("j")
+    return (
+        cand.select("src", "dst",
+                    F.row_number().over(w_src).alias("neg_rank"))
+        .where(F.col("neg_rank") <= k)
+    )

@@ -1815,6 +1815,42 @@ def sql_node2vec_walks(n_walks: int = 2, length: int = 4, seed: int = 1,
     return _with(ctes, " UNION ALL ".join(unions))
 
 
+def sql_negative_samples(k: int = 3, oversample: int = 4, seed: int = 7,
+                         mod: int = UNI_MOD) -> str:
+    """Mirror of walks.negative_samples: same counter-hash proposals
+    mod (max id + 1), vertex semi-join, edge anti-join, first-k-by-j
+    window. Shares the formula (§32) — the 'negatives are never true
+    edges / deterministic replay' semantics are pinned by the
+    operator's own tests."""
+    from .operators.walks import WALK_A, WALK_B, WALK_P
+
+    m = k * oversample
+    return _with(
+        [("uni", uni_frag(mod)),
+         ("v", VERTS),
+         ("lim", "SELECT MAX(id) + 1 AS lim FROM v"),
+         ("props",
+          f"SELECT s.src, j.j, lim.lim FROM "
+          f"(SELECT DISTINCT src FROM uni) s CROSS JOIN "
+          f"(SELECT UNNEST(generate_series(0, {m - 1})) AS j) j "
+          f"CROSS JOIN lim"),
+         ("cand",
+          f"SELECT src, j, (((src * {WALK_A} + j * {WALK_B} + {seed}) "
+          f"% {WALK_P}) * {WALK_A} + {WALK_B}) % {WALK_P} % lim AS dst "
+          f"FROM props"),
+         ("ok",
+          "SELECT c.src, c.j, c.dst FROM cand c "
+          "JOIN v ON v.id = c.dst "
+          "WHERE c.dst <> c.src "
+          "AND NOT EXISTS (SELECT 1 FROM uni e "
+          "WHERE e.src = c.src AND e.dst = c.dst)")],
+        f"SELECT src, dst, neg_rank FROM ("
+        f"SELECT src, dst, ROW_NUMBER() OVER "
+        f"(PARTITION BY src ORDER BY j) AS neg_rank FROM ok) "
+        f"WHERE neg_rank <= {k}",
+    )
+
+
 def sql_betweenness(k: int = 8, depth: int = 5, mod: int = UNI_MOD) -> str:
     """Mirror of betweenness.betweenness: k smallest out-degree>0 ids
     as pivots, forward path-count BFS unrolled ``depth`` rounds

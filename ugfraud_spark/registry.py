@@ -797,6 +797,16 @@ def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walks.node2vec_walks(e)
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for link-prediction training:
+    counter-hash proposals, vertex semi-join, edge anti-join, first-k
+    survivors per source."""
+    from .operators import walks
+
+    e = tables.uni_edges_directed(spark, sf_dir)
+    return walks.negative_samples(e)
+
+
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate betweenness (Brandes–Pich pivot estimator,
     depth-truncated): summed dependency sweeps from the k smallest
@@ -1549,6 +1559,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "random_walks": _uni(q_random_walks, oracle.sql_random_walks(mod=m)),
         "node2vec_walks": _uni(q_node2vec_walks,
                                oracle.sql_node2vec_walks(mod=m)),
+        "negative_samples": _uni(q_negative_samples,
+                                 oracle.sql_negative_samples(mod=m)),
         "eigenvector": _uni(q_eigenvector,
                             oracle.sql_eigenvector(iters=HITS_ITERS, mod=m)),
         "lpa_modularity": _uni(
