@@ -770,3 +770,44 @@ def test_kmeans_assign_python_replay_and_separation(spark):
     for i, c in got.items():
         sides.setdefault(c, set()).add(blob[i])
     assert all(len(s) == 1 for s in sides.values())
+
+
+def test_cms_guarantees(spark):
+    """The two claims the shared-formula oracle can't see: the
+    estimate never under-counts any key (min over rows is true count
+    plus non-negative collision mass), and the sketch is additive
+    under any input split (the map-side-combine scale claim)."""
+    from ugfraud_spark.operators import sketch
+
+    # zipf-ish: key j appears 200//(j+1) times, heavy head + long tail
+    rows = [(j,) for j in range(120) for _ in range(200 // (j + 1))]
+    keys = spark.createDataFrame(rows, "key long")
+    est = sketch.cms_estimates(keys, d=4, w=32).collect()
+    assert len(est) == 120
+    by_key = {r["key"]: r for r in est}
+    for j in range(120):
+        r = by_key[j]
+        assert r["true_cnt"] == 200 // (j + 1)
+        assert r["est"] >= r["true_cnt"]
+    # w=32 << 120 keys forces real collisions — the test input must
+    # actually exercise the over-count path, not vacuously pass
+    assert any(r["est"] > r["true_cnt"] for r in est)
+    # the global L1 error bound eps*N with w=32 is loose; pin a sane cap
+    n_total = len(rows)
+    assert all(r["est"] - r["true_cnt"] <= 2 * n_total / 32 for r in est)
+
+    # additivity: sketch(all) == sketch(first half) + sketch(second)
+    a = spark.createDataFrame(rows[: len(rows) // 2], "key long")
+    b = spark.createDataFrame(rows[len(rows) // 2:], "key long")
+    grid = {(r["r"], r["bucket"]): r["cnt"]
+            for r in sketch.cms_sketch(keys, d=4, w=32).collect()}
+    ga = {(r["r"], r["bucket"]): r["cnt"]
+          for r in sketch.cms_sketch(a, d=4, w=32).collect()}
+    gb = {(r["r"], r["bucket"]): r["cnt"]
+          for r in sketch.cms_sketch(b, d=4, w=32).collect()}
+    merged = {c: ga.get(c, 0) + gb.get(c, 0) for c in set(ga) | set(gb)}
+    assert merged == grid
+
+    # heavy hitters: the true top key (j=0, 200 occurrences) must lead
+    top = sketch.cms_heavy_hitters(keys, d=4, w=32, k=5).collect()
+    assert top[0]["key"] == 0 and top[0]["true_cnt"] == 200

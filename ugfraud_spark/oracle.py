@@ -1073,6 +1073,37 @@ def sql_doc_length_stats() -> str:
     )
 
 
+def sql_cms_heavy_hitters(d: int = 4, w: int = 64, k: int = 20) -> str:
+    """Mirror of sketch.cms_heavy_hitters over events.user_id: same
+    scramble-hash grid, elementwise sum, min-over-rows estimate,
+    (est DESC, key ASC) top-k. Shares the hash formula — the CMS
+    guarantees themselves (est ≥ true everywhere, sketch additivity
+    under any input split) are pinned by the operator's tests."""
+    from .operators.walks import WALK_A, WALK_B, WALK_C, WALK_P
+    from .operators.sketch import CMS_SALT
+
+    return _with(
+        [("cnt",
+          "SELECT user_id AS key, COUNT(*) AS true_cnt "
+          "FROM events GROUP BY 1"),
+         ("cells",
+          f"SELECT key, true_cnt, r.r AS r, "
+          f"((((key % {WALK_P}) * (((r.r + 1) * {WALK_C} + {WALK_B}) "
+          f"% {WALK_P}) + r.r * {WALK_B} + {CMS_SALT}) % {WALK_P}) "
+          f"* {WALK_A} + {WALK_B}) % {WALK_P} % {w} AS bucket "
+          f"FROM cnt CROSS JOIN "
+          f"(SELECT UNNEST(generate_series(0, {d - 1})) AS r) r"),
+         ("sketch",
+          "SELECT r, bucket, CAST(SUM(true_cnt) AS BIGINT) AS cnt "
+          "FROM cells GROUP BY 1, 2"),
+         ("est",
+          "SELECT c.key, c.true_cnt, CAST(MIN(s.cnt) AS BIGINT) AS est "
+          "FROM cells c JOIN sketch s USING (r, bucket) GROUP BY 1, 2")],
+        f"SELECT key, est, true_cnt FROM est "
+        f"ORDER BY est DESC, key LIMIT {k}",
+    )
+
+
 def sql_vocab_topk(k: int = 50) -> str:
     """Mirror of tfidf.vocab_topk: the (count DESC, term ASC) total
     order makes the k-cut deterministic on both engines."""

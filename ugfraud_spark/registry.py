@@ -807,6 +807,16 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walks.negative_samples(e)
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–min-sketch heavy hitters over the event stream's user
+    ids: d×w counter grid, min-over-rows estimate, top-k by estimate
+    (true counts carried for error accounting)."""
+    from .operators import sketch
+
+    ev = tables.load(spark, sf_dir, "events")
+    return sketch.cms_heavy_hitters(ev.select(F.col("user_id").alias("key")))
+
+
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate betweenness (Brandes–Pich pivot estimator,
     depth-truncated): summed dependency sweeps from the k smallest
@@ -1561,6 +1571,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                                oracle.sql_node2vec_walks(mod=m)),
         "negative_samples": _uni(q_negative_samples,
                                  oracle.sql_negative_samples(mod=m)),
+        "cms_heavy_hitters": (q_cms_heavy_hitters,
+                              oracle.sql_cms_heavy_hitters()),
         "eigenvector": _uni(q_eigenvector,
                             oracle.sql_eigenvector(iters=HITS_ITERS, mod=m)),
         "lpa_modularity": _uni(
