@@ -811,3 +811,78 @@ def test_cms_guarantees(spark):
     # heavy hitters: the true top key (j=0, 200 occurrences) must lead
     top = sketch.cms_heavy_hitters(keys, d=4, w=32, k=5).collect()
     assert top[0]["key"] == 0 and top[0]["true_cnt"] == 200
+
+
+def test_hashed_features_semantics(spark):
+    """Independent checks the shared-formula oracle can't provide:
+    the md5-slice hash equals hashlib's, cell values equal a python
+    replay, and two planted same-dim opposite-sign tokens cancel."""
+    import hashlib
+
+    from ugfraud_spark.operators import features
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "alpha alpha delta")],
+        "doc_id long, text string")
+    d = 32
+    rows = features.hashed_features(docs, d=d).collect()
+
+    def H(term):
+        return int(hashlib.md5(term.encode()).hexdigest()[:8], 16)
+
+    expect = {}
+    for doc, text in [(1, "alpha beta beta gamma"), (2, "alpha alpha delta")]:
+        for term in set(text.split()):
+            tf = text.split().count(term)
+            h = H(term)
+            sign = 1 if (h >> 8) % 2 == 0 else -1
+            key = (doc, h % d)
+            expect[key] = expect.get(key, 0) + sign * tf
+    expect = {k: v for k, v in expect.items() if v != 0}
+    assert {(r["doc_id"], r["dim"]): r["val"] for r in rows} == expect
+
+    # planted collision: find two vocab words with equal dim, opposite
+    # sign, then check a doc holding one of each hashes to NO cell
+    by_dim = {}
+    pair = None
+    for i in range(2000):
+        t = f"tok{i}"
+        h = H(t)
+        s = 1 if (h >> 8) % 2 == 0 else -1
+        other = by_dim.get((h % d, -s))
+        if other:
+            pair = (other, t)
+            break
+        by_dim.setdefault((h % d, s), t)
+    assert pair, "no opposite-sign collision in 2000 tokens"
+    solo = spark.createDataFrame([(9, f"{pair[0]} {pair[1]}")],
+                                 "doc_id long, text string")
+    assert features.hashed_features(solo, d=d).count() == 0
+
+
+def test_quantize_embeddings_semantics(spark):
+    """Reconstruction-error bound (≤ half a quantization step per
+    dim), exact endpoints (lo→0, hi→levels), constant-dim handling,
+    and code range."""
+    from ugfraud_spark.operators import features
+
+    vecs = [(0, [0.0, 5.0, 7.5]), (1, [1.0, 5.0, -2.5]),
+            (2, [0.25, 5.0, 10.0])]
+    embs = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = features.quantize_embeddings(embs, bits=8).collect()
+    assert len(rows) == 9
+    x = {(vid, i): v for vid, vec in vecs for i, v in enumerate(vec)}
+    lo = {0: 0.0, 1: 5.0, 2: -2.5}
+    hi = {0: 1.0, 1: 5.0, 2: 10.0}
+    for r in rows:
+        dim, code = r["dim"], r["code"]
+        assert 0 <= code <= 255
+        if hi[dim] == lo[dim]:
+            assert code == 0 and r["dequant"] == 5.0
+            continue
+        step = (hi[dim] - lo[dim]) / 255
+        assert abs(r["dequant"] - x[(r["vec_id"], dim)]) <= step / 2 + 1e-6
+        if x[(r["vec_id"], dim)] == lo[dim]:
+            assert code == 0
+        if x[(r["vec_id"], dim)] == hi[dim]:
+            assert code == 255

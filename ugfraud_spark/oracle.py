@@ -1104,6 +1104,54 @@ def sql_cms_heavy_hitters(d: int = 4, w: int = 64, k: int = 20) -> str:
     )
 
 
+def sql_hashed_features(d: int = 32) -> str:
+    """Mirror of features.hashed_features: same md5-slice hash
+    (('0x'||substr(md5,1,8))::BIGINT == Spark's conv(substring,16,10)),
+    same dim/sign bits, same zero-cell drop. The hash-slice
+    equivalence itself is pinned independently against hashlib in
+    tests/test_pipeline_ops.py."""
+    return _with(
+        [("tf",
+          "SELECT doc_id, term, COUNT(*) AS tf FROM "
+          "(SELECT doc_id, UNNEST(string_split(text, ' ')) AS term "
+          "FROM documents) WHERE term != '' GROUP BY 1, 2"),
+         ("h",
+          "SELECT doc_id, tf, "
+          "('0x' || substr(md5(term), 1, 8))::BIGINT AS h FROM tf")],
+        f"SELECT doc_id, h % {d} AS dim, "
+        f"CAST(SUM(CASE WHEN (h >> 8) % 2 = 0 THEN tf ELSE -tf END) "
+        f"AS BIGINT) AS val "
+        f"FROM h GROUP BY 1, 2 "
+        f"HAVING SUM(CASE WHEN (h >> 8) % 2 = 0 THEN tf ELSE -tf END) <> 0",
+    )
+
+
+def sql_quantize_embeddings(bits: int = 8) -> str:
+    """Mirror of features.quantize_embeddings: identical IEEE op
+    sequence (sub, mul, div, FLOOR(x+0.5)) so codes match exactly;
+    dequant rounded to 6dp on both sides. DuckDB FLOOR returns DOUBLE
+    — cast AFTER flooring (exact integer-valued double), never a bare
+    double→int cast (DuckDB rounds, Spark truncates)."""
+    levels = (1 << bits) - 1
+    return _with(
+        [("flat",
+          "SELECT vec_id, UNNEST(range(len(embedding))) AS dim, "
+          "UNNEST(embedding::DOUBLE[]) AS x FROM embeddings"),
+         ("ranges",
+          "SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM flat GROUP BY 1"),
+         ("q",
+          f"SELECT f.vec_id, f.dim, "
+          f"CASE WHEN r.hi = r.lo THEN 0 "
+          f"ELSE CAST(FLOOR((f.x - r.lo) * {levels}.0::DOUBLE "
+          f"/ (r.hi - r.lo) + 0.5::DOUBLE) AS BIGINT) END AS code, "
+          f"r.lo, r.hi "
+          f"FROM flat f JOIN ranges r USING (dim)")],
+        f"SELECT vec_id, dim, code, "
+        f"ROUND(lo + code * (hi - lo) / {levels}.0::DOUBLE, 6) AS dequant "
+        f"FROM q",
+    )
+
+
 def sql_vocab_topk(k: int = 50) -> str:
     """Mirror of tfidf.vocab_topk: the (count DESC, term ASC) total
     order makes the k-cut deterministic on both engines."""

@@ -817,6 +817,26 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.cms_heavy_hitters(ev.select(F.col("user_id").alias("key")))
 
 
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (the hashing trick): sparse bag-of-words
+    vectors with no vocabulary build and no dictionary join — two
+    partial-aggregated groupBys, period."""
+    from .operators import features
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return features.hashed_features(docs)
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embedding corpus
+    (codes + 6dp reconstruction); the range frame is O(dims) and
+    broadcast."""
+    from .operators import features
+
+    embs = tables.load(spark, sf_dir, "embeddings")
+    return features.quantize_embeddings(embs)
+
+
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate betweenness (Brandes–Pich pivot estimator,
     depth-truncated): summed dependency sweeps from the k smallest
@@ -1573,6 +1593,10 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                                  oracle.sql_negative_samples(mod=m)),
         "cms_heavy_hitters": (q_cms_heavy_hitters,
                               oracle.sql_cms_heavy_hitters()),
+        "hashed_features": (q_hashed_features,
+                            oracle.sql_hashed_features()),
+        "quantize_embeddings": (q_quantize_embeddings,
+                                oracle.sql_quantize_embeddings()),
         "eigenvector": _uni(q_eigenvector,
                             oracle.sql_eigenvector(iters=HITS_ITERS, mod=m)),
         "lpa_modularity": _uni(
