@@ -886,3 +886,51 @@ def test_quantize_embeddings_semantics(spark):
             assert code == 0
         if x[(r["vec_id"], dim)] == hi[dim]:
             assert code == 255
+
+
+def test_item_cooccurrence_semantics(spark):
+    """Hand-built sessions: pair counts and cosine come out exactly,
+    an event at exactly the gap starts a NEW session (half-open rule,
+    matching F.session_window), and an oversized bot session is
+    dropped BEFORE it can mint pairs or inflate item counts."""
+    from datetime import datetime, timedelta
+
+    from ugfraud_spark.operators import covisit
+
+    t0 = datetime(2024, 1, 1, 8, 0, 0)
+
+    def ev(eid, user, minutes, item):
+        return (eid, t0 + timedelta(minutes=minutes), user,
+                "click", 1.0, '{"k": %d}' % item)
+
+    rows = [
+        # user 1, session A: items {1, 2}
+        ev(1, 1, 0, 1), ev(2, 1, 10, 2),
+        # gap 40 >= 30 → session B: items {2, 3}
+        ev(3, 1, 50, 2), ev(4, 1, 55, 3),
+        # exactly 30 minutes later → half-open rule → session C: {1}
+        ev(5, 1, 85, 1),
+        # user 2, one session: items {1, 2}
+        ev(6, 2, 0, 1), ev(7, 2, 5, 2),
+        # user 3 is a bot: 6 items > max_items=5 → session dropped
+        *[ev(10 + i, 3, i, i + 1) for i in range(6)],
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    sess = covisit.session_items(events, gap_minutes=30)
+    got = {(r["user_id"], r["sid"], r["item"]) for r in sess.collect()}
+    assert {(u, s, i) for (u, s, i) in got if u == 1} == {
+        (1, 1, 1), (1, 1, 2), (1, 2, 2), (1, 2, 3), (1, 3, 1)}
+
+    out = covisit.item_cooccurrence(events, gap_minutes=30,
+                                    max_items=5, min_count=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    # (1,2) co-occurs in user1/A and user2; n_1 = {A, C, user2} = 3,
+    # n_2 = {A, B, user2} = 3 — the bot session (which held both items)
+    # contributes to neither
+    assert (r["item_a"], r["item_b"], r["n_ab"], r["n_a"], r["n_b"]) == \
+        (1, 2, 2, 3, 3)
+    assert r["cosine"] == round(2 / 3, 6)

@@ -2139,6 +2139,48 @@ def sql_sessionize(gap_minutes: int = 30) -> str:
     )
 
 
+def sql_item_cooccurrence(gap_minutes: int = 30, max_items: int = 50,
+                          min_count: int = 2) -> str:
+    """Mirror of covisit.item_cooccurrence: same gaps-and-islands
+    sessionization as sql_sessionize (half-open >= gap), same capped
+    distinct incidence, same pair counts and single-division cosine."""
+    return _with(
+        [("it",
+          "SELECT user_id, ts, event_id, "
+          "CAST(json_extract_string(props, '$.k') AS BIGINT) AS item "
+          "FROM events "
+          "WHERE json_extract_string(props, '$.k') IS NOT NULL"),
+         ("o",
+          f"SELECT user_id, ts, event_id, item, CASE WHEN LAG(ts) OVER "
+          f"(PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+          f"OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+          f">= INTERVAL {gap_minutes} MINUTE THEN 1 ELSE 0 END AS new_s "
+          f"FROM it"),
+         ("s",
+          "SELECT user_id, item, SUM(new_s) OVER (PARTITION BY user_id "
+          "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM o"),
+         ("d", "SELECT DISTINCT user_id, sid, item FROM s"),
+         ("keep",
+          f"SELECT user_id, sid FROM d GROUP BY 1, 2 "
+          f"HAVING COUNT(*) <= {max_items}"),
+         ("dd",
+          "SELECT d.user_id, d.sid, d.item FROM d "
+          "JOIN keep USING (user_id, sid)"),
+         ("ni", "SELECT item, COUNT(*) AS n FROM dd GROUP BY 1"),
+         ("p",
+          f"SELECT a.item AS item_a, b.item AS item_b, "
+          f"COUNT(*) AS n_ab FROM dd a JOIN dd b "
+          f"ON a.user_id = b.user_id AND a.sid = b.sid "
+          f"AND a.item < b.item GROUP BY 1, 2 "
+          f"HAVING COUNT(*) >= {min_count}")],
+        "SELECT item_a, item_b, n_ab, na.n AS n_a, nb.n AS n_b, "
+        "ROUND(CAST(n_ab AS DOUBLE) / SQRT(CAST(na.n * nb.n AS DOUBLE)), 6) "
+        "AS cosine FROM p "
+        "JOIN ni na ON na.item = p.item_a "
+        "JOIN ni nb ON nb.item = p.item_b",
+    )
+
+
 def sql_ppr(iters: int = 5, damping: float = 0.85, seed_mod: int = 97, mod: int = UNI_MOD) -> str:
     """Unrolled personalized PageRank with teleport to {id % seed_mod = 0}."""
     d = f"CAST({damping!r} AS DOUBLE)"

@@ -817,6 +817,15 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.cms_heavy_hitters(ev.select(F.col("user_id").alias("key")))
 
 
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session co-visitation item similarity: per-user gaps-and-islands
+    sessions, capped distinct incidence, pair counts, cosine."""
+    from .operators import covisit
+
+    ev = tables.load(spark, sf_dir, "events")
+    return covisit.item_cooccurrence(ev)
+
+
 def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed feature hashing (the hashing trick): sparse bag-of-words
     vectors with no vocabulary build and no dictionary join — two
@@ -1595,6 +1604,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                               oracle.sql_cms_heavy_hitters()),
         "hashed_features": (q_hashed_features,
                             oracle.sql_hashed_features()),
+        "item_cooccurrence": (q_item_cooccurrence,
+                              oracle.sql_item_cooccurrence()),
         "quantize_embeddings": (q_quantize_embeddings,
                                 oracle.sql_quantize_embeddings()),
         "eigenvector": _uni(q_eigenvector,
