@@ -43,3 +43,38 @@ def test_tfidf_equal_scores_break_by_term(spark):
     # identical tf and df → identical score → lexicographic term order
     assert out[(0, 1)] == "alpha" and out[(0, 2)] == "zeta"
     assert out[(1, 1)] == "alpha" and out[(1, 2)] == "zeta"
+
+
+def test_bm25_retrieval_semantics(spark):
+    """Retrieval claims the shared-formula oracle can't see: more
+    matching occurrences rank higher at equal length, longer docs are
+    penalized at equal tf, rare query terms outweigh common ones, and
+    the score equals a python replay."""
+    from ugfraud_spark.operators.tfidf import bm25_retrieval
+
+    docs = spark.createDataFrame(
+        [(0, "apple apple apple pad"),       # tf(apple)=3, dl=4
+         (1, "apple apple filler pad"),      # tf(apple)=2, dl=4
+         (2, "apple apple filler pad pad pad pad pad"),  # tf=2, dl=8
+         (3, "rare pad pad"),                # the df=1 term
+         (4, "apple pad"),
+         (5, "pad pad pad")],                # no query term → absent
+        "doc_id long, text string")
+    out = bm25_retrieval(docs, ["apple", "rare"], k=10).collect()
+    score = {r["doc_id"]: r["score"] for r in out}
+    nhit = {r["doc_id"]: r["n_hit"] for r in out}
+    assert 5 not in score and len(score) == 5
+    assert score[0] > score[1]          # more tf, same dl
+    assert score[1] > score[2]          # same tf, longer doc penalized
+    # rare (df=1) in doc 3 beats a single common apple (df=4) in doc 4
+    assert score[3] > score[4]
+    assert nhit == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1}
+
+    # python replay of doc 0
+    import math
+    n, df_apple = 6, 4
+    dls = {0: 4, 1: 4, 2: 8, 3: 3, 4: 2, 5: 3}
+    avg_dl = sum(dls.values()) / 6
+    idf = math.log(1 + (n - df_apple + 0.5) / (df_apple + 0.5))
+    tp = (3 * (1.2 + 1.0)) / (3 + 1.2 * (0.25 + 0.75 * 4 / avg_dl))
+    assert score[0] == round(idf * tp, 6)

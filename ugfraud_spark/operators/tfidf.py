@@ -48,6 +48,60 @@ def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
+def bm25_retrieval(docs: DataFrame, query_terms: list[str],
+                   k: int = 20) -> DataFrame:
+    """docs(doc_id, text) × a query (bag of terms) → the top-``k``
+    documents by summed Okapi BM25, the standard first-stage retrieval
+    scorer: (doc_id, n_hit, score).
+
+    Scale shape: the token stream is filtered to the query's terms
+    BEFORE the (doc_id, term) aggregation, so the heavy shuffle
+    carries only matching postings (on a real deployment this is the
+    inverted-index lookup; here it's a pushed-down isin filter over
+    the scan). df is a |query|-row frame and broadcast; dl/avgdl ride
+    the same full-token aggregation every BM25 engine needs once per
+    corpus; N and avgdl travel as crossJoin'd 1-row aggregates. The
+    top-k is orderBy+limit → TakeOrdered, never a global sort.
+
+    Float discipline (house rule for cross-engine reductions): each
+    per-term score is rounded to 6dp and summed as DECIMAL(28,6) —
+    associative, so partitioning-independent — with ONE final cast to
+    double; ranking on the rounded sum with a doc_id tiebreak is a
+    total order, so the k-cut is deterministic on both engines."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    avg_dl = dl.agg(F.avg("dl").alias("avg_dl"))
+
+    qtok = tok.where(F.col("term").isin(list(query_terms)))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(n_docs)
+        .crossJoin(avg_dl)
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avg_dl"))
+    )
+    per_term = F.round(idf * tf_part, 6).cast("decimal(28,6)")
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"),
+             F.sum(per_term).cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def tfidf_topk(docs: DataFrame, k: int = 2) -> DataFrame:
     """docs(doc_id, text) → (doc_id, rank, term, tf, score, bm25): the
     top-``k`` terms per document by smooth TF-IDF

@@ -2139,6 +2139,44 @@ def sql_sessionize(gap_minutes: int = 30) -> str:
     )
 
 
+def sql_bm25_retrieval(query_terms: list[str], k: int = 20) -> str:
+    """Mirror of tfidf.bm25_retrieval: identical BM25 rendering as
+    SQL_TFIDF_TOPK's bm25 column (the LN/constant shapes are the ones
+    the gate already proved identical), per-term 6dp round, exact
+    DECIMAL(28,6) sum, one final double cast, (score DESC, doc_id)
+    top-k."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return _with(
+        [("tok",
+          "SELECT doc_id, UNNEST(string_split(text, ' ')) AS term "
+          "FROM documents"),
+         ("dl",
+          "SELECT doc_id, COUNT(*) AS dl FROM tok "
+          "WHERE term <> '' GROUP BY 1"),
+         ("n", "SELECT COUNT(*) AS n_docs FROM documents"),
+         ("a", "SELECT AVG(dl) AS avg_dl FROM dl"),
+         ("tf",
+          f"SELECT doc_id, term, COUNT(*) AS tf FROM tok "
+          f"WHERE term IN ({terms}) GROUP BY 1, 2"),
+         ("dfq", "SELECT term, COUNT(*) AS df FROM tf GROUP BY 1"),
+         ("sc",
+          "SELECT t.doc_id, "
+          "ROUND(LN(CAST(1.0 AS DOUBLE) "
+          "         + (n.n_docs - d.df + CAST(0.5 AS DOUBLE)) "
+          "           / (d.df + CAST(0.5 AS DOUBLE))) "
+          "      * (t.tf * CAST(2.2 AS DOUBLE)) "
+          "        / (t.tf + CAST(1.2 AS DOUBLE) "
+          "           * (CAST(0.25 AS DOUBLE) "
+          "              + CAST(0.75 AS DOUBLE) * l.dl / a.avg_dl)), "
+          "      6)::DECIMAL(28,6) AS ts "
+          "FROM tf t JOIN dfq d USING (term) JOIN dl l USING (doc_id) "
+          "CROSS JOIN n CROSS JOIN a")],
+        f"SELECT doc_id, COUNT(*) AS n_hit, "
+        f"CAST(SUM(ts) AS DOUBLE) AS score "
+        f"FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT {k}",
+    )
+
+
 def sql_item_cooccurrence(gap_minutes: int = 30, max_items: int = 50,
                           min_count: int = 2) -> str:
     """Mirror of covisit.item_cooccurrence: same gaps-and-islands

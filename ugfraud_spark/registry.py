@@ -817,6 +817,16 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.cms_heavy_hitters(ev.select(F.col("user_id").alias("key")))
 
 
+BM25_QUERY = ["spark", "hash", "window"]
+
+
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-stage retrieval: top-20 documents by summed Okapi BM25
+    for a fixed query, postings filtered before the shuffle."""
+    return tfidf.bm25_retrieval(tables.load(spark, sf_dir, "documents"),
+                                BM25_QUERY)
+
+
 def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session co-visitation item similarity: per-user gaps-and-islands
     sessions, capped distinct incidence, pair counts, cosine."""
@@ -1606,6 +1616,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                             oracle.sql_hashed_features()),
         "item_cooccurrence": (q_item_cooccurrence,
                               oracle.sql_item_cooccurrence()),
+        "bm25_retrieval": (q_bm25_retrieval,
+                           oracle.sql_bm25_retrieval(BM25_QUERY)),
         "quantize_embeddings": (q_quantize_embeddings,
                                 oracle.sql_quantize_embeddings()),
         "eigenvector": _uni(q_eigenvector,
