@@ -506,6 +506,38 @@ def test_lm_doc_scores_hand_computed(spark):
             < 1e-9
 
 
+def test_collocations_pmi_semantics(spark):
+    """PMI claims the shared-formula oracle can't see: an
+    always-together pair outranks an independent pair of the same
+    count, the min_count guard drops a maximal-PMI hapax pair, and
+    every score equals a python replay."""
+    import math
+    from collections import Counter
+
+    from ugfraud_spark.operators import lmscore
+
+    # "new york" always adjacent (4×); "the dog" co-occurs but "the"
+    # is everywhere; "rara avis" appears once (hapax pair)
+    texts = ["new york new york the dog", "new york the cat the dog",
+             "the dog the bird new york", "rara avis the fish"]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): r
+           for r in lmscore.collocations(docs, min_count=2, k=50).collect()}
+
+    toks = [t.split(" ") for t in texts]
+    uni = Counter(w for ws in toks for w in ws)
+    bgs = [b for ws in toks for b in zip(ws, ws[1:])]
+    c_bg = Counter(bgs)
+    n_tok, n_bg = sum(uni.values()), len(bgs)
+    for (w1, w2), r in out.items():
+        exp = round(math.log((c_bg[(w1, w2)] * n_tok * n_tok)
+                             / (n_bg * uni[w1] * uni[w2])), 6)
+        assert r["n_pair"] == c_bg[(w1, w2)] and r["pmi"] == exp
+    assert ("rara", "avis") not in out          # min_count guard
+    assert out[("new", "york")]["pmi"] > out[("the", "dog")]["pmi"]
+
+
 def test_epoch_shuffle_is_seeded_permutation(spark):
     """Positions are a bijection onto [0, n); the order matches the
     python model of the same hash; different seeds produce

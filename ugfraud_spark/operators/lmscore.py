@@ -50,6 +50,76 @@ def _bigram_stream(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
 
 
+COLLOC_MIN_COUNT = 5
+
+
+def collocations(docs: DataFrame, min_count: int = COLLOC_MIN_COUNT,
+                 k: int = 30) -> DataFrame:
+    """(w1, w2, n_pair, pmi): the corpus's top-``k`` adjacent-bigram
+    collocations by pointwise mutual information — the phrase-mining
+    primitive (Mikolov-style word2phrase, ELI5 "New York" detection)
+    that sits next to the per-doc LM score in a text pipeline.
+
+        pmi = ln( P(w1 w2) / (P(w1)·P(w2)) )
+            = ln( c(w1 w2)·N² / (N_bg·c(w1)·c(w2)) )
+
+    with N total tokens, N_bg total bigrams, all counts corpus-level
+    integers. ``min_count`` drops the unstable low-count tail (the
+    standard collocation-mining guard: a 1-occurrence pair of two
+    hapaxes has maximal PMI and zero evidence).
+
+    Scale shape: the bigram stream is a narrow zip_with map (no
+    posexplode/window shuffle — the shingle lesson); the three count
+    frames are ONE map-side-combined groupBy each; the pair table is
+    distinct-bigram-sized, so the two unigram joins broadcast (w1/w2
+    key) and the scalars ride a crossJoin'd 1-row frame; the k-cut is
+    orderBy+limit → TakeOrdered, never a global sort. Determinism: pmi
+    is one LN of a ratio of exact BIGINT products evaluated in an
+    identical left-associated double expression on both engines (every
+    product < 2^53 at sandbox scales; lift to DECIMAL(38,0) counts at
+    10¹² tokens), rounded to 6 dp; (pmi desc, w1, w2) is a total
+    order, so the k-cut is engine-independent."""
+    arr = F.split(F.col("text"), " ")
+    n = F.size(arr)
+    pairs = F.zip_with(
+        F.slice(arr, 1, n - 1),
+        F.slice(arr, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    stream = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    # the stream feeds the pair count and the bigram total; the token
+    # scan feeds unigram counts + the token total (one pass each)
+    stream = stream.localCheckpoint(eager=True)
+    pair_counts = (
+        stream.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    n_bg = stream.agg(F.count(F.lit(1)).alias("n_bg"))
+    tok = docs.select(F.explode(arr).alias("tok"))
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = tok.agg(F.count(F.lit(1)).alias("n_tok"))
+    scored = (
+        pair_counts.where(F.col("n_pair") >= min_count)
+        .join(F.broadcast(uni.select(F.col("tok").alias("w1"),
+                                     F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("tok").alias("w2"),
+                                     F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(n_bg))
+        .crossJoin(F.broadcast(n_tok))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair").cast("double") * F.col("n_tok") * F.col("n_tok"))
+            / (F.col("n_bg").cast("double") * F.col("c1") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        scored.select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
 def lm_doc_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, n_bigrams, avg_logprob): each doc's mean add-one-
     smoothed bigram log-probability under the corpus's own counts —

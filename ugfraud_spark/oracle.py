@@ -2528,6 +2528,36 @@ def sql_lm_doc_scores() -> str:
     )
 
 
+def sql_collocations(min_count: int | None = None, k: int = 30) -> str:
+    """Mirror of lmscore.collocations: identical bigram/unigram counts,
+    identical left-associated double ratio inside ONE LN, 6-dp round,
+    (pmi desc, w1, w2) top-k. min_count is imported from the engine so
+    a retune can't desynchronize the gate."""
+    if min_count is None:
+        from .operators.lmscore import COLLOC_MIN_COUNT
+        min_count = COLLOC_MIN_COUNT
+    return _with(
+        [("sp",
+          "SELECT doc_id, string_split(text, ' ') AS w FROM documents"),
+         ("st",
+          "SELECT UNNEST(w[1:LEN(w) - 1]) AS w1, "
+          "UNNEST(w[2:LEN(w)]) AS w2 FROM sp"),
+         ("pc",
+          f"SELECT w1, w2, COUNT(*) AS n_pair FROM st "
+          f"GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}"),
+         ("nb", "SELECT COUNT(*) AS n_bg FROM st"),
+         ("tok", "SELECT UNNEST(w) AS tok FROM sp"),
+         ("uni", "SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1"),
+         ("nt", "SELECT COUNT(*) AS n_tok FROM tok")],
+        "SELECT p.w1, p.w2, p.n_pair, "
+        "ROUND(LN((CAST(p.n_pair AS DOUBLE) * n.n_tok * n.n_tok) "
+        "/ (CAST(b.n_bg AS DOUBLE) * u1.c * u2.c)), 6) AS pmi "
+        "FROM pc p JOIN uni u1 ON p.w1 = u1.tok "
+        "JOIN uni u2 ON p.w2 = u2.tok CROSS JOIN nb b CROSS JOIN nt n "
+        f"ORDER BY pmi DESC, p.w1, p.w2 LIMIT {k}",
+    )
+
+
 def sql_source_reputation() -> str:
     """Mirror of quality.source_reputation: the quality-filter and LM
     oracles nest as materialized CTE subqueries (each carries its own

@@ -729,6 +729,15 @@ def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lmscore.lm_doc_scores(tables.load(spark, sf_dir, "documents"))
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase mining: top adjacent-bigram collocations by PMI over
+    exact corpus counts (narrow zip_with bigram stream, map-side
+    combined counts, broadcast unigram joins, TakeOrdered k-cut)."""
+    from .operators import lmscore
+
+    return lmscore.collocations(tables.load(spark, sf_dir, "documents"))
+
+
 def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed-edge reciprocity scalar over the link graph (one
     pair-keyed self-equi-join + two counts)."""
@@ -1578,6 +1587,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                                oracle.sql_powerlaw_alpha(mod=m)),
         "quality_filter": (q_quality_filter, oracle.sql_quality_filter()),
         "lm_doc_scores": (q_lm_doc_scores, oracle.sql_lm_doc_scores()),
+        "collocations": (q_collocations, oracle.sql_collocations()),
         "epoch_shuffle": (q_epoch_shuffle, oracle.sql_epoch_shuffle()),
         "harmonic_centrality": _uni(
             q_harmonic_centrality, oracle.sql_harmonic_centrality(t=3, mod=m)),
