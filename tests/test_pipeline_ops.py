@@ -506,6 +506,50 @@ def test_lm_doc_scores_hand_computed(spark):
             < 1e-9
 
 
+def test_winnow_fingerprint_semantics(spark):
+    """Winnowing claims: fingerprints equal a python replay of the
+    window-min rule; the MOSS guarantee holds (docs sharing a token
+    run of >= k+w-1 share a fingerprint); a short doc selects the min
+    of its <w hashes; a <k-token doc is absent."""
+    import hashlib
+
+    from ugfraud_spark.operators import dedup
+
+    texts = {0: "p q r s t u v zebra lion",      # shares run w/ doc 1
+             1: "x y p q r s t u v",             # 6-token shared run
+             2: "a b c d",                        # 2 shingles < w
+             3: "one two"}                        # no shingle
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    got = {}
+    for r in dedup.winnow_fingerprints(docs, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+
+    def replay(t, k=3, w=4):
+        ws = t.split(" ")
+        hs = [hashlib.md5(" ".join(ws[i:i + k]).encode()).hexdigest()
+              for i in range(len(ws) - k + 1)]
+        if not hs:
+            return set()
+        return {min(hs[j:j + w]) for j in range(max(len(hs) - w + 1, 1))}
+
+    for i, t in texts.items():
+        assert got.get(i, set()) == replay(t), i
+    assert got[0] & got[1]                       # MOSS guarantee
+    assert 3 not in got
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+             for r in dedup.winnow_dup_pairs(docs, min_shared=1).collect()}
+    assert pairs[(0, 1)] == len(got[0] & got[1])
+
+    # bucket cap: a fingerprint shared by every doc is dropped
+    boiler = spark.createDataFrame(
+        [(i, "same same same same same same") for i in range(5)],
+        "doc_id long, text string")
+    assert dedup.winnow_dup_pairs(boiler, min_shared=1,
+                                  max_bucket=4).count() == 0
+
+
 def test_collocations_pmi_semantics(spark):
     """PMI claims the shared-formula oracle can't see: an
     always-together pair outranks an independent pair of the same

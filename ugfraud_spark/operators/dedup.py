@@ -76,6 +76,88 @@ def shingles(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.explode(sh_arr).alias("sh"))
 
 
+# winnowing (Schleimer/Wilkerson/Aiken, MOSS): window size over the
+# k-gram hash stream; guarantees any shared token run of length >=
+# SHINGLE_N + WINNOW_W - 1 produces at least one shared fingerprint
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 2
+# fingerprints selected by more docs than this are dropped before the
+# self-join (same skew rationale as MAX_BUCKET: one boilerplate
+# fingerprint of b docs contributes b² pairs)
+WINNOW_MAX_BUCKET = 64
+
+
+def winnow_fingerprints(docs: DataFrame, w: int = WINNOW_W) -> DataFrame:
+    """(doc_id, fp): each document's distinct winnowing fingerprints —
+    the min k-gram hash of every ``w``-window over the shingle-hash
+    stream (MOSS local fingerprinting, the position-robust selection
+    used for plagiarism/contamination detection).
+
+    The hash is md5 of the 3-gram shingle string and the window min is
+    taken over the HEX STRINGS — the same engine-portable
+    uniform-order trick as minhash_signatures, bit-identical across
+    engines. Because the selected value set is a set of window minima,
+    equal-minimum tie policy (MOSS's rightmost rule) cannot change the
+    output. Docs with fewer shingle hashes than ``w`` select the min
+    of what they have (standard degenerate-window rule); docs with no
+    shingle (< 3 tokens) are absent.
+
+    Scale shape: split → transform/slice → md5 is a pure narrow map
+    (zero shuffle, the shingle lesson); the window mins are array
+    expressions over the per-row hash array — never a per-token
+    posexplode or a sort window; the only shuffle is the final
+    per-doc distinct."""
+    toks = F.split("text", " ")
+    m = F.size(toks) - (SHINGLE_N - 1)  # number of shingles
+    sh_hash = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, SHINGLE_N))),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1))),
+        lambda j: F.array_min(F.slice(sh_hash, j, w)),
+    )
+    fp_arr = F.when(m >= 1, F.array_distinct(wins)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return docs.select("doc_id", F.explode(fp_arr).alias("fp"))
+
+
+def winnow_dup_pairs(docs: DataFrame, w: int = WINNOW_W,
+                     min_shared: int = WINNOW_MIN_SHARED,
+                     max_bucket: int = WINNOW_MAX_BUCKET) -> DataFrame:
+    """(doc_a, doc_b, n_shared): document pairs sharing >=
+    ``min_shared`` winnowing fingerprints — overlapping-passage
+    candidates. The fingerprint posting lists are the self-join key;
+    lists longer than ``max_bucket`` (corpus-wide boilerplate) are
+    dropped and logged before the join, the identical integer cap the
+    oracle applies, so the gate stays exact while a degenerate
+    fingerprint can't go quadratic at corpus scale."""
+    fps = winnow_fingerprints(docs, w=w).localCheckpoint(eager=True)
+    # the drop list (oversized posting lists) is tiny by construction —
+    # broadcast-anti-join it; the keep side stays distributed
+    oversized = (
+        fps.groupBy("fp").agg(F.count(F.lit(1)).alias("b"))
+        .where(F.col("b") > max_bucket)
+        .select("fp")
+        .localCheckpoint(eager=True)
+    )
+    n_drop = oversized.count()
+    if n_drop:
+        log.warning("winnow_dup_pairs: dropping %d fingerprints with "
+                    "posting lists > %d", n_drop, max_bucket)
+    ok = fps.join(F.broadcast(oversized), "fp", "left_anti")
+    left = ok.select("fp", F.col("doc_id").alias("doc_a"))
+    right = ok.select("fp", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, mh0..mh{H-1}): min over salted md5 hex strings.
 

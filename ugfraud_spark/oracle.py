@@ -1014,6 +1014,47 @@ def sql_ngram_jaccard(h: int = 12, bands: int = 4, rows: int = 3,
     return _with(ctes, final)
 
 
+def sql_winnow_dup_pairs(w: int | None = None,
+                         min_shared: int | None = None,
+                         max_bucket: int | None = None) -> str:
+    """Mirror of dedup.winnow_dup_pairs: identical md5-hex shingle
+    hashes, window-min selection (degenerate <w-window rule included),
+    per-doc distinct fingerprints, the identical integer posting-list
+    cap, and the same (a < b, count >= min_shared) pair join. All
+    constants are imported from the engine."""
+    from .operators.dedup import (WINNOW_MAX_BUCKET, WINNOW_MIN_SHARED,
+                                  WINNOW_W)
+    if w is None:
+        w = WINNOW_W
+    if min_shared is None:
+        min_shared = WINNOW_MIN_SHARED
+    if max_bucket is None:
+        max_bucket = WINNOW_MAX_BUCKET
+    return _with(
+        [("sp",
+          "SELECT doc_id, string_split(text, ' ') AS w FROM documents"),
+         ("shl",
+          "SELECT doc_id, list_transform(range(1, LEN(w) - 1), "
+          "i -> MD5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS hl "
+          "FROM sp"),
+         ("winl",
+          f"SELECT doc_id, list_transform("
+          f"range(1, GREATEST(LEN(hl) - {w} + 1, 1) + 1), "
+          f"j -> list_aggregate(list_slice(hl, j, j + {w} - 1), 'min')) "
+          f"AS wins FROM shl WHERE LEN(hl) >= 1"),
+         ("fpu", "SELECT doc_id, UNNEST(wins) AS fp FROM winl"),
+         ("fp", "SELECT DISTINCT doc_id, fp FROM fpu"),
+         ("kept",
+          "SELECT doc_id, fp FROM (SELECT doc_id, fp, "
+          "COUNT(*) OVER (PARTITION BY fp) AS b FROM fp) "
+          f"WHERE b <= {max_bucket}")],
+        "SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_shared "
+        "FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc_id < r.doc_id "
+        f"GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}",
+    )
+
+
 def sql_dedup_clusters(threshold: float = 0.8, h: int = 12, bands: int = 4,
                        rows: int = 3, max_bucket: int = 512) -> str:
     """Duplicate CLUSTERS: verified near-dup pairs (jaccard >=

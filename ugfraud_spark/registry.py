@@ -614,6 +614,13 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(tables.load(spark, sf_dir, "documents"))
 
 
+def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing: per-doc window-min fingerprints over the shingle
+    hash stream (pure array exprs, zero shuffle), posting-list-capped
+    self-join → overlapping-passage candidate pairs."""
+    return dedup.winnow_dup_pairs(tables.load(spark, sf_dir, "documents"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → exact connected components → canonical doc per
     cluster: the keep-one dedup decision a training-data pipeline
@@ -1543,6 +1550,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "events_stream_dedup": (q_events_stream_dedup,
                                 SQL_EVENTS_STREAM_DEDUP),
         "dedup_clusters": (q_dedup_clusters, oracle.sql_dedup_clusters()),
+        "winnow_dup_pairs": (q_winnow_dup_pairs,
+                             oracle.sql_winnow_dup_pairs()),
         "corpus_sample_mix": (
             q_corpus_sample_mix,
             oracle.sql_corpus_sample_mix(MIX_RATES, MIX_DEFAULT),
