@@ -1148,3 +1148,50 @@ def test_negative_samples_semantics(spark):
     assert filled >= 0.9 * len(per_src)
     again = wk.negative_samples(df, k=3).collect()
     assert {tuple(r) for r in rows} == {tuple(r) for r in again}
+
+
+def test_ppr_sweep_cut_finds_planted_cluster(spark):
+    """Two 5-cliques joined by one bridge edge, scores favoring clique
+    A: the sweep's minimum-conductance prefix is exactly clique A, and
+    every (vol, cut, phi) row matches a python replay of the
+    definition on the known graph."""
+    from itertools import combinations
+
+    from ugfraud_spark.operators.sweep import ppr_sweep_cut
+
+    a_nodes, b_nodes = range(5), range(5, 10)
+    und = (list(combinations(a_nodes, 2)) + list(combinations(b_nodes, 2))
+           + [(0, 5)])
+    edges = spark.createDataFrame(und, "a long, b long")
+    # synthetic diffusion scores: clique A high, bridge endpoint of B
+    # middling, rest of B low — a PPR-from-A shape
+    sc = [(i, 0.9 - 0.1 * i) for i in a_nodes] + \
+         [(i, 0.05 - 0.001 * i) for i in b_nodes]
+    scores = spark.createDataFrame(sc, "id long, ppr double")
+    rows = sorted(ppr_sweep_cut(edges, scores).collect(),
+                  key=lambda r: r["k"])
+
+    deg = defaultdict(int)
+    for x, y in und:
+        deg[x] += 1
+        deg[y] += 1
+    vol_all = sum(deg.values())
+    order = [i for i, _ in sorted(sc, key=lambda t: (-t[1] / deg[t[0]],
+                                                     t[0]))]
+    assert [r["id"] for r in rows] == order
+    prefix = set()
+    for r in rows:
+        prefix.add(r["id"])
+        vol = sum(deg[v] for v in prefix)
+        internal = sum(1 for x, y in und if x in prefix and y in prefix)
+        cut = vol - 2 * internal
+        assert (r["vol"], r["cut"]) == (vol, cut)
+        denom = min(vol, vol_all - vol)
+        if denom > 0:
+            assert r["phi"] == cut / denom
+        else:
+            assert r["phi"] is None
+    best = min((r for r in rows if r["phi"] is not None),
+               key=lambda r: (r["phi"], r["k"]))
+    assert {r["id"] for r in rows if r["k"] <= best["k"]} == set(a_nodes)
+    assert best["phi"] == 1 / min(21, vol_all - 21)  # cut=1, vol(A)=21

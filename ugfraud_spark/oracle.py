@@ -2290,6 +2290,50 @@ def sql_ppr(iters: int = 5, damping: float = 0.85, seed_mod: int = 97, mod: int 
     return _with(ctes, f"SELECT id, ROUND(pr, 6) AS ppr FROM r{iters}")
 
 
+def sql_ppr_sweep(iters: int = 5, seed_mod: int = 97, cap: int | None = None,
+                  mod: int = UNI_MOD) -> str:
+    """Mirror of sweep.ppr_sweep_cut over sql_ppr's scores: identical
+    (ppr/deg desc, id) order, identical cap, exact BIGINT vol/cut
+    prefix sums, ONE double division for phi (NULL on a whole-graph
+    prefix). The PPR chain nests as a materialized CTE subquery."""
+    if cap is None:
+        from .operators.sweep import SWEEP_CAP
+        cap = SWEEP_CAP
+    return _with(
+        [("pprq", sql_ppr(iters, seed_mod=seed_mod, mod=mod)),
+         ("uni", uni_frag(mod)),
+         ("und", UND),
+         ("dg",
+          "SELECT id, COUNT(*) AS deg FROM (SELECT a AS id FROM und "
+          "UNION ALL SELECT b FROM und) GROUP BY 1"),
+         ("va", "SELECT CAST(SUM(deg) AS BIGINT) AS vol_all FROM dg"),
+         ("cand",
+          f"SELECT p.id, p.ppr, d.deg, p.ppr / d.deg AS key "
+          f"FROM pprq p JOIN dg d USING (id) "
+          f"ORDER BY key DESC, p.id LIMIT {cap}"),
+         ("ranked",
+          "SELECT id, ppr, deg, "
+          "ROW_NUMBER() OVER (ORDER BY key DESC, id) AS k FROM cand"),
+         ("internal",
+          "SELECT GREATEST(ra.k, rb.k) AS kmax, COUNT(*) AS ic "
+          "FROM und JOIN ranked ra ON ra.id = und.a "
+          "JOIN ranked rb ON rb.id = und.b GROUP BY 1"),
+         ("curve",
+          "SELECT r.k, r.id, r.ppr, r.deg, COALESCE(i.ic, 0) AS ic "
+          "FROM ranked r LEFT JOIN internal i ON i.kmax = r.k"),
+         ("cuts",
+          "SELECT k, id, ppr, "
+          "SUM(deg) OVER (ORDER BY k) AS vol, "
+          "SUM(deg) OVER (ORDER BY k) - 2 * SUM(ic) OVER (ORDER BY k) "
+          "AS cut FROM curve")],
+        "SELECT k, id, ppr, CAST(vol AS BIGINT) AS vol, "
+        "CAST(cut AS BIGINT) AS cut, "
+        "CASE WHEN LEAST(vol, va.vol_all - vol) > 0 THEN "
+        "CAST(cut AS DOUBLE) / CAST(LEAST(vol, va.vol_all - vol) AS DOUBLE) "
+        "END AS phi FROM cuts CROSS JOIN va",
+    )
+
+
 def sql_pagerank_dangling(iters: int = 5, damping: float = 0.85,
                           mod: int = UNI_MOD) -> str:
     """Mirror of pagerank.pagerank_dangling: the dangling mass D_t as

@@ -134,6 +134,16 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(res.state.withColumnRenamed("value", "ppr"), "ppr")
 
 
+def q_ppr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering: the Andersen/Chung/Lang conductance sweep over
+    the degree-normalized PPR order — capped TakeOrdered frontier,
+    broadcast rank joins, exact-integer vol/cut prefix sums."""
+    from .operators import sweep
+
+    return sweep.ppr_sweep_cut(tables.uni_edges_undirected(spark, sf_dir),
+                               q_ppr(spark, sf_dir))
+
+
 HITS_ITERS = 5
 KCORE_K = 5
 KCORE_ITERS = 6
@@ -1650,6 +1660,9 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "lpa_conductance": _uni(
             q_lpa_conductance,
             oracle.sql_lpa_conductance(iters=LPA_ITERS, mod=m)),
+        "ppr_sweep": _uni(
+            q_ppr_sweep,
+            oracle.sql_ppr_sweep(PR_ITERS, seed_mod=PPR_SEED_MOD, mod=m)),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(
