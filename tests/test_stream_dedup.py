@@ -141,3 +141,27 @@ def test_attribution_stream_equals_batch_and_known_case(spark, sf_small):
                df.where(F.col("event_type") == "purchase"),
                df.where(F.col("event_type") == "click")).collect()}
     assert got == {(3, 1): 30 * 60 * 1_000_000, (3, 2): 60 * 1_000_000}
+
+
+def test_sessionize_stream_equals_batch_and_flushes_tail(spark, sf_small):
+    """Append-mode session windows drain to EXACTLY the batch session
+    set (each session emitted once, none held in state): without the
+    sentinel flush the sessions nearest max(ts) would be missing, so
+    assert specifically that the session containing the corpus's last
+    event is present, and that no sentinel user leaks."""
+    import pyspark.sql.functions as F
+
+    from ugfraud_spark.streaming import events as se
+
+    src = f"{sf_small}/events.parquet"
+    batch_df = se.sessionize(spark.read.parquet(src))
+    batch = {tuple(r) for r in batch_df.collect()}
+    out = se.run_stream_sessionize(spark, src)
+    stream = {tuple(r) for r in out.collect()}
+    assert stream == batch and len(batch) > 0
+    assert not any(r[0] == -1 for r in stream)
+
+    ev = spark.read.parquet(src)
+    last = ev.orderBy(F.desc("ts")).select("user_id", "ts").first()
+    tail_sessions = {r for r in batch if r[0] == last["user_id"]}
+    assert tail_sessions & stream == tail_sessions

@@ -660,6 +660,16 @@ def q_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/events.parquet")
 
 
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows executed as a REAL append-mode Structured
+    Streaming query: each session emitted exactly once when the
+    watermark passes its close (sentinel-flushed in the finite drain);
+    shares the batch gaps-and-islands oracle because stream/batch
+    equivalence is the checked invariant."""
+    return streaming_events.run_stream_sessionize(
+        spark, f"{sf_dir}/events.parquet")
+
+
 def q_approx_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL windowed distinct-user sketch executed as a REAL Structured
     Streaming query — bounded per-window state (16 registers) vs
@@ -1573,6 +1583,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
             oracle.sql_windowed_approx_distinct(60)),
         "attribution_stream": (
             q_attribution_stream, oracle.sql_purchase_attribution(30)),
+        "sessionize_stream": (
+            q_sessionize_stream, oracle.sql_sessionize(30)),
         "quality_repetition": (q_quality_repetition,
                                oracle.sql_quality_repetition()),
         "incremental_dedup": (

@@ -76,6 +76,91 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def run_stream_sessionize(spark: SparkSession, parquet_path: str,
+                          gap_minutes: int = 30,
+                          watermark: str = "2 hours") -> DataFrame:
+    """``sessionize`` as a REAL Structured Streaming query — the
+    session-window aggregation Spark only allows in append/update mode,
+    where a session is emitted exactly once, when the watermark passes
+    its close (end + gap). That is the semantics a continuous
+    deployment runs; the batch ``sessionize`` and the DuckDB oracle
+    must (and do) produce the identical row set.
+
+    Append-mode mechanics in a finite drain: the final watermark is
+    max(event ts) − delay, so the last sessions of the real data would
+    stay unflushed in state. A SENTINEL event (user_id −1, ts far past
+    every real session close) is staged next to the source file and
+    pushes the final watermark beyond every real close; the sentinel's
+    own session is the only state left unflushed and its user is
+    filtered from the result. At scale the stream never ends and the
+    sentinel branch is dead — flushing is the watermark's job."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp_dir = tempfile.mkdtemp(prefix="events_stream_src_")
+    if os.path.isfile(parquet_path):
+        os.symlink(parquet_path,
+                   os.path.join(tmp_dir, os.path.basename(parquet_path)))
+        src_file = parquet_path
+    else:  # directory source: symlink every parquet file
+        for f in os.listdir(parquet_path):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(parquet_path, f),
+                           os.path.join(tmp_dir, f))
+        src_file = next(os.path.join(parquet_path, f)
+                        for f in os.listdir(parquet_path)
+                        if f.endswith(".parquet"))
+
+    # sentinel: one row, same arrow schema as the source, ts 10 years
+    # past the real maximum
+    real = pq.read_table(src_file)
+    ts_col = real.column("ts")
+    max_ts = pa.compute.max(ts_col).as_py()
+    import datetime
+
+    sentinel_ts = max_ts + datetime.timedelta(days=3650)
+    row = {}
+    for field in real.schema:
+        if field.name == "ts":
+            row[field.name] = pa.array([sentinel_ts], type=field.type)
+        elif field.name == "user_id":
+            row[field.name] = pa.array([-1], type=field.type)
+        elif pa.types.is_integer(field.type):
+            row[field.name] = pa.array([0], type=field.type)
+        elif pa.types.is_floating(field.type):
+            row[field.name] = pa.array([0.0], type=field.type)
+        else:
+            row[field.name] = pa.array([""], type=field.type)
+    pq.write_table(pa.table(row, schema=real.schema),
+                   os.path.join(tmp_dir, "zz_sentinel.parquet"))
+
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(tmp_dir)
+        .withWatermark("ts", watermark)
+    )
+    agg = sessionize(src, gap_minutes=gap_minutes)
+    tag = hashlib.md5(parquet_path.encode()).hexdigest()[:10]
+    name = f"events_sessionize_{tag}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return spark.table(name).where(F.col("user_id") != -1)
+
+
 def parse_props(events: DataFrame) -> DataFrame:
     """JSON prop extraction (JVM from_json): (event_id, k)."""
     return events.select(
