@@ -1195,3 +1195,50 @@ def test_ppr_sweep_cut_finds_planted_cluster(spark):
                key=lambda r: (r["phi"], r["k"]))
     assert {r["id"] for r in rows if r["k"] <= best["k"]} == set(a_nodes)
     assert best["phi"] == 1 / min(21, vol_all - 21)  # cut=1, vol(A)=21
+
+
+def test_simrank2_matches_definition(spark):
+    """Python replay of the exact truncated-SimRank definition on a
+    hand graph: s1 from the delta start, s2 from the s1 state with
+    unit diagonal, both over co-citation pairs; plus the structural
+    claims (pages cited by the same sources score high; the hub cap
+    removes a degenerate source)."""
+    from itertools import product
+
+    from ugfraud_spark.operators.simrank import simrank2
+
+    # w1,w2 each cite {1,2}; w3 cites {2,3}; vertex 9 cites everything
+    # (hub, dropped when max_out=3)
+    edges = [(10, 1), (10, 2), (11, 1), (11, 2), (12, 2), (12, 3),
+             (9, 1), (9, 2), (9, 3), (9, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {(r["a"], r["b"]): r
+           for r in simrank2(df, c=0.8, max_out=3).collect()}
+
+    kept = [(s, d) for s, d in edges if s != 9]
+    inn = defaultdict(set)
+    for s, d in kept:
+        inn[d].add(s)
+    cand = {(a, b) for a in inn for b in inn
+            if a < b and inn[a] & inn[b]}
+    s1 = {(a, b): (0.8 * len(inn[a] & inn[b]))
+          / (len(inn[a]) * len(inn[b]))
+          for a, b in cand}
+
+    def s1_micro(u, v):
+        if u == v:
+            return 1_000_000
+        key = (min(u, v), max(u, v))
+        return math.floor(s1[key] * 1e6) if key in s1 else 0
+
+    assert set(out) == cand
+    for (a, b), r in out.items():
+        acc = sum(s1_micro(u, v) for u, v in product(inn[a], inn[b]))
+        s2 = (0.8 * acc) / (len(inn[a]) * len(inn[b])) / 1e6
+        assert r["n_common"] == len(inn[a] & inn[b])
+        assert r["s1"] == s1[(a, b)]
+        assert r["s2"] == s2, (a, b)
+    # pages 1 and 2 share BOTH citers -> maximal s1 among pairs
+    assert out[(1, 2)]["s1"] == max(r["s1"] for r in out.values())
+    # the hub would have made (1, 4) a candidate pair; the cap drops it
+    assert (1, 4) not in out

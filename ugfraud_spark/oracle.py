@@ -488,6 +488,58 @@ def sql_cocitation(max_out: int | None = None,
     )
 
 
+def sql_simrank2(c: float | None = None, max_out: int | None = None,
+                 mod: int = UNI_MOD) -> str:
+    """Mirror of simrank.simrank2: identical hub cap, identical
+    co-citation pair domain, identical FLOOR-quantized micro-unit
+    state (floor of the same IEEE double is engine-independent; ROUND
+    is not), exact BIGINT gather, raw-double score expressions with
+    zero rounding sites. Constants imported from the engine."""
+    from .operators.simrank import SIMRANK_C, SIMRANK_MAX_OUT
+    if c is None:
+        c = SIMRANK_C
+    if max_out is None:
+        max_out = SIMRANK_MAX_OUT
+    cd = f"CAST({c!r} AS DOUBLE)"
+    return _with(
+        [("uni", uni_frag(mod)),
+         ("oks",
+          f"SELECT src FROM uni GROUP BY src "
+          f"HAVING COUNT(*) <= {max_out}"),
+         ("e", "SELECT u.src, u.dst FROM uni u JOIN oks USING (src)"),
+         ("ind", "SELECT dst AS id, COUNT(*) AS n FROM e GROUP BY 1"),
+         ("prs",
+          "SELECT l.dst AS a, r.dst AS b, COUNT(*) AS n_common "
+          "FROM e l JOIN e r ON l.src = r.src AND l.dst < r.dst "
+          "GROUP BY 1, 2"),
+         ("s1t",
+          f"SELECT p.a, p.b, p.n_common, ia.n AS na, ib.n AS nb, "
+          f"({cd} * CAST(p.n_common AS DOUBLE)) "
+          f"/ CAST(ia.n * ib.n AS DOUBLE) AS s1 "
+          f"FROM prs p JOIN ind ia ON ia.id = p.a "
+          f"JOIN ind ib ON ib.id = p.b"),
+         ("s1m",
+          "SELECT a, b, n_common, na, nb, s1, "
+          "CAST(FLOOR(s1 * CAST(1000000 AS DOUBLE)) AS BIGINT) "
+          "AS s1_micro FROM s1t"),
+         ("st",
+          "SELECT a AS u, b AS v, s1_micro FROM s1m "
+          "UNION ALL SELECT b, a, s1_micro FROM s1m "
+          "UNION ALL SELECT DISTINCT src, src, "
+          "CAST(1000000 AS BIGINT) FROM e"),
+         ("g",
+          "SELECT ea.dst AS a, eb.dst AS b, "
+          "CAST(SUM(st.s1_micro) AS BIGINT) AS acc "
+          "FROM st JOIN e ea ON ea.src = st.u "
+          "JOIN e eb ON eb.src = st.v "
+          "WHERE ea.dst < eb.dst GROUP BY 1, 2")],
+        f"SELECT s.a, s.b, s.n_common, s.s1, "
+        f"({cd} * CAST(COALESCE(g.acc, 0) AS DOUBLE)) "
+        f"/ CAST(s.na * s.nb AS DOUBLE) / CAST(1000000 AS DOUBLE) AS s2 "
+        f"FROM s1m s LEFT JOIN g ON g.a = s.a AND g.b = s.b",
+    )
+
+
 def sql_bibliographic_coupling(max_in: int | None = None,
                                mod: int = UNI_MOD) -> str:
     """Mirror of triangles.bibliographic_coupling: identical in-degree

@@ -756,6 +756,16 @@ def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lmscore.lm_doc_scores(tables.load(spark, sf_dir, "documents"))
 
 
+def q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated SimRank (T=2) on the hub-capped web graph: exact 1-
+    and 2-iteration scores for every co-citation pair, via an
+    out-expansion of the symmetric s1 state (never a per-pair
+    neighborhood product)."""
+    from .operators import simrank
+
+    return simrank.simrank2(tables.uni_edges_directed(spark, sf_dir))
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase mining: top adjacent-bigram collocations by PMI over
     exact corpus counts (narrow zip_with bigram stream, map-side
@@ -1675,6 +1685,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "ppr_sweep": _uni(
             q_ppr_sweep,
             oracle.sql_ppr_sweep(PR_ITERS, seed_mod=PPR_SEED_MOD, mod=m)),
+        "simrank": _uni(q_simrank, oracle.sql_simrank2(mod=m)),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(
