@@ -1242,3 +1242,37 @@ def test_simrank2_matches_definition(spark):
     assert out[(1, 2)]["s1"] == max(r["s1"] for r in out.values())
     # the hub would have made (1, 4) a candidate pair; the cap drops it
     assert (1, 4) not in out
+
+
+def test_hitting_time_chain_branch_dangling(spark):
+    """Hand graph, exact integer replay: chain distances 1,2,3 to the
+    seed; a dangling page pins at the horizon; a branching page
+    averages its out-neighbors (micro-floor arithmetic)."""
+    from ugfraud_spark.operators.trustrank import hitting_time
+
+    # 3→2→1→0(seed); 5→0 and 5→4; 4 dangling
+    edges = [(3, 2), (2, 1), (1, 0), (5, 0), (5, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    out = {r["id"]: r for r in hitting_time(e, seeds, t=4).collect()}
+
+    assert out[0]["h_micro"] == 0
+    assert out[1]["hops"] == 1.0
+    assert out[2]["hops"] == 2.0
+    assert out[3]["hops"] == 3.0
+    assert out[4]["hops"] == 4.0            # dangling → horizon
+    # 5 averages h(0)=0 and h(4)=4: 1 + floor(4e6/2)/1e6 = 3.0
+    assert out[5]["hops"] == 3.0
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+
+    # python replay of the exact micro recursion on the same graph
+    cap = 4_000_000
+    outn = {3: [2], 2: [1], 1: [0], 5: [0, 4]}
+    h = {v: (0 if v == 0 else cap) for v in range(6)}
+    for _ in range(4):
+        h = {v: 0 if v == 0 else
+             (cap if v not in outn else
+              min(cap, 1_000_000 + int(sum(h[u] for u in outn[v])
+                                       * 1.0 // len(outn[v]))))
+             for v in range(6)}
+    assert {v: r["h_micro"] for v, r in out.items()} == h

@@ -77,3 +77,76 @@ def spam_mass(
             (F.lit(2).cast("decimal(18,6)") * sm > prd).alias("spammy"),
         )
     )
+
+
+HIT_T = 4  # truncation horizon (steps)
+
+
+def hitting_time(edges_dir: DataFrame, seeds: DataFrame,
+                 t: int = HIT_T) -> DataFrame:
+    """Truncated hitting time to a trusted seed set (Sarkar & Moore,
+    UAI'07): h(v) = expected steps of a uniform out-link walk from v
+    until it first reaches ``seeds``, truncated at ``t`` — the
+    distance-to-trust dual of spam mass (a page many random clicks
+    away from every vetted site is suspect even if its rank is high).
+
+    Recursion: h(s∈S) = 0; h(v) = min(t, 1 + mean_{v→u} h(u));
+    dangling pages (no out-links) pin at t. Each superstep is one
+    edge⋈state join + one map-side-combined groupBy on src — the same
+    gather shape as every rank kernel, ``t`` rounds, state-only
+    shuffles.
+
+    Determinism (the simrank lesson): the state is integer
+    MICRO-STEPS (h·10⁶, BIGINT). The per-step mean is
+    FLOOR(Σ/od) — floor of one IEEE division of exact integers, which
+    is engine-independent (decimal ROUND is not) — and the output
+    ``hops`` is one raw double division, zero rounding sites.
+    Σ h_micro ≤ od·t·10⁶ stays far below 2^53 for any real od; at
+    10¹²-page scale lift the sum to DECIMAL(38,0).
+
+    Returns (id, h_micro, hops)."""
+    cap = t * 1_000_000
+    e = edges_dir.select("src", "dst").distinct().localCheckpoint(eager=True)
+    from ..sources.tables import vertices_of
+
+    v = vertices_of(e).localCheckpoint(eager=True)
+    od = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("od"))
+    base = (
+        v.join(seeds.select("id").withColumn("_s", F.lit(1)), "id", "left")
+        .join(od, "id", "left")
+        .select("id", F.col("_s").isNotNull().alias("is_seed"), "od")
+        .localCheckpoint(eager=True)
+    )
+    h = base.select(
+        "id",
+        F.when(F.col("is_seed"), F.lit(0).cast("long"))
+        .otherwise(F.lit(cap).cast("long")).alias("hm"),
+    )
+    for _ in range(t):
+        gathered = (
+            e.join(h.select(F.col("id").alias("dst"), "hm"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("hm").alias("s"))
+        )
+        h = (
+            base.join(gathered, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("is_seed"), F.lit(0).cast("long"))
+                .when(F.col("s").isNull(), F.lit(cap).cast("long"))
+                .otherwise(
+                    F.least(
+                        F.lit(cap).cast("long"),
+                        F.lit(1_000_000)
+                        + F.floor(F.col("s").cast("double") / F.col("od")),
+                    )
+                )
+                .alias("hm"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return h.select(
+        "id", F.col("hm").alias("h_micro"),
+        (F.col("hm").cast("double") / F.lit(1000000.0)).alias("hops"),
+    )

@@ -2421,6 +2421,50 @@ def sql_pagerank_dangling(iters: int = 5, damping: float = 0.85,
         ctes, f"SELECT id, ROUND(pr, 6) AS pagerank FROM x{iters}")
 
 
+def sql_hitting_time(t: int | None = None, k: int = 64,
+                     mod: int = UNI_MOD) -> str:
+    """Mirror of trustrank.hitting_time: identical top-k in-degree
+    seed rule, identical integer micro-step recursion (seed 0,
+    dangling pinned at t, FLOOR(Σ/od) mean), one raw double division
+    for hops."""
+    if t is None:
+        from .operators.trustrank import HIT_T
+        t = HIT_T
+    cap = t * 1_000_000
+    ctes = [
+        ("uni", uni_frag(mod)),
+        ("v", VERTS),
+        ("od", "SELECT src AS id, COUNT(*) AS od FROM uni GROUP BY src"),
+        ("sd",
+         f"SELECT dst AS id FROM (SELECT dst, COUNT(*) AS ind FROM uni "
+         f"GROUP BY dst ORDER BY ind DESC, dst LIMIT {k})"),
+        ("b",
+         "SELECT v.id, sd.id IS NOT NULL AS is_seed, od.od FROM v "
+         "LEFT JOIN sd ON sd.id = v.id LEFT JOIN od ON od.id = v.id"),
+        ("h0",
+         f"SELECT id, CASE WHEN is_seed THEN CAST(0 AS BIGINT) "
+         f"ELSE CAST({cap} AS BIGINT) END AS hm FROM b"),
+    ]
+    for i in range(1, t + 1):
+        prev = f"h{i - 1}"
+        ctes.append((
+            f"h{i}",
+            f"SELECT b.id, CASE WHEN b.is_seed THEN CAST(0 AS BIGINT) "
+            f"WHEN g.s IS NULL THEN CAST({cap} AS BIGINT) "
+            f"ELSE LEAST(CAST({cap} AS BIGINT), 1000000 + "
+            f"CAST(FLOOR(CAST(g.s AS DOUBLE) / b.od) AS BIGINT)) END AS hm "
+            f"FROM b LEFT JOIN (SELECT uni.src AS id, SUM({prev}.hm) AS s "
+            f"FROM uni JOIN {prev} ON {prev}.id = uni.dst "
+            f"GROUP BY uni.src) g ON g.id = b.id",
+        ))
+    return _with(
+        ctes,
+        f"SELECT id, hm AS h_micro, "
+        f"CAST(hm AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS hops "
+        f"FROM h{t}",
+    )
+
+
 def sql_spam_mass(iters: int = 5, damping: float = 0.85, k: int = 64,
                   mod: int = UNI_MOD) -> str:
     """Mirror of trustrank.spam_mass: the PageRank chain (a*) and the

@@ -815,6 +815,16 @@ def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trustrank.spam_mass(e, max_iter=PR_ITERS)
 
 
+def q_hitting_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated hitting time to the trusted seed set: integer
+    micro-step state, FLOOR(Σ/od) per-step mean, dangling pinned at
+    the horizon — the distance-to-trust dual of spam mass."""
+    from .operators import trustrank
+
+    e = tables.uni_edges_directed(spark, sf_dir)
+    return trustrank.hitting_time(e, trustrank.trusted_seeds(e))
+
+
 def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Katz centrality: attenuated all-walks count, the cheapest
     superstep of the centrality family (no degree division)."""
@@ -1686,6 +1696,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
             q_ppr_sweep,
             oracle.sql_ppr_sweep(PR_ITERS, seed_mod=PPR_SEED_MOD, mod=m)),
         "simrank": _uni(q_simrank, oracle.sql_simrank2(mod=m)),
+        "hitting_time": _uni(q_hitting_time, oracle.sql_hitting_time(mod=m)),
         "hyperball_nf_curve": _uni(
             q_hyperball_nf_curve, oracle.sql_hyperball_nf_curve(t=3, mod=m)),
         "effective_diameter": _uni(
