@@ -1010,3 +1010,57 @@ def test_item_cooccurrence_semantics(spark):
     assert (r["item_a"], r["item_b"], r["n_ab"], r["n_a"], r["n_b"]) == \
         (1, 2, 2, 3, 3)
     assert r["cosine"] == round(2 / 3, 6)
+
+
+def test_funnel_and_retention_hand_computed(spark):
+    """Hand event log: funnel's strict min-ts chaining (a click BEFORE
+    the first view must not count; a purchase between view and click
+    must not count) and the retention triangle both equal the obvious
+    python replay."""
+    import datetime as dt
+
+    from ugfraud_spark.operators import funnel
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta
+    rows = [
+        # user 1: full clean funnel
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + m(hours=1), 1, "click", 0.0, "{}"),
+        (3, t0 + m(hours=2), 1, "purchase", 0.0, "{}"),
+        # user 2: click BEFORE first view -> stalls at view
+        (4, t0, 2, "click", 0.0, "{}"),
+        (5, t0 + m(hours=1), 2, "view", 0.0, "{}"),
+        # user 3: purchase before click -> stalls at click
+        (6, t0, 3, "view", 0.0, "{}"),
+        (7, t0 + m(hours=1), 3, "purchase", 0.0, "{}"),
+        (8, t0 + m(hours=2), 3, "click", 0.0, "{}"),
+        # user 4: never views
+        (9, t0, 4, "click", 0.0, "{}"),
+        # retention shape: user 1 active again in weeks 1 and 3
+        (10, t0 + m(days=8), 1, "view", 0.0, "{}"),
+        (11, t0 + m(days=22), 1, "click", 0.0, "{}"),
+        # user 5 first appears in week 1, active week 2
+        (12, t0 + m(days=7), 5, "view", 0.0, "{}"),
+        (13, t0 + m(days=14), 5, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    fun = {r["stage"]: r for r in funnel.funnel_counts(ev).collect()}
+    # viewers: users 1,2,3,5 (user 4 never views); clicks-after-view:
+    # users 1,3; purchase-after-click: user 1 only
+    assert (fun[1]["n_users"], fun[2]["n_users"], fun[3]["n_users"]) \
+        == (4, 2, 1)
+    assert fun[2]["conv"] == 0.5 and fun[3]["conv"] == 0.25
+
+    ret = {(r["cohort_week"], r["week_offset"]): r
+           for r in funnel.retention_cohorts(ev).collect()}
+    # cohort 0 = users {1,2,3,4}; user 1 active offsets 0,1,3
+    assert ret[(0, 0)]["n_active"] == 4 and ret[(0, 0)]["n_cohort"] == 4
+    assert ret[(0, 1)]["n_active"] == 1 and ret[(0, 1)]["rate"] == 0.25
+    assert ret[(0, 3)]["n_active"] == 1
+    assert (0, 2) not in ret
+    # cohort 1 = user 5, retained at offset 1
+    assert ret[(1, 0)]["n_cohort"] == 1 and ret[(1, 1)]["rate"] == 1.0

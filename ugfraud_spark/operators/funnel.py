@@ -1,0 +1,100 @@
+"""Funnel and cohort-retention analytics over the events table — the
+two product-analytics aggregations every event pipeline ships next to
+sessionization and attribution.
+
+Both are pure integer/date algebra (counts, min-timestamps, day
+arithmetic), so cross-engine exactness is structural: the only float
+anywhere is one raw double division per output row (conversion /
+retention rate), an identical deterministic IEEE expression on both
+engines — no rounding sites.
+
+Scale shape: everything is per-user min/exists aggregation — one
+map-side-combined groupBy per funnel stage keyed on user_id (the
+natural co-partitioning key; successive stages join user_id→user_id
+and AQE keeps them colocated), and the cohort matrix is two
+aggregations (first-touch, then (cohort, offset) distinct counts).
+No window over the event stream, no self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_counts(events: DataFrame,
+                  stages: tuple[str, ...] = FUNNEL_STAGES) -> DataFrame:
+    """(stage, event_type, n_users, conv): how many users reach each
+    prefix of the ordered ``stages`` sequence — stage k counts users
+    with a stage-k event STRICTLY LATER than their earliest qualifying
+    stage-(k-1) event (min-ts semantics: the canonical "first touch"
+    funnel, deterministic, no session scoping). ``conv`` is the
+    fraction of stage-1 users surviving to stage k."""
+    reached = None  # (user_id, t): earliest qualifying ts per stage
+    per_stage = []
+    for st in stages:
+        ev = events.where(F.col("event_type") == st).select("user_id", "ts")
+        if reached is None:
+            cur = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                ev.join(reached.withColumnRenamed("t", "prev_t"), "user_id")
+                .where(F.col("ts") > F.col("prev_t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        reached = cur.localCheckpoint(eager=True)
+        per_stage.append(reached)
+    counts = [df.count() for df in per_stage]
+    spark = events.sparkSession
+    rows = [
+        (i + 1, st, counts[i],
+         float(counts[i]) / float(counts[0]) if counts[0] else None)
+        for i, st in enumerate(stages)
+    ]
+    return spark.createDataFrame(
+        rows, "stage int, event_type string, n_users long, conv double"
+    )
+
+
+def retention_cohorts(events: DataFrame, max_weeks: int = 5) -> DataFrame:
+    """(cohort_week, week_offset, n_active, n_cohort, rate): classic
+    triangle retention — users bucketed by the week (relative to the
+    corpus's first event day) of their FIRST event; for each cohort
+    and each later week offset, how many were active again. Weeks are
+    floor(days/7) over exact date diffs; rate is one raw double
+    division."""
+    day = F.to_date("ts")
+    d0 = events.agg(F.min(day).alias("d0"))
+    ud = (
+        events.select("user_id", day.alias("d"))
+        .distinct()
+        .crossJoin(F.broadcast(d0))
+        .select(
+            "user_id",
+            F.floor(F.datediff(F.col("d"), F.col("d0")).cast("double")
+                    / F.lit(7.0)).alias("week"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    first = ud.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort"))
+    active = (
+        ud.join(first, "user_id")
+        .where(F.col("week") - F.col("cohort_week") < max_weeks)
+        .groupBy("cohort_week",
+                 (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        active.join(sizes, "cohort_week")
+        .select(
+            "cohort_week", "week_offset", "n_active", "n_cohort",
+            (F.col("n_active").cast("double")
+             / F.col("n_cohort").cast("double")).alias("rate"),
+        )
+    )

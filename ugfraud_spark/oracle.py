@@ -2232,6 +2232,66 @@ def sql_sessionize(gap_minutes: int = 30) -> str:
     )
 
 
+def sql_funnel_counts(stages: tuple[str, ...] | None = None) -> str:
+    """Mirror of funnel.funnel_counts: per-stage min-ts chaining with
+    strict ts ordering, counts as BIGINTs, conv as one raw double
+    division (NULL when stage 1 is empty)."""
+    if stages is None:
+        from .operators.funnel import FUNNEL_STAGES
+        stages = FUNNEL_STAGES
+    ctes = []
+    for i, st in enumerate(stages, start=1):
+        if i == 1:
+            body = (
+                f"SELECT user_id, MIN(ts) AS t FROM events "
+                f"WHERE event_type = '{st}' GROUP BY 1"
+            )
+        else:
+            body = (
+                f"SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+                f"JOIN s{i - 1} p ON p.user_id = e.user_id "
+                f"WHERE e.event_type = '{st}' AND e.ts > p.t GROUP BY 1"
+            )
+        ctes.append((f"s{i}", body))
+        ctes.append((f"n{i}",
+                     f"SELECT CAST(COUNT(*) AS BIGINT) AS c FROM s{i}"))
+    selects = [
+        f"SELECT {i} AS stage, '{st}' AS event_type, n{i}.c AS n_users, "
+        f"CASE WHEN n1.c > 0 THEN CAST(n{i}.c AS DOUBLE) "
+        f"/ CAST(n1.c AS DOUBLE) END AS conv "
+        + (f"FROM n{i}, n1" if i > 1 else "FROM n1")
+        for i, st in enumerate(stages, start=1)
+    ]
+    return _with(ctes, " UNION ALL ".join(selects))
+
+
+def sql_retention_cohorts(max_weeks: int = 5) -> str:
+    """Mirror of funnel.retention_cohorts: identical to-date / datediff
+    / floor(days/7.0) week bucketing, exact BIGINT counts, one raw
+    double division for the rate."""
+    return _with(
+        [("d0", "SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events"),
+         ("ud",
+          "SELECT DISTINCT user_id, "
+          "CAST(FLOOR(CAST(DATE_DIFF('day', d0.d0, CAST(ts AS DATE)) "
+          "AS DOUBLE) / 7.0) AS BIGINT) AS week "
+          "FROM events CROSS JOIN d0"),
+         ("fw",
+          "SELECT user_id, MIN(week) AS cohort_week FROM ud GROUP BY 1"),
+         ("sz",
+          "SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort "
+          "FROM fw GROUP BY 1"),
+         ("ac",
+          f"SELECT f.cohort_week, u.week - f.cohort_week AS week_offset, "
+          f"CAST(COUNT(*) AS BIGINT) AS n_active "
+          f"FROM ud u JOIN fw f USING (user_id) "
+          f"WHERE u.week - f.cohort_week < {max_weeks} GROUP BY 1, 2")],
+        "SELECT a.cohort_week, a.week_offset, a.n_active, s.n_cohort, "
+        "CAST(a.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS rate "
+        "FROM ac a JOIN sz s USING (cohort_week)",
+    )
+
+
 def sql_bm25_retrieval(query_terms: list[str], k: int = 20) -> str:
     """Mirror of tfidf.bm25_retrieval: identical BM25 rendering as
     SQL_TFIDF_TOPK's bm25 column (the LN/constant shapes are the ones

@@ -660,6 +660,22 @@ def q_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/events.parquet")
 
 
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel over the event stream: per-stage min-ts
+    chaining with strict ordering, one groupBy per stage."""
+    from .operators import funnel
+
+    return funnel.funnel_counts(tables.load(spark, sf_dir, "events"))
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle retention: first-event-week cohorts × week offsets,
+    exact integer date bucketing, one raw-double rate division."""
+    from .operators import funnel
+
+    return funnel.retention_cohorts(tables.load(spark, sf_dir, "events"))
+
+
 def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows executed as a REAL append-mode Structured
     Streaming query: each session emitted exactly once when the
@@ -1605,6 +1621,9 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
             q_attribution_stream, oracle.sql_purchase_attribution(30)),
         "sessionize_stream": (
             q_sessionize_stream, oracle.sql_sessionize(30)),
+        "funnel_counts": (q_funnel_counts, oracle.sql_funnel_counts()),
+        "retention_cohorts": (q_retention_cohorts,
+                              oracle.sql_retention_cohorts()),
         "quality_repetition": (q_quality_repetition,
                                oracle.sql_quality_repetition()),
         "incremental_dedup": (
