@@ -78,3 +78,44 @@ def test_bm25_retrieval_semantics(spark):
     idf = math.log(1 + (n - df_apple + 0.5) / (df_apple + 0.5))
     tp = (3 * (1.2 + 1.0)) / (3 + 1.2 * (0.25 + 0.75 * 4 / avg_dl))
     assert score[0] == round(idf * tp, 6)
+
+
+def test_textrank_python_replay_and_centrality(spark):
+    """Exact python replay of weighted PageRank on the adjacent-word
+    graph; the word that co-occurs with everything ranks first."""
+    from collections import defaultdict
+
+    from ugfraud_spark.operators.tfidf import textrank_keywords
+
+    texts = ["hub alpha hub beta hub gamma",
+             "delta hub alpha beta",
+             "gamma delta"]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    out = [(r["word"], r["textrank"])
+           for r in textrank_keywords(docs, k=10, iters=5).collect()]
+
+    w = defaultdict(float)
+    for t in texts:
+        ws = t.split(" ")
+        for x, y in zip(ws, ws[1:]):
+            if x != y:
+                w[(min(x, y), max(x, y))] += 1.0
+    adj = defaultdict(dict)
+    for (a, b), c in w.items():
+        adj[a][b] = adj[a].get(b, 0) + c
+        adj[b][a] = adj[b].get(a, 0) + c
+    verts = sorted(adj)
+    n = len(verts)
+    outw = {v: sum(adj[v].values()) for v in verts}
+    r = {v: 1.0 / n for v in verts}
+    for _ in range(5):
+        nxt = {}
+        for v in verts:
+            mass = sum((r[u] / outw[u]) * cw for u, cw in adj[v].items())
+            nxt[v] = 0.15 / n + 0.85 * mass
+        r = nxt
+    want = sorted(((round(s, 6), v) for v, s in r.items()),
+                  key=lambda t: (-t[0], t[1]))
+    assert out == [(v, s) for s, v in want]
+    assert out[0][0] == "hub"

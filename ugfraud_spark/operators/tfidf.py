@@ -102,6 +102,54 @@ def bm25_retrieval(docs: DataFrame, query_terms: list[str],
     )
 
 
+TEXTRANK_ITERS = 5
+
+
+def textrank_keywords(docs: DataFrame, k: int = 30,
+                      iters: int = TEXTRANK_ITERS) -> DataFrame:
+    """(word, textrank): the corpus's top-``k`` keywords by TextRank
+    (Mihalcea & Tarau, EMNLP'04) — weighted PageRank over the word
+    co-occurrence graph (window 2: adjacent tokens, undirected, weight
+    = corpus co-occurrence count, self-pairs dropped).
+
+    A text→graph→rank composition: the bigram stream is the same
+    narrow zip_with map as collocations; the word graph is ONE
+    map-side-combined groupBy of canonical pairs; the rank kernel is
+    the engine's ``pagerank_weighted`` verbatim (vertex ids are words —
+    every kernel join is key-type-agnostic), so the iteration inherits
+    the colocated-edges / state-only-shuffle plan that the superstep
+    probe benchmarks. Scores are rounded to 6 dp BEFORE the
+    (score desc, word) TakeOrdered k-cut, the same total-order recipe
+    as every rank query."""
+    from . import pagerank as pr_ops
+
+    arr = F.split(F.col("text"), " ")
+    n = F.size(arr)
+    pairs = F.zip_with(
+        F.slice(arr, 1, n - 1),
+        F.slice(arr, 2, n - 1),
+        lambda a, b: F.struct(F.least(a, b).alias("a"),
+                              F.greatest(a, b).alias("b")),
+    )
+    wg = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    sym = wg.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w") \
+        .unionAll(wg.select(F.col("b").alias("src"),
+                            F.col("a").alias("dst"), "w"))
+    res = pr_ops.pagerank_weighted(sym, weight="w", max_iter=iters)
+    return (
+        res.state.select(F.col("id").alias("word"),
+                         F.round("value", 6).alias("textrank"))
+        .orderBy(F.desc("textrank"), F.asc("word"))
+        .limit(k)
+    )
+
+
 def tfidf_topk(docs: DataFrame, k: int = 2) -> DataFrame:
     """docs(doc_id, text) → (doc_id, rank, term, tf, score, bm25): the
     top-``k`` terms per document by smooth TF-IDF

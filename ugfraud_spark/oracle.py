@@ -2232,6 +2232,53 @@ def sql_sessionize(gap_minutes: int = 30) -> str:
     )
 
 
+def sql_textrank(k: int = 30, iters: int | None = None,
+                 damping: float = 0.85) -> str:
+    """Mirror of tfidf.textrank_keywords: identical adjacent-pair word
+    graph (canonical least/greatest, self-pairs dropped, symmetrized),
+    the sql_host_rank weighted-PageRank chain shape verbatim, ROUND 6
+    before the (score desc, word) top-k."""
+    if iters is None:
+        from .operators.tfidf import TEXTRANK_ITERS
+        iters = TEXTRANK_ITERS
+    d = f"CAST({damping!r} AS DOUBLE)"
+    ctes = [
+        ("sp", "SELECT string_split(text, ' ') AS w FROM documents"),
+        ("st",
+         "SELECT UNNEST(list_transform(range(1, LEN(w)), "
+         "i -> LEAST(w[i], w[i + 1]))) AS a, "
+         "UNNEST(list_transform(range(1, LEN(w)), "
+         "i -> GREATEST(w[i], w[i + 1]))) AS b FROM sp"),
+        ("wg",
+         "SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS w FROM st "
+         "WHERE a <> b GROUP BY 1, 2"),
+        ("hg",
+         "SELECT a AS sh, b AS dh, w FROM wg "
+         "UNION ALL SELECT b, a, w FROM wg"),
+        ("v", "SELECT sh AS id FROM hg UNION SELECT dh FROM hg"),
+        ("ow", "SELECT sh AS id, SUM(w) AS out_w FROM hg GROUP BY sh"),
+        ("nn", "SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v"),
+        ("h0", "SELECT v.id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM v, nn"),
+    ]
+    for t in range(1, iters + 1):
+        prev = f"h{t-1}"
+        ctes.append((
+            f"h{t}",
+            f"SELECT v.id, (CAST(1.0 AS DOUBLE) - {d}) / nn.n "
+            f"+ {d} * COALESCE(s.mass, CAST(0.0 AS DOUBLE)) AS pr\n"
+            f"FROM v CROSS JOIN nn LEFT JOIN (\n"
+            f"  SELECT hg.dh AS id, SUM(({prev}.pr / ow.out_w) * hg.w) "
+            f"AS mass FROM hg JOIN {prev} ON {prev}.id = hg.sh "
+            f"JOIN ow ON ow.id = hg.sh GROUP BY hg.dh\n"
+            f") s ON s.id = v.id",
+        ))
+    return _with(
+        ctes,
+        f"SELECT id AS word, ROUND(pr, 6) AS textrank FROM h{iters} "
+        f"ORDER BY textrank DESC, word LIMIT {k}",
+    )
+
+
 def sql_funnel_counts(stages: tuple[str, ...] | None = None) -> str:
     """Mirror of funnel.funnel_counts: per-stage min-ts chaining with
     strict ts ordering, counts as BIGINTs, conv as one raw double

@@ -660,6 +660,12 @@ def q_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/events.parquet")
 
 
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords: weighted PageRank (the engine's kernel,
+    verbatim) over the adjacent-token co-occurrence graph."""
+    return tfidf.textrank_keywords(tables.load(spark, sf_dir, "documents"))
+
+
 def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch funnel over the event stream: per-stage min-ts
     chaining with strict ordering, one groupBy per stage."""
@@ -1622,6 +1628,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "sessionize_stream": (
             q_sessionize_stream, oracle.sql_sessionize(30)),
         "funnel_counts": (q_funnel_counts, oracle.sql_funnel_counts()),
+        "textrank": (q_textrank, oracle.sql_textrank()),
         "retention_cohorts": (q_retention_cohorts,
                               oracle.sql_retention_cohorts()),
         "quality_repetition": (q_quality_repetition,
