@@ -1064,3 +1064,39 @@ def test_funnel_and_retention_hand_computed(spark):
     assert (0, 2) not in ret
     # cohort 1 = user 5, retained at offset 1
     assert ret[(1, 0)]["n_cohort"] == 1 and ret[(1, 1)]["rate"] == 1.0
+
+
+def test_activity_gini_known_distributions(spark):
+    """Gini pins: perfect equality -> 0; one user owning nearly all
+    events approaches (n-1)/n; and an arbitrary case equals the
+    classic sorted-rank formula computed in python."""
+    import datetime as dt
+
+    from ugfraud_spark.operators import funnel
+
+    t = dt.datetime(2024, 1, 1)
+
+    def ev(counts):
+        rows, eid = [], 0
+        for uid, c in counts.items():
+            for _ in range(c):
+                rows.append((eid, t, uid, "view", 0.0, "{}"))
+                eid += 1
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+
+    eq = funnel.activity_gini(ev({u: 5 for u in range(4)})).first()
+    assert (eq["n_users"], eq["total_events"], eq["gini"]) == (4, 20, 0.0)
+
+    skew = funnel.activity_gini(ev({0: 97, 1: 1, 2: 1, 3: 1})).first()
+    # exact: sorted x = [1,1,1,97]; G = (2*(1+2+3+4*97)-5*100)/(4*100)
+    assert skew["gini"] == (2 * (1 + 2 + 3 + 4 * 97) - 5 * 100) / 400
+
+    counts = {0: 3, 1: 7, 2: 7, 3: 1, 4: 12}
+    g = funnel.activity_gini(ev(counts)).first()
+    xs = sorted(counts.values())
+    n, s = len(xs), sum(xs)
+    want = (2 * sum((i + 1) * x for i, x in enumerate(xs))
+            - (n + 1) * s) / (n * s)
+    assert g["gini"] == want

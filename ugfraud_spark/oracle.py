@@ -2339,6 +2339,30 @@ def sql_retention_cohorts(max_weeks: int = 5) -> str:
     )
 
 
+def sql_activity_gini() -> str:
+    """Mirror of funnel.activity_gini: tie-block Gini over the exact
+    (value, count) histogram — all BIGINT (doubled rank sum, no /2),
+    one double division (NULL on an empty/zero corpus)."""
+    return _with(
+        [("uc",
+          "SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1"),
+         ("h", "SELECT c AS v, COUNT(*) AS cnt FROM uc GROUP BY 1"),
+         ("cm",
+          "SELECT v, cnt, COALESCE(SUM(cnt) OVER (ORDER BY v "
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r "
+          "FROM h"),
+         ("ag",
+          "SELECT CAST(SUM(cnt) AS BIGINT) AS n, "
+          "CAST(SUM(v * cnt) AS BIGINT) AS s, "
+          "CAST(SUM(v * (2 * cnt * r + cnt * (cnt + 1))) AS BIGINT) "
+          "AS sr2 FROM cm")],
+        "SELECT n AS n_users, s AS total_events, "
+        "CASE WHEN n * s > 0 THEN "
+        "CAST(sr2 - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE) END "
+        "AS gini FROM ag",
+    )
+
+
 def sql_bm25_retrieval(query_terms: list[str], k: int = 20) -> str:
     """Mirror of tfidf.bm25_retrieval: identical BM25 rendering as
     SQL_TFIDF_TOPK's bm25 column (the LN/constant shapes are the ones

@@ -660,6 +660,14 @@ def q_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/events.parquet")
 
 
+def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-activity inequality: exact tie-block Gini over the
+    per-user count histogram, two-phase cumulative ranks."""
+    from .operators import funnel
+
+    return funnel.activity_gini(tables.load(spark, sf_dir, "events"))
+
+
 def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keywords: weighted PageRank (the engine's kernel,
     verbatim) over the adjacent-token co-occurrence graph."""
@@ -1629,6 +1637,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
             q_sessionize_stream, oracle.sql_sessionize(30)),
         "funnel_counts": (q_funnel_counts, oracle.sql_funnel_counts()),
         "textrank": (q_textrank, oracle.sql_textrank()),
+        "activity_gini": (q_activity_gini, oracle.sql_activity_gini()),
         "retention_cohorts": (q_retention_cohorts,
                               oracle.sql_retention_cohorts()),
         "quality_repetition": (q_quality_repetition,
