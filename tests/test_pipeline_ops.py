@@ -1100,3 +1100,42 @@ def test_activity_gini_known_distributions(spark):
     want = (2 * sum((i + 1) * x for i, x in enumerate(xs))
             - (n + 1) * s) / (n * s)
     assert g["gini"] == want
+
+
+def test_event_transitions_hand_computed(spark):
+    """Two interleaved user streams: transitions are counted within a
+    user (never across users), ordered by (ts, event_id), and the
+    rows of each from_type's probabilities sum to 1."""
+    import datetime as dt
+
+    from ugfraud_spark.operators import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta
+    rows = [
+        (1, t0 + m(minutes=0), 1, "view", 0.0, "{}"),
+        (2, t0 + m(minutes=1), 2, "click", 0.0, "{}"),   # other user
+        (3, t0 + m(minutes=2), 1, "click", 0.0, "{}"),
+        (4, t0 + m(minutes=3), 1, "view", 0.0, "{}"),
+        (5, t0 + m(minutes=4), 2, "view", 0.0, "{}"),
+        # same-ts tie broken by event_id: 6 then 7
+        (6, t0 + m(minutes=5), 1, "click", 0.0, "{}"),
+        (7, t0 + m(minutes=5), 1, "purchase", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {(r["from_type"], r["to_type"]): r
+           for r in funnel.event_transitions(ev).collect()}
+    # user1: view->click, click->view, view->click, click->purchase
+    # user2: click->view
+    assert out[("view", "click")]["n"] == 2
+    assert out[("click", "view")]["n"] == 2
+    assert out[("click", "purchase")]["n"] == 1
+    assert ("click", "click") not in out      # never across users
+    assert out[("view", "click")]["prob"] == 1.0
+    assert out[("click", "view")]["prob"] == 2 / 3
+    by_from = {}
+    for (f_, _t), r in out.items():
+        by_from[f_] = by_from.get(f_, 0.0) + r["prob"]
+    assert all(abs(v - 1.0) < 1e-12 for v in by_from.values())

@@ -165,3 +165,35 @@ def activity_gini(events: DataFrame) -> DataFrame:
             / (F.col("n") * F.col("s")).cast("double"),
         ).alias("gini"),
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """(from_type, to_type, n, prob): the first-order Markov model of
+    each user's event sequence — transition counts between consecutive
+    event types and their conditional probabilities, the clickstream
+    model behind next-action prediction and anomaly scoring.
+
+    Ordering inside a user's stream is (ts, event_id) — a total order,
+    so LEAD is deterministic. The window partitions by user_id (a
+    user's history is bounded; never a global order); counts are one
+    map-side-combined groupBy; prob is ONE raw double division of
+    exact BIGINTs per output row."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        counts.join(totals, "from_type")
+        .select(
+            "from_type", "to_type", "n",
+            (F.col("n").cast("double") / F.col("tot").cast("double"))
+            .alias("prob"),
+        )
+    )

@@ -2363,6 +2363,26 @@ def sql_activity_gini() -> str:
     )
 
 
+def sql_event_transitions() -> str:
+    """Mirror of funnel.event_transitions: identical (ts, event_id)
+    in-user ordering, exact BIGINT counts, one raw double division."""
+    return _with(
+        [("sq",
+          "SELECT user_id, event_type AS from_type, "
+          "LEAD(event_type) OVER (PARTITION BY user_id "
+          "ORDER BY ts, event_id) AS to_type FROM events"),
+         ("c",
+          "SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n "
+          "FROM sq WHERE to_type IS NOT NULL GROUP BY 1, 2"),
+         ("t",
+          "SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot "
+          "FROM c GROUP BY 1")],
+        "SELECT c.from_type, c.to_type, c.n, "
+        "CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS prob "
+        "FROM c JOIN t USING (from_type)",
+    )
+
+
 def sql_bm25_retrieval(query_terms: list[str], k: int = 20) -> str:
     """Mirror of tfidf.bm25_retrieval: identical BM25 rendering as
     SQL_TFIDF_TOPK's bm25 column (the LN/constant shapes are the ones

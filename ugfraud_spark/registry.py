@@ -660,6 +660,14 @@ def q_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/events.parquet")
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream Markov model: consecutive event-type transition
+    counts and conditional probabilities, user-partitioned ordering."""
+    from .operators import funnel
+
+    return funnel.event_transitions(tables.load(spark, sf_dir, "events"))
+
+
 def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-activity inequality: exact tie-block Gini over the
     per-user count histogram, two-phase cumulative ranks."""
@@ -1638,6 +1646,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "funnel_counts": (q_funnel_counts, oracle.sql_funnel_counts()),
         "textrank": (q_textrank, oracle.sql_textrank()),
         "activity_gini": (q_activity_gini, oracle.sql_activity_gini()),
+        "event_transitions": (q_event_transitions,
+                              oracle.sql_event_transitions()),
         "retention_cohorts": (q_retention_cohorts,
                               oracle.sql_retention_cohorts()),
         "quality_repetition": (q_quality_repetition,
