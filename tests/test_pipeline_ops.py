@@ -1139,3 +1139,36 @@ def test_event_transitions_hand_computed(spark):
     for (f_, _t), r in out.items():
         by_from[f_] = by_from.get(f_, 0.0) + r["prob"]
     assert all(abs(v - 1.0) < 1e-12 for v in by_from.values())
+
+
+def test_corpus_keep_decision_stage_order(spark):
+    """Planted docs exercising each drop stage and the first-failing
+    precedence: a doc that is BOTH low-quality and a duplicate reports
+    'quality'; the duplicate copy (not the canonical min-id) reports
+    'duplicate'; benchmark ids (id%31==0) report 'benchmark'; a train
+    doc overlapping the benchmark reports 'contaminated'."""
+    from ugfraud_spark.operators import funnel
+
+    good = "the " + " ".join(f"word{i:02d}" for i in range(19))
+    bench_text = "the " + " ".join(f"mark{i:02d}" for i in range(19))
+    rows = [
+        (62, bench_text),     # benchmark doc (62 % 31 == 0)
+        (1, good),            # clean keeper
+        (2, good),            # exact dup of 1 -> 'duplicate' (min id 1 wins)
+        (3, "x x"),           # fails quality (too short)
+        (4, "y y"),           # fails quality AND dup of nothing
+        # train doc sharing ~90% of the benchmark's shingles (not an
+        # exact dup) -> contaminated
+        (5, bench_text + " tail01 tail02"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string") \
+        .withColumn("lang", F.lit("en"))
+    out = {r["doc_id"]: r
+           for r in funnel.corpus_keep_decision(docs).collect()}
+    assert out[1]["keep_doc"] and out[1]["drop_reason"] == ""
+    assert out[2]["drop_reason"] == "duplicate"
+    assert out[3]["drop_reason"] == "quality"
+    assert out[4]["drop_reason"] == "quality"
+    assert out[62]["drop_reason"] == "benchmark"
+    assert out[5]["drop_reason"] == "contaminated"
+    assert set(out) == {1, 2, 3, 4, 5, 62}

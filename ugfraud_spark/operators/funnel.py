@@ -197,3 +197,52 @@ def event_transitions(events: DataFrame) -> DataFrame:
             .alias("prob"),
         )
     )
+
+
+def corpus_keep_decision(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_tokens, keep, drop_reason): the END-TO-END
+    training-corpus keep decision — the composition every data
+    pipeline actually ships, wired from the engine's own stages:
+
+      1. quality   — ``quality.quality_filter`` rule verdict
+      2. dedup     — exact-dup keep-one (``dedup.exact_dups``: only a
+                     group's min doc_id survives)
+      3. benchmark — eval-set docs (id % CONTAM_BENCH_MOD == 0) never
+                     train
+      4. contamination — train docs overlapping the benchmark's
+                     3-gram shingles above threshold are dropped
+                     (short docs with no shingle can't collide → kept)
+
+    ``drop_reason`` is the FIRST failing stage in that order (empty
+    when kept) — the audit column a 100 TB run logs per document.
+    Every stage is an existing oracle-gated operator; this composite
+    is one extra join chain on doc_id (each side already keyed/
+    aggregated on it), no new shuffle shapes."""
+    from . import dedup as dd
+    from . import quality as ql
+
+    qf = ql.quality_filter(docs).select("doc_id", "n_tokens", "keep")
+    keep_ids = dd.exact_dups(docs).select(
+        F.col("keep_id").alias("doc_id"), F.lit(1).alias("_canon"))
+    contam = dd.contamination(docs).select(
+        "doc_id", F.col("contaminated").alias("_cont"))
+    is_bench = (F.col("doc_id") % dd.CONTAM_BENCH_MOD) == 0
+    reason = (
+        F.when(~F.col("keep"), F.lit("quality"))
+        .when(F.col("_canon").isNull(), F.lit("duplicate"))
+        .when(is_bench, F.lit("benchmark"))
+        .when(F.coalesce(F.col("_cont"), F.lit(False)),
+              F.lit("contaminated"))
+        .otherwise(F.lit(""))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(qf, "doc_id")
+        .join(keep_ids, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id", "lang", "n_tokens",
+            (reason == "").alias("keep_doc"),
+            reason.alias("drop_reason"),
+        )
+    )

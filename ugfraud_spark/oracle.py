@@ -2363,6 +2363,33 @@ def sql_activity_gini() -> str:
     )
 
 
+def sql_corpus_keep_decision() -> str:
+    """Mirror of funnel.corpus_keep_decision: the quality / exact-dup /
+    contamination oracles nest as materialized CTE subqueries (the
+    source_reputation pattern) and the first-failing-stage CASE is
+    rendered in the identical order."""
+    from .operators.dedup import CONTAM_BENCH_MOD
+
+    return _with(
+        [("qf", sql_quality_filter()),
+         ("de", sql_dedup_exact()),
+         ("ct", sql_contamination()),
+         ("kp", "SELECT DISTINCT keep_id FROM de"),
+         ("pd",
+          "SELECT d.doc_id, d.lang, q.n_tokens, "
+          "CASE WHEN NOT q.keep THEN 'quality' "
+          "WHEN k.keep_id IS NULL THEN 'duplicate' "
+          f"WHEN d.doc_id % {CONTAM_BENCH_MOD} = 0 THEN 'benchmark' "
+          "WHEN COALESCE(c.contaminated, FALSE) THEN 'contaminated' "
+          "ELSE '' END AS drop_reason "
+          "FROM documents d JOIN qf q USING (doc_id) "
+          "LEFT JOIN kp k ON k.keep_id = d.doc_id "
+          "LEFT JOIN ct c ON c.doc_id = d.doc_id")],
+        "SELECT doc_id, lang, n_tokens, drop_reason = '' AS keep_doc, "
+        "drop_reason FROM pd",
+    )
+
+
 def sql_event_transitions() -> str:
     """Mirror of funnel.event_transitions: identical (ts, event_id)
     in-user ordering, exact BIGINT counts, one raw double division."""

@@ -660,6 +660,16 @@ def q_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/events.parquet")
 
 
+def q_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus keep decision: quality → exact-dedup →
+    benchmark exclusion → contamination, with the first failing stage
+    as the per-doc audit reason."""
+    from .operators import funnel
+
+    return funnel.corpus_keep_decision(
+        tables.load(spark, sf_dir, "documents"))
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clickstream Markov model: consecutive event-type transition
     counts and conditional probabilities, user-partitioned ordering."""
@@ -1648,6 +1658,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "activity_gini": (q_activity_gini, oracle.sql_activity_gini()),
         "event_transitions": (q_event_transitions,
                               oracle.sql_event_transitions()),
+        "corpus_keep": (q_corpus_keep, oracle.sql_corpus_keep_decision()),
         "retention_cohorts": (q_retention_cohorts,
                               oracle.sql_retention_cohorts()),
         "quality_repetition": (q_quality_repetition,
