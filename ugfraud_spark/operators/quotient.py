@@ -70,3 +70,26 @@ def host_stats(host_edges: DataFrame) -> DataFrame:
             ).alias("intra_frac"),
         )
     )
+
+
+def host_top_pages(scores: DataFrame, score_col: str,
+                   n_hosts: int = N_HOSTS, k: int = 3) -> DataFrame:
+    """scores(id, <score_col>) → (host, rnk, id, score): each host's
+    top-``k`` pages by score — the per-group top-k every crawl report
+    ships ("best page per site"). The window partitions by HOST (a
+    host's page count bounds the partition; never a global order);
+    ranking on the 6-dp-rounded score with an id tiebreak is a total
+    order, so the k-cut is engine-independent."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.desc("score"), F.asc("id"))
+    return (
+        scores.select(
+            (F.col("id") % n_hosts).alias("host"), "id",
+            F.col(score_col).alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("host", "rnk", "id", "score")
+    )

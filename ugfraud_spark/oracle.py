@@ -159,6 +159,25 @@ def sql_host_rank(iters: int = 5, damping: float = 0.85,
     return _with(ctes, f"SELECT id, ROUND(pr, 6) AS host_rank FROM h{iters}")
 
 
+def sql_host_top_pages(iters: int = 5, k: int = 3,
+                       n_hosts: int | None = None,
+                       mod: int = UNI_MOD) -> str:
+    """Mirror of quotient.host_top_pages over sql_pagerank scores: the
+    rank chain nests as a materialized CTE subquery; identical host
+    map, (score desc, id) ROW_NUMBER per host, same k-cut."""
+    if n_hosts is None:
+        from .operators.quotient import N_HOSTS
+        n_hosts = N_HOSTS
+    return _with(
+        [("prq", sql_pagerank(iters, mod=mod)),
+         ("ranked",
+          f"SELECT (id % {n_hosts}) AS host, id, pagerank AS score, "
+          f"ROW_NUMBER() OVER (PARTITION BY id % {n_hosts} "
+          f"ORDER BY pagerank DESC, id) AS rnk FROM prq")],
+        f"SELECT host, rnk, id, score FROM ranked WHERE rnk <= {k}",
+    )
+
+
 def sql_cc_minprop(iters: int = 30, mod: int = UNI_MOD) -> str:
     """k rounds of synchronous min-label propagation over the undirected
     graph; labels converge to the min vertex id per component once
@@ -1751,6 +1770,26 @@ def sql_windowed_event_stats(minutes: int = 60) -> str:
         "event_type, COUNT(*) AS n_events, "
         "ROUND(SUM(value), 6) AS sum_value "
         "FROM events GROUP BY 1, 2"
+    )
+
+
+def sql_sliding_event_stats(minutes: int = 60, slide: int = 30) -> str:
+    """Mirror of streaming.events.sliding_event_stats: one
+    epoch-aligned time_bucket branch per overlapping window (with
+    len = 2·slide every event is in exactly two), same ROUND(SUM,6)
+    as the tumbling oracle."""
+    assert minutes == 2 * slide, "oracle written for len = 2*slide"
+    b = f"time_bucket(INTERVAL '{slide} minutes', ts)"
+    return _with(
+        [("wins",
+          f"SELECT CAST({b} AS VARCHAR) AS window_start, event_type, "
+          f"value FROM events "
+          f"UNION ALL "
+          f"SELECT CAST({b} - INTERVAL '{slide} minutes' AS VARCHAR), "
+          f"event_type, value FROM events")],
+        "SELECT window_start, event_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "ROUND(SUM(value), 6) AS sum_value FROM wins GROUP BY 1, 2",
     )
 
 

@@ -692,6 +692,23 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf.textrank_keywords(tables.load(spark, sf_dir, "documents"))
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (60 min every 30 min) per-type stats — each
+    event in exactly two epoch-aligned windows."""
+    ev = tables.load(spark, sf_dir, "events")
+    return streaming_events.sliding_event_stats(ev)
+
+
+def q_host_top_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host top-3 pages by PageRank: host-partitioned window
+    ranking over the certified round-6 rank chain."""
+    from .operators import quotient
+
+    return quotient.host_top_pages(
+        q_pagerank(spark, sf_dir).withColumnRenamed("pagerank", "score"),
+        "score")
+
+
 def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch funnel over the event stream: per-stage min-ts
     chaining with strict ordering, one groupBy per stage."""
@@ -1659,6 +1676,11 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "event_transitions": (q_event_transitions,
                               oracle.sql_event_transitions()),
         "corpus_keep": (q_corpus_keep, oracle.sql_corpus_keep_decision()),
+        "events_sliding": (q_events_sliding,
+                           oracle.sql_sliding_event_stats()),
+        "host_top_pages": _uni(
+            q_host_top_pages,
+            oracle.sql_host_top_pages(PR_ITERS, mod=m)),
         "retention_cohorts": (q_retention_cohorts,
                               oracle.sql_retention_cohorts()),
         "quality_repetition": (q_quality_repetition,

@@ -54,6 +54,31 @@ def windowed_event_stats(events: DataFrame, minutes: int = 60) -> DataFrame:
     )
 
 
+def sliding_event_stats(events: DataFrame, minutes: int = 60,
+                        slide: int = 30) -> DataFrame:
+    """Sliding-window per-type stats: (window_start, event_type,
+    n_events, sum_value) with 60-minute windows every 30 minutes —
+    each event lands in exactly len/slide windows (Spark's ``window``
+    with a slide duration emits them natively; the DuckDB mirror
+    unions one epoch-aligned ``time_bucket`` branch per overlap).
+    Same batch/stream duality as the tumbling variant; window_start
+    emitted as text to keep the comparison timezone-proof."""
+    w = F.window("ts", f"{minutes} minutes", f"{slide} minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per-user session aggregation with a ``gap_minutes`` inactivity gap:
     (user_id, session_start, n_events, sum_value). Built on
