@@ -1172,3 +1172,40 @@ def test_corpus_keep_decision_stage_order(spark):
     assert out[62]["drop_reason"] == "benchmark"
     assert out[5]["drop_reason"] == "contaminated"
     assert set(out) == {1, 2, 3, 4, 5, 62}
+
+
+def test_chunk_documents_grid_and_reconstruction(spark):
+    """Chunk grid replay: starts step by chunk-overlap, widths cap at
+    the doc end, consecutive chunks share exactly `overlap` tokens,
+    and concatenating each chunk's non-overlap prefix rebuilds the
+    doc."""
+    from ugfraud_spark.operators.packing import chunk_documents
+
+    texts = {0: " ".join(f"t{i}" for i in range(40)),  # 2 chunks
+             1: " ".join(f"u{i}" for i in range(10)),  # 1 short chunk
+             2: " ".join(f"v{i}" for i in range(25))}  # tail chunk of 1
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    out = {}
+    for r in chunk_documents(docs, chunk_tokens=32, overlap=8).collect():
+        out.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+
+    for d, t in texts.items():
+        ws = t.split(" ")
+        want = {}
+        k = 0
+        for s in range(0, len(ws), 24):
+            k += 1
+            want[k] = ws[s:s + 32]
+        assert set(out[d]) == set(want)
+        for k, ws_k in want.items():
+            r = out[d][k]
+            assert r["n_tokens"] == len(ws_k)
+            assert r["chunk_text"] == " ".join(ws_k)
+    # doc 0: chunks [0..31], [24..39] -> 8-token overlap
+    a = out[0][1]["chunk_text"].split(" ")
+    b = out[0][2]["chunk_text"].split(" ")
+    assert a[-8:] == b[:8]
+    # reconstruction from non-overlap prefixes + final tail
+    rebuilt = a + b[8:]
+    assert rebuilt == texts[0].split(" ")

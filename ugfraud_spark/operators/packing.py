@@ -105,3 +105,46 @@ def epoch_pack(docs: DataFrame, seed: int = 1,
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     ).join(epoch_shuffle(docs, seed=seed), "doc_id")
     return _pack_by(toks, "shuffle_pos", budget, bucket_docs)
+
+
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS,
+                    overlap: int = CHUNK_OVERLAP) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_text): fixed-width token
+    windows with overlap — the RAG/long-context chunking step that
+    sits beside sequence packing in a training-data pipeline. Chunk k
+    starts at token 1 + k·(chunk_tokens − overlap) and takes
+    ``chunk_tokens`` tokens (the final chunk is shorter; a doc shorter
+    than one stride yields exactly one chunk).
+
+    Pure narrow map: split once, starts via a stepped ``sequence``,
+    one ``transform``+``slice`` per chunk, a single explode — zero
+    shuffle, the same array-expression recipe as the shingle stage.
+    Both the chunk grid and the text are deterministic string algebra,
+    so the DuckDB mirror reproduces rows byte-for-byte."""
+    if overlap >= chunk_tokens:
+        raise ValueError("chunk_documents: overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    arr = F.split(F.col("text"), " ")
+    n = F.size(arr)
+    chunks = F.transform(
+        F.sequence(F.lit(1), n, F.lit(stride)),
+        lambda s: F.struct(
+            s.alias("start"),
+            F.concat_ws(" ", F.slice(arr, s, chunk_tokens)).alias("txt"),
+            F.least(n - s + 1, F.lit(chunk_tokens)).alias("nt"),
+        ),
+    )
+    return (
+        docs.where(F.size(arr) >= 1)
+        .select("doc_id", F.posexplode(chunks).alias("pos", "c"))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).alias("chunk_id"),
+            F.col("c.nt").cast("long").alias("n_tokens"),
+            F.col("c.txt").alias("chunk_text"),
+        )
+    )

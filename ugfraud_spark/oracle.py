@@ -2402,6 +2402,32 @@ def sql_activity_gini() -> str:
     )
 
 
+def sql_chunk_documents(chunk_tokens: int | None = None,
+                        overlap: int | None = None) -> str:
+    """Mirror of packing.chunk_documents: identical stepped start
+    grid, identical slice/join rendering, byte-identical chunk text."""
+    from .operators.packing import CHUNK_OVERLAP, CHUNK_TOKENS
+    if chunk_tokens is None:
+        chunk_tokens = CHUNK_TOKENS
+    if overlap is None:
+        overlap = CHUNK_OVERLAP
+    stride = chunk_tokens - overlap
+    return _with(
+        [("sp",
+          "SELECT doc_id, string_split(text, ' ') AS w FROM documents "
+          "WHERE LEN(string_split(text, ' ')) >= 1"),
+         ("g",
+          f"SELECT doc_id, UNNEST(range(1, LEN(w) + 1, {stride})) AS s, "
+          f"w FROM sp")],
+        f"SELECT doc_id, CAST((s - 1) // {stride} + 1 AS BIGINT) "
+        f"AS chunk_id, "
+        f"CAST(LEAST(LEN(w) - s + 1, {chunk_tokens}) AS BIGINT) "
+        f"AS n_tokens, "
+        f"array_to_string(list_slice(w, s, s + {chunk_tokens} - 1), ' ') "
+        f"AS chunk_text FROM g",
+    )
+
+
 def sql_corpus_keep_decision() -> str:
     """Mirror of funnel.corpus_keep_decision: the quality / exact-dup /
     contamination oracles nest as materialized CTE subqueries (the

@@ -692,6 +692,14 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf.textrank_keywords(tables.load(spark, sf_dir, "documents"))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style fixed-width token chunking with overlap: stepped
+    start grid + slice, zero-shuffle narrow map."""
+    from .operators import packing
+
+    return packing.chunk_documents(tables.load(spark, sf_dir, "documents"))
+
+
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window (60 min every 30 min) per-type stats — each
     event in exactly two epoch-aligned windows."""
@@ -1678,6 +1686,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "corpus_keep": (q_corpus_keep, oracle.sql_corpus_keep_decision()),
         "events_sliding": (q_events_sliding,
                            oracle.sql_sliding_event_stats()),
+        "chunk_documents": (q_chunk_documents,
+                            oracle.sql_chunk_documents()),
         "host_top_pages": _uni(
             q_host_top_pages,
             oracle.sql_host_top_pages(PR_ITERS, mod=m)),
