@@ -119,3 +119,28 @@ def test_textrank_python_replay_and_centrality(spark):
                   key=lambda t: (-t[0], t[1]))
     assert out == [(v, s) for s, v in want]
     assert out[0][0] == "hub"
+
+
+def test_inverted_index_positions_and_df(spark):
+    """Hand replay: positions are 1-based raw-split offsets (a doubled
+    space burns a slot but emits no posting), tf = |positions|,
+    doc_freq counts postings per term."""
+    from ugfraud_spark.operators.tfidf import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b a  b a"),   # raw split: a,b,a,'',b,a -> a@1,3,6 b@2,5
+         (2, "b c"),
+         (3, "c")],
+        "doc_id long, text string")
+    out = {(r["term"], r["doc_id"]): r for r in
+           inverted_index(docs).collect()}
+
+    assert set(out) == {("a", 1), ("b", 1), ("b", 2), ("c", 2), ("c", 3)}
+    assert out[("a", 1)]["positions"] == "1,3,6"
+    assert out[("a", 1)]["tf"] == 3
+    assert out[("b", 1)]["positions"] == "2,5"
+    assert out[("b", 2)]["positions"] == "1"
+    assert out[("a", 1)]["doc_freq"] == 1
+    assert out[("b", 1)]["doc_freq"] == 2
+    assert out[("b", 2)]["doc_freq"] == 2
+    assert out[("c", 3)]["doc_freq"] == 2

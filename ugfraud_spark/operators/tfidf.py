@@ -192,3 +192,45 @@ def tfidf_topk(docs: DataFrame, k: int = 2) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tf", "score", "bm25")
     )
+
+
+def inverted_index(docs: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, doc_freq, positions): the full positional
+    inverted index — the persistent artifact BM25 retrieval reads its
+    postings from (``bm25_retrieval`` simulates the lookup with an
+    isin-filtered scan; this materializes the real thing, positions
+    included so phrase/proximity queries are answerable).
+
+    Positions are 1-based offsets into the raw whitespace split (empty
+    tokens from doubled spaces keep their slot but emit no posting), so
+    a posting's positions are directly comparable across documents and
+    engines. They're emitted as a comma-joined ascending string — a
+    deterministic scalar encoding of the list.
+
+    Scale shape: one posexplode (narrow), one groupBy on the natural
+    postings key (term, doc_id) — partial aggregation map-side combines
+    the tf counts and position lists before the shuffle — and one
+    groupBy on term for document frequency, joined back term-keyed
+    (vocabulary-sized, so AQE broadcasts it when small). No windows, no
+    global sort; at 10^12-doc scale the postings frame is written
+    partitioned by a term hash so lookups prune."""
+    arr = F.split(F.col("text"), " ")
+    tok = (
+        docs.select("doc_id", F.posexplode(arr).alias("p0", "term"))
+        .where(F.col("term") != "")
+        .select("doc_id", "term", (F.col("p0") + 1).alias("pos"))
+    )
+    post = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.col("pos"))),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("positions"),
+    )
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return post.join(dfreq, "term").select(
+        "term", "doc_id", "tf", "doc_freq", "positions"
+    )

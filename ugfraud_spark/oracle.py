@@ -2428,6 +2428,28 @@ def sql_chunk_documents(chunk_tokens: int | None = None,
     )
 
 
+def sql_inverted_index() -> str:
+    """Mirror of tfidf.inverted_index: positions are 1-based offsets
+    into the raw whitespace split (empty slots keep their index),
+    string_agg ORDER BY pos matches Spark's sort_array+concat_ws."""
+    return _with(
+        [("sp",
+          "SELECT doc_id, string_split(text, ' ') AS w FROM documents"),
+         ("g",
+          "SELECT doc_id, UNNEST(range(1, LEN(w) + 1)) AS pos, w FROM sp"),
+         ("tok",
+          "SELECT doc_id, w[pos] AS term, pos FROM g WHERE w[pos] <> ''"),
+         ("post",
+          "SELECT term, doc_id, COUNT(*) AS tf, "
+          "string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions "
+          "FROM tok GROUP BY term, doc_id"),
+         ("df",
+          "SELECT term, COUNT(*) AS doc_freq FROM post GROUP BY term")],
+        "SELECT p.term, p.doc_id, p.tf, d.doc_freq, p.positions "
+        "FROM post p JOIN df d USING (term)",
+    )
+
+
 def sql_corpus_keep_decision() -> str:
     """Mirror of funnel.corpus_keep_decision: the quality / exact-dup /
     contamination oracles nest as materialized CTE subqueries (the

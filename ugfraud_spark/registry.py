@@ -700,6 +700,14 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.chunk_documents(tables.load(spark, sf_dir, "documents"))
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full positional inverted index: postings (term, doc_id, tf,
+    doc_freq, comma-joined ascending positions)."""
+    from .operators import tfidf
+
+    return tfidf.inverted_index(tables.load(spark, sf_dir, "documents"))
+
+
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window (60 min every 30 min) per-type stats — each
     event in exactly two epoch-aligned windows."""
@@ -1688,6 +1696,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                            oracle.sql_sliding_event_stats()),
         "chunk_documents": (q_chunk_documents,
                             oracle.sql_chunk_documents()),
+        "inverted_index": (q_inverted_index, oracle.sql_inverted_index()),
         "host_top_pages": _uni(
             q_host_top_pages,
             oracle.sql_host_top_pages(PR_ITERS, mod=m)),
