@@ -1209,3 +1209,47 @@ def test_chunk_documents_grid_and_reconstruction(spark):
     # reconstruction from non-overlap prefixes + final tail
     rebuilt = a + b[8:]
     assert rebuilt == texts[0].split(" ")
+
+
+def test_event_rate_anomaly_hand_replay(spark):
+    """z = (n·x − S1)/sqrt(n·S2 − S1²) replayed by hand; zero-variance
+    types filtered; hour bucketing epoch-aligned."""
+    import datetime as dt
+    import math
+
+    from ugfraud_spark.operators.funnel import event_rate_anomaly
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = []
+    eid = 0
+    # type A: counts 1, 2, 9 in three separate hours
+    for hour, cnt in [(0, 1), (1, 2), (2, 9)]:
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, t0 + hour * h + dt.timedelta(minutes=5),
+                         7, "A", 0.0, "{}"))
+    # type B: constant 3, 3 -> zero variance, filtered out
+    for hour in (0, 1):
+        for _ in range(3):
+            eid += 1
+            rows.append((eid, t0 + hour * h, 8, "B", 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {(r["event_type"], r["window_start"].hour): r
+           for r in event_rate_anomaly(ev).collect()}
+
+    assert {k[0] for k in out} == {"A"}
+    n, s1, s2 = 3, 12, 1 + 4 + 81
+    for hour, x in [(0, 1), (1, 2), (2, 9)]:
+        r = out[("A", hour)]
+        assert r["n_events"] == x
+        want = (n * x - s1) / math.sqrt(n * s2 - s1 * s1)
+        assert r["z"] == want  # exact: same IEEE ops
+        assert r["is_anomaly"] == (abs(want) >= 2.0)
+    # the spike hour is the anomaly
+    assert not out[("A", 0)]["is_anomaly"]
+    assert not out[("A", 1)]["is_anomaly"]
+    # z for x=9: (27-12)/sqrt(258-144)=15/sqrt(114)=1.405... not >= 2
+    assert out[("A", 2)]["z"] == 15 / math.sqrt(114)

@@ -246,3 +246,44 @@ def corpus_keep_decision(docs: DataFrame) -> DataFrame:
             reason.alias("drop_reason"),
         )
     )
+
+
+def event_rate_anomaly(events: DataFrame,
+                       z_threshold: float = 2.0) -> DataFrame:
+    """(event_type, window_start, n_events, z, is_anomaly): per-type
+    hourly event-rate z-scores — the rate-spike/drop monitor every
+    event pipeline runs. Buckets are epoch-aligned hours; statistics
+    are per type over its OBSERVED buckets (an hour with zero events
+    contributes no row and no stat — the all-hours-dense variant is a
+    sequence join away and changes only the baseline).
+
+    Float discipline: population z rewritten over exact integer sums,
+    z = (n·x − S1) / sqrt(n·S2 − S1²) with n = bucket count, S1 = Σx,
+    S2 = Σx² — an integer numerator, an IEEE sqrt of an exact integer,
+    and ONE double division; every step is correctly rounded and
+    engine-identical, so raw doubles gate exactly (house rule: zero
+    rounding sites). Zero-variance types are filtered (z undefined).
+
+    Scale shape: two map-side-combined groupBys — (type, hour), then
+    type — and a join back on type, a frame of |event types| rows that
+    AQE broadcasts. No windows, no global sort."""
+    b = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    s = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    den2 = F.col("n_b") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = (F.col("n_b") * F.col("n_events") - F.col("s1")).cast("double") \
+        / F.sqrt(den2.cast("double"))
+    return (
+        b.join(s, "event_type")
+        .where(den2 > 0)
+        .select(
+            "event_type", "window_start", "n_events",
+            z.alias("z"),
+            (F.abs(z) >= F.lit(float(z_threshold))).alias("is_anomaly"),
+        )
+    )

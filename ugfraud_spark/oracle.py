@@ -2428,6 +2428,28 @@ def sql_chunk_documents(chunk_tokens: int | None = None,
     )
 
 
+def sql_event_rate_anomaly(z_threshold: float = 2.0) -> str:
+    """Mirror of funnel.event_rate_anomaly: identical integer-sum
+    rewrite, one sqrt + one division (DuckDB SUM(BIGINT) is HUGEINT —
+    exact, and the final CASTs land on the same doubles)."""
+    return _with(
+        [("b",
+          "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+          "COUNT(*) AS n_events FROM events GROUP BY 1, 2"),
+         ("s",
+          "SELECT event_type, COUNT(*) AS n_b, SUM(n_events) AS s1, "
+          "SUM(n_events * n_events) AS s2 FROM b GROUP BY 1")],
+        "SELECT b.event_type, b.window_start, b.n_events, "
+        "CAST(s.n_b * b.n_events - s.s1 AS DOUBLE) "
+        "/ sqrt(CAST(s.n_b * s.s2 - s.s1 * s.s1 AS DOUBLE)) AS z, "
+        "abs(CAST(s.n_b * b.n_events - s.s1 AS DOUBLE) "
+        "/ sqrt(CAST(s.n_b * s.s2 - s.s1 * s.s1 AS DOUBLE))) "
+        f">= {z_threshold}::DOUBLE AS is_anomaly "
+        "FROM b JOIN s USING (event_type) "
+        "WHERE s.n_b * s.s2 - s.s1 * s.s1 > 0",
+    )
+
+
 def sql_inverted_index() -> str:
     """Mirror of tfidf.inverted_index: positions are 1-based offsets
     into the raw whitespace split (empty slots keep their index),

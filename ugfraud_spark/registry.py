@@ -700,6 +700,14 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.chunk_documents(tables.load(spark, sf_dir, "documents"))
 
 
+def q_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly event-rate z-scores over observed buckets:
+    integer-sum rewrite, one sqrt + one division, raw doubles."""
+    from .operators import funnel
+
+    return funnel.event_rate_anomaly(tables.load(spark, sf_dir, "events"))
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full positional inverted index: postings (term, doc_id, tf,
     doc_freq, comma-joined ascending positions)."""
@@ -1697,6 +1705,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "chunk_documents": (q_chunk_documents,
                             oracle.sql_chunk_documents()),
         "inverted_index": (q_inverted_index, oracle.sql_inverted_index()),
+        "event_rate_anomaly": (q_event_rate_anomaly,
+                               oracle.sql_event_rate_anomaly()),
         "host_top_pages": _uni(
             q_host_top_pages,
             oracle.sql_host_top_pages(PR_ITERS, mod=m)),
