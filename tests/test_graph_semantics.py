@@ -1276,3 +1276,49 @@ def test_hitting_time_chain_branch_dangling(spark):
                                        * 1.0 // len(outn[v]))))
              for v in range(6)}
     assert {v: r["h_micro"] for v, r in out.items()} == h
+
+
+def test_mis_hand_replay_and_properties(spark, sf_small):
+    """MIS semantics are NOT inherited from the shared-formula oracle
+    (house lesson: parity proves the decomposition, not the claim), so
+    assert independence + maximality directly, plus a hand replay where
+    the greedy order is forced."""
+    from pyspark.sql import functions as F
+
+    from ugfraud_spark.operators.mis import maximal_independent_set
+    from ugfraud_spark.sources import tables
+
+    # star: center 0 vs leaves 1..4 — either 0 alone or all leaves win,
+    # decided purely by hashed priority; replay the priority here
+    A, B, C, P = 1_103_515_245, 747_796_405, 2_891_336_453, 2_147_483_647
+
+    def pri(v, seed=1):
+        return ((v * A + C + seed) % P * A + B) % P
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)], "a long, b long")
+    got = {r["vertex"]: r["mis_round"]
+           for r in maximal_independent_set(star).collect()}
+    if pri(0) < min(pri(i) for i in range(1, 5)):
+        assert got == {0: 1}
+    else:
+        assert set(got) == {i for i in range(1, 5)} and 0 not in got
+
+    # path 1-2-3: priority-ordered greedy, two rounds max; independence
+    path = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    got = set(r["vertex"]
+              for r in maximal_independent_set(path).collect())
+    assert got in ({1, 3}, {2})
+    assert (got == {2}) == (pri(2) < min(pri(1), pri(3))
+                            or (pri(2) == min(pri(1), pri(3))))
+
+    # real graph: independent + maximal
+    und = tables.uni_edges_undirected(spark, sf_small)
+    mis = {r["vertex"]
+           for r in maximal_independent_set(und).collect()}
+    edges = [(r["a"], r["b"]) for r in und.collect()]
+    nbr: dict = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    assert all(not (a in mis and b in mis) for a, b in edges)
+    assert all(v in mis or (nbr[v] & mis) for v in nbr)

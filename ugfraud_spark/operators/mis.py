@@ -1,0 +1,99 @@
+"""Deterministic Luby-style maximal independent set over the undirected
+link graph — the classic symmetry-breaking primitive (parallel greedy
+colorability / scheduling seed; reference has nothing like it, this is
+forward coverage for the link-graph toolkit).
+
+Algorithm: every vertex gets a static hashed priority (one
+multiplicative scramble round mod P — the bare linear hash clusters,
+see walks.py), totally ordered by (priority, vertex id). Each round, an
+active vertex joins the MIS iff it beats EVERY active neighbor in that
+order; winners and their neighbors deactivate. This is the
+lexicographically-first MIS of the hashed permutation, computed in
+parallel rounds — deterministic in (edges, seed), independent of
+partitioning, and empirically O(log n)-ish rounds on hashed priorities.
+
+Scale shape per round: the symmetric edge frame joins the active-state
+frame on BOTH endpoints (two hash joins on the same vertex key), one
+map-side-combined groupBy counts beating neighbors, and the active set
+shrinks geometrically — each round's state is localCheckpoint'ed
+(lineage truncation, the house iterative-kernel rule). The engine
+early-exits on an empty active set; a fixpoint round selects nothing,
+so running extra rounds (as the unrolled DuckDB oracle does) is
+output-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MIS_A = 1_103_515_245
+MIS_B = 747_796_405
+MIS_C = 2_891_336_453
+MIS_P = 2_147_483_647  # 2^31 - 1
+MIS_ROUNDS = 8  # observed fixpoint: 3 rounds at sf0.001 and sf0.01
+
+
+def _priority(v, seed: int):
+    # every term nonnegative and < 2^62, so plain % agrees with DuckDB
+    h = (v * F.lit(MIS_A) + F.lit(MIS_C + seed)) % F.lit(MIS_P)
+    return (h * F.lit(MIS_A) + F.lit(MIS_B)) % F.lit(MIS_P)
+
+
+def maximal_independent_set(und: DataFrame, seed: int = 1,
+                            max_rounds: int = MIS_ROUNDS) -> DataFrame:
+    """und(a, b) canonical undirected edges → (vertex, mis_round) for
+    every MIS member, mis_round = the round it was selected. Isolated
+    vertices don't appear in the edge set and are trivially in any MIS;
+    callers with a vertex dim can union them in at round 0."""
+    sym = und.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    act = (
+        sym.select("v").distinct()
+        .select("v", _priority(F.col("v"), seed).alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    picked = []
+    for r in range(1, max_rounds + 1):
+        e = (
+            sym.join(act.withColumnRenamed("h", "h_v"), "v")
+            .join(
+                act.select(F.col("v").alias("u"), F.col("h").alias("h_u")),
+                "u",
+            )
+        )
+        beats = e.groupBy("v").agg(
+            F.sum(
+                F.when(
+                    (F.col("h_u") < F.col("h_v"))
+                    | ((F.col("h_u") == F.col("h_v")) & (F.col("u") < F.col("v"))),
+                    1,
+                ).otherwise(0)
+            ).alias("nb")
+        )
+        sel = (
+            act.join(beats, "v", "left")
+            .where(F.coalesce(F.col("nb"), F.lit(0)) == 0)
+            .select("v")
+            .localCheckpoint(eager=True)
+        )
+        picked.append(
+            sel.select(F.col("v").alias("vertex"),
+                       F.lit(r).alias("mis_round"))
+        )
+        dom = (
+            e.join(sel.withColumnRenamed("v", "u"), "u")
+            .select("v").distinct()
+        )
+        act = (
+            act.join(sel, "v", "left_anti")
+            .join(dom, "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if act.limit(1).count() == 0:
+            break
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionAll(p)
+    return out

@@ -2428,6 +2428,47 @@ def sql_chunk_documents(chunk_tokens: int | None = None,
     )
 
 
+def sql_mis(rounds: int | None = None, mod: int = UNI_MOD) -> str:
+    """Mirror of mis.maximal_independent_set: unrolled greedy-by-hash
+    rounds (select local priority minima among actives, remove winners
+    + neighbors). Extra rounds past the fixpoint select nothing, so a
+    fixed unroll matches the engine's early exit."""
+    from .operators.mis import MIS_A, MIS_B, MIS_C, MIS_P, MIS_ROUNDS
+    if rounds is None:
+        rounds = MIS_ROUNDS
+    ctes = [
+        ("uni", uni_frag(mod)), ("und", UND),
+        ("sym", "SELECT a AS v, b AS u FROM und "
+                "UNION ALL SELECT b AS v, a AS u FROM und"),
+        ("act0",
+         f"SELECT v, ((v * {MIS_A} + {MIS_C + 1}) % {MIS_P} * {MIS_A} "
+         f"+ {MIS_B}) % {MIS_P} AS h FROM (SELECT DISTINCT v FROM sym)"),
+    ]
+    for r in range(1, rounds + 1):
+        p = f"act{r - 1}"
+        ctes += [
+            (f"e{r}",
+             f"SELECT s.v, s.u, av.h AS h_v, au.h AS h_u FROM sym s "
+             f"JOIN {p} av ON s.v = av.v JOIN {p} au ON s.u = au.v"),
+            (f"nb{r}",
+             f"SELECT v, SUM(CASE WHEN h_u < h_v OR (h_u = h_v AND u < v) "
+             f"THEN 1 ELSE 0 END) AS nb FROM e{r} GROUP BY v"),
+            (f"sel{r}",
+             f"SELECT a.v FROM {p} a LEFT JOIN nb{r} n ON a.v = n.v "
+             f"WHERE COALESCE(n.nb, 0) = 0"),
+            (f"dom{r}",
+             f"SELECT DISTINCT e.v FROM e{r} e JOIN sel{r} s ON e.u = s.v"),
+            (f"act{r}",
+             f"SELECT v, h FROM {p} WHERE v NOT IN (SELECT v FROM sel{r}) "
+             f"AND v NOT IN (SELECT v FROM dom{r})"),
+        ]
+    final = " UNION ALL ".join(
+        f"SELECT v AS vertex, {r} AS mis_round FROM sel{r}"
+        for r in range(1, rounds + 1)
+    )
+    return _with(ctes, final)
+
+
 def sql_event_rate_anomaly(z_threshold: float = 2.0) -> str:
     """Mirror of funnel.event_rate_anomaly: identical integer-sum
     rewrite, one sqrt + one division (DuckDB SUM(BIGINT) is HUGEINT —

@@ -700,6 +700,15 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.chunk_documents(tables.load(spark, sf_dir, "documents"))
 
 
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Luby-style maximal independent set of the
+    undirected link graph: greedy-by-hashed-priority rounds."""
+    from .operators import mis
+
+    return mis.maximal_independent_set(
+        tables.uni_edges_undirected(spark, sf_dir))
+
+
 def q_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type hourly event-rate z-scores over observed buckets:
     integer-sum rewrite, one sqrt + one division, raw doubles."""
@@ -1707,6 +1716,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "inverted_index": (q_inverted_index, oracle.sql_inverted_index()),
         "event_rate_anomaly": (q_event_rate_anomaly,
                                oracle.sql_event_rate_anomaly()),
+        "mis": _uni(q_mis, oracle.sql_mis(mod=m)),
         "host_top_pages": _uni(
             q_host_top_pages,
             oracle.sql_host_top_pages(PR_ITERS, mod=m)),
