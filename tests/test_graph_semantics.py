@@ -1322,3 +1322,19 @@ def test_mis_hand_replay_and_properties(spark, sf_small):
         nbr.setdefault(b, set()).add(a)
     assert all(not (a in mis and b in mis) for a, b in edges)
     assert all(v in mis or (nbr[v] & mis) for v in nbr)
+
+
+def test_graph_summary_hand_replay(spark):
+    """K4 plus a pendant: every field computed by hand."""
+    from ugfraud_spark.operators.triangles import graph_summary
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    und = spark.createDataFrame(edges, "a long, b long")
+    r = graph_summary(und).collect()[0]
+    # degrees: 1,2,3 -> 3; 4 -> 4; 5 -> 1
+    assert r["n_vertices"] == 5
+    assert r["n_edges"] == 7
+    assert r["n_wedges"] == 3 * 3 + 6 + 0  # 3*C(3,2) + C(4,2) + C(1,2)
+    assert r["n_triangles"] == 4  # K4
+    assert r["transitivity"] == 3.0 * 4 / 15
+    assert r["avg_degree"] == 2.0 * 7 / 5

@@ -402,3 +402,42 @@ def jaccard_inlinks(edges_dir: DataFrame,
             .alias("jaccard"),
         )
     )
+
+
+def graph_summary(edges_ab: DataFrame) -> DataFrame:
+    """One-row global summary of the undirected graph: (n_vertices,
+    n_edges, n_wedges, n_triangles, transitivity, avg_degree) — the
+    at-a-glance health frame a link-graph pipeline logs per snapshot.
+
+    n_wedges = Σ_v C(deg v, 2) counts open+closed two-paths; global
+    transitivity = 3·triangles / wedges; both derivable from frames the
+    engine already shuffles once (degrees; the oriented triangle join).
+    Float discipline: wedge and triangle totals are exact BIGINTs, each
+    ratio is ONE raw-double division (engine-identical, no rounding
+    sites). Scale shape: a degree groupBy, the O(sqrt(E))-bounded
+    oriented triangle join, and three 1-row aggregates crossJoin'd —
+    nothing driver-side."""
+    und = edges_ab.select("a", "b")
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / F.lit(2))
+        .cast("long").alias("n_wedges"),
+    )
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    tri = triangle_total(edges_ab).select(
+        F.col("triangles").alias("n_triangles"))
+    return (
+        base.crossJoin(n_edges).crossJoin(tri)
+        .select(
+            "n_vertices", "n_edges", "n_wedges", "n_triangles",
+            (F.lit(3).cast("double") * F.col("n_triangles")
+             / F.col("n_wedges")).alias("transitivity"),
+            (F.lit(2).cast("double") * F.col("n_edges")
+             / F.col("n_vertices")).alias("avg_degree"),
+        )
+    )

@@ -2428,6 +2428,30 @@ def sql_chunk_documents(chunk_tokens: int | None = None,
     )
 
 
+def sql_graph_summary(mod: int = UNI_MOD) -> str:
+    """Mirror of triangles.graph_summary: exact BIGINT wedge/triangle
+    totals, one raw-double division per ratio (3T/W and 2E/n are exact
+    doubles times/over exact integers — engine-identical)."""
+    return _with(
+        [("uni", uni_frag(mod)), ("und", UND),
+         ("deg",
+          "SELECT id, COUNT(*) AS d FROM (SELECT a AS id FROM und "
+          "UNION ALL SELECT b FROM und) GROUP BY id"),
+         ("base",
+          "SELECT COUNT(*) AS n_vertices, "
+          "CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg"),
+         ("ne", "SELECT COUNT(*) AS n_edges FROM und"),
+         ("tri",
+          "SELECT COUNT(*) AS n_triangles FROM und e1 "
+          "JOIN und e2 ON e2.a = e1.b "
+          "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b")],
+        "SELECT n_vertices, n_edges, n_wedges, n_triangles, "
+        "3::DOUBLE * n_triangles / n_wedges AS transitivity, "
+        "2::DOUBLE * n_edges / n_vertices AS avg_degree "
+        "FROM base, ne, tri",
+    )
+
+
 def sql_mis(rounds: int | None = None, mod: int = UNI_MOD) -> str:
     """Mirror of mis.maximal_independent_set: unrolled greedy-by-hash
     rounds (select local priority minima among actives, remove winners

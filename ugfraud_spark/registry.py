@@ -700,6 +700,15 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.chunk_documents(tables.load(spark, sf_dir, "documents"))
 
 
+def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row global graph summary: vertices, edges, wedges,
+    triangles, transitivity, average degree."""
+    from .operators import triangles
+
+    return triangles.graph_summary(
+        tables.uni_edges_undirected(spark, sf_dir))
+
+
 def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Luby-style maximal independent set of the
     undirected link graph: greedy-by-hashed-priority rounds."""
@@ -1717,6 +1726,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "event_rate_anomaly": (q_event_rate_anomaly,
                                oracle.sql_event_rate_anomaly()),
         "mis": _uni(q_mis, oracle.sql_mis(mod=m)),
+        "graph_summary": _uni(q_graph_summary,
+                              oracle.sql_graph_summary(mod=m)),
         "host_top_pages": _uni(
             q_host_top_pages,
             oracle.sql_host_top_pages(PR_ITERS, mod=m)),
