@@ -1338,3 +1338,34 @@ def test_graph_summary_hand_replay(spark):
     assert r["n_triangles"] == 4  # K4
     assert r["transitivity"] == 3.0 * 4 / 15
     assert r["avg_degree"] == 2.0 * 7 / 5
+
+
+def test_greedy_coloring_proper_and_complete(spark, sf_small):
+    """Coloring semantics asserted directly (the oracle shares the
+    formula): proper (no monochromatic edge), complete (every vertex
+    colored), and color 1 is exactly the MIS-round-1 winner set."""
+    from ugfraud_spark.operators.mis import greedy_coloring
+    from ugfraud_spark.sources import tables
+
+    # path with forced priority order pins the round-per-layer shape
+    und = tables.uni_edges_undirected(spark, sf_small)
+    colors = {r["vertex"]: r["color"]
+              for r in greedy_coloring(und).collect()}
+    edges = [(r["a"], r["b"]) for r in und.collect()]
+    verts = {a for a, b in edges} | {b for a, b in edges}
+    assert set(colors) == verts
+    assert all(colors[a] != colors[b] for a, b in edges)
+
+    # round-1 class = vertices beating ALL neighbors (local minima)
+    A, B, C, P = 1_103_515_245, 747_796_405, 2_891_336_453, 2_147_483_647
+
+    def pri(v):
+        return (((v * A + C + 1) % P) * A + B) % P
+
+    nbr: dict = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    minima = {v for v in verts
+              if all((pri(v), v) < (pri(u), u) for u in nbr[v])}
+    assert {v for v, c in colors.items() if c == 1} == minima

@@ -97,3 +97,61 @@ def maximal_independent_set(und: DataFrame, seed: int = 1,
     for p in picked[1:]:
         out = out.unionAll(p)
     return out
+
+
+COLOR_ROUNDS = 64  # longest priority-decreasing path: 41 (sf0.001), 51 (sf0.01)
+
+
+def greedy_coloring(und: DataFrame, seed: int = 1,
+                    max_rounds: int = COLOR_ROUNDS) -> DataFrame:
+    """und(a, b) → (vertex, color): Jones-Plassmann greedy coloring
+    with color = selection round — each round, every uncolored vertex
+    that beats ALL its uncolored neighbors in the (hashed priority, id)
+    total order takes the round number as its color. Every color class
+    is an independent set by construction, so the coloring is proper;
+    rounds = the longest priority-decreasing path, O(log n)-ish on
+    hashed priorities. Same per-round shape as the MIS kernel (two hash
+    joins of edges against state + one map-side-combined groupBy) minus
+    the domination removal; state localCheckpoint'ed per round."""
+    sym = und.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    act = (
+        sym.select("v").distinct()
+        .select("v", _priority(F.col("v"), seed).alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    picked = []
+    for r in range(1, max_rounds + 1):
+        e = (
+            sym.join(act.withColumnRenamed("h", "h_v"), "v")
+            .join(
+                act.select(F.col("v").alias("u"), F.col("h").alias("h_u")),
+                "u",
+            )
+        )
+        beats = e.groupBy("v").agg(
+            F.sum(
+                F.when(
+                    (F.col("h_u") < F.col("h_v"))
+                    | ((F.col("h_u") == F.col("h_v")) & (F.col("u") < F.col("v"))),
+                    1,
+                ).otherwise(0)
+            ).alias("nb")
+        )
+        sel = (
+            act.join(beats, "v", "left")
+            .where(F.coalesce(F.col("nb"), F.lit(0)) == 0)
+            .select("v")
+            .localCheckpoint(eager=True)
+        )
+        picked.append(
+            sel.select(F.col("v").alias("vertex"), F.lit(r).alias("color"))
+        )
+        act = act.join(sel, "v", "left_anti").localCheckpoint(eager=True)
+        if act.limit(1).count() == 0:
+            break
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionAll(p)
+    return out

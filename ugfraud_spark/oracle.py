@@ -2428,6 +2428,45 @@ def sql_chunk_documents(chunk_tokens: int | None = None,
     )
 
 
+def sql_greedy_coloring(rounds: int | None = None,
+                        mod: int = UNI_MOD) -> str:
+    """Mirror of mis.greedy_coloring: the MIS unroll minus the
+    domination step — winners take the round number as their color and
+    leave; the unroll depth must cover the longest priority-decreasing
+    path (51 observed at sf0.01, COLOR_ROUNDS = 64 for headroom)."""
+    from .operators.mis import COLOR_ROUNDS, MIS_A, MIS_B, MIS_C, MIS_P
+    if rounds is None:
+        rounds = COLOR_ROUNDS
+    ctes = [
+        ("uni", uni_frag(mod)), ("und", UND),
+        ("sym", "SELECT a AS v, b AS u FROM und "
+                "UNION ALL SELECT b AS v, a AS u FROM und"),
+        ("act0",
+         f"SELECT v, ((v * {MIS_A} + {MIS_C + 1}) % {MIS_P} * {MIS_A} "
+         f"+ {MIS_B}) % {MIS_P} AS h FROM (SELECT DISTINCT v FROM sym)"),
+    ]
+    for r in range(1, rounds + 1):
+        p = f"act{r - 1}"
+        ctes += [
+            (f"nb{r}",
+             f"SELECT s.v, SUM(CASE WHEN au.h < av.h OR "
+             f"(au.h = av.h AND s.u < s.v) THEN 1 ELSE 0 END) AS nb "
+             f"FROM sym s JOIN {p} av ON s.v = av.v "
+             f"JOIN {p} au ON s.u = au.v GROUP BY s.v"),
+            (f"sel{r}",
+             f"SELECT a.v FROM {p} a LEFT JOIN nb{r} n ON a.v = n.v "
+             f"WHERE COALESCE(n.nb, 0) = 0"),
+            (f"act{r}",
+             f"SELECT v, h FROM {p} "
+             f"WHERE v NOT IN (SELECT v FROM sel{r})"),
+        ]
+    final = " UNION ALL ".join(
+        f"SELECT v AS vertex, {r} AS color FROM sel{r}"
+        for r in range(1, rounds + 1)
+    )
+    return _with(ctes, final)
+
+
 def sql_graph_summary(mod: int = UNI_MOD) -> str:
     """Mirror of triangles.graph_summary: exact BIGINT wedge/triangle
     totals, one raw-double division per ratio (3T/W and 2E/n are exact

@@ -700,6 +700,14 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.chunk_documents(tables.load(spark, sf_dir, "documents"))
 
 
+def q_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann greedy coloring, color = selection round; every
+    color class an independent set by construction."""
+    from .operators import mis
+
+    return mis.greedy_coloring(tables.uni_edges_undirected(spark, sf_dir))
+
+
 def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row global graph summary: vertices, edges, wedges,
     triangles, transitivity, average degree."""
@@ -1728,6 +1736,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "mis": _uni(q_mis, oracle.sql_mis(mod=m)),
         "graph_summary": _uni(q_graph_summary,
                               oracle.sql_graph_summary(mod=m)),
+        "greedy_coloring": _uni(q_greedy_coloring,
+                                oracle.sql_greedy_coloring(mod=m)),
         "host_top_pages": _uni(
             q_host_top_pages,
             oracle.sql_host_top_pages(PR_ITERS, mod=m)),
