@@ -1253,3 +1253,36 @@ def test_event_rate_anomaly_hand_replay(spark):
     assert not out[("A", 1)]["is_anomaly"]
     # z for x=9: (27-12)/sqrt(258-144)=15/sqrt(114)=1.405... not >= 2
     assert out[("A", 2)]["z"] == 15 / math.sqrt(114)
+
+
+def test_snapshot_delta_hand_replay(spark):
+    """All four statuses from a tiny pair of snapshots, plus the
+    demo construction's epoch membership rules."""
+    from ugfraud_spark.operators.crawl import (
+        crawl_delta_demo, fingerprint, snapshot_delta)
+
+    old = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "cc")], "doc_id long, fp string")
+    new = spark.createDataFrame(
+        [(2, "bb"), (3, "CC"), (4, "dd")], "doc_id long, fp string")
+    out = {r["doc_id"]: r["status"]
+           for r in snapshot_delta(old, new).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+    # fingerprint digests the UTF-8 bytes (known md5 of 'abc')
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    assert fingerprint(docs).collect()[0]["fp"] == \
+        "900150983cd24fb0d6963f7d28e17f72"
+
+    # demo epochs: doc_id 0 is only in NEW (added, despite %5 change);
+    # doc_id 3 is only in OLD (removed); doc_id 5 is recrawled with
+    # changed bytes; doc_id 1 recrawled unchanged.
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string")
+    out = {r["doc_id"]: r["status"]
+           for r in crawl_delta_demo(docs).collect()}
+    assert out[0] == "added"       # %7==0 not in old; %5==0 irrelevant
+    assert out[3] == "removed"     # %11==3 not in new
+    assert out[5] == "changed"     # in both, %5==0 -> '#v2' bytes
+    assert out[1] == "unchanged"   # in both, untouched
+    assert set(out) == {0, 1, 2, 3, 4, 5, 6, 7}

@@ -2554,6 +2554,29 @@ def sql_event_rate_anomaly(z_threshold: float = 2.0) -> str:
     )
 
 
+def sql_crawl_delta() -> str:
+    """Mirror of crawl.crawl_delta_demo: same deterministic two-epoch
+    construction, one FULL OUTER JOIN, same CASE ladder. DuckDB's
+    md5(VARCHAR) digests the UTF-8 bytes — exactly Spark's
+    md5(text CAST AS binary)."""
+    return _with(
+        [("snap_old",
+          "SELECT doc_id, md5(text) AS fp FROM documents "
+          "WHERE doc_id % 7 <> 0"),
+         ("snap_new",
+          "SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0 "
+          "THEN text || '#v2' ELSE text END) AS fp "
+          "FROM documents WHERE doc_id % 11 <> 3")],
+        "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+        "CASE WHEN o.fp IS NULL THEN 'added' "
+        "WHEN n.fp IS NULL THEN 'removed' "
+        "WHEN o.fp = n.fp THEN 'unchanged' "
+        "ELSE 'changed' END AS status "
+        "FROM snap_old o FULL OUTER JOIN snap_new n "
+        "ON o.doc_id = n.doc_id",
+    )
+
+
 def sql_inverted_index() -> str:
     """Mirror of tfidf.inverted_index: positions are 1-based offsets
     into the raw whitespace split (empty slots keep their index),

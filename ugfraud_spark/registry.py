@@ -734,6 +734,14 @@ def q_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel.event_rate_anomaly(tables.load(spark, sf_dir, "events"))
 
 
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch crawl snapshot diff: added/removed/changed/unchanged
+    per doc via md5 content fingerprints, one full-outer hash join."""
+    from .operators import crawl
+
+    return crawl.crawl_delta_demo(tables.load(spark, sf_dir, "documents"))
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full positional inverted index: postings (term, doc_id, tf,
     doc_freq, comma-joined ascending positions)."""
@@ -1731,6 +1739,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "chunk_documents": (q_chunk_documents,
                             oracle.sql_chunk_documents()),
         "inverted_index": (q_inverted_index, oracle.sql_inverted_index()),
+        "crawl_delta": (q_crawl_delta, oracle.sql_crawl_delta()),
         "event_rate_anomaly": (q_event_rate_anomaly,
                                oracle.sql_event_rate_anomaly()),
         "mis": _uni(q_mis, oracle.sql_mis(mod=m)),
