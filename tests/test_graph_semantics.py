@@ -1369,3 +1369,55 @@ def test_greedy_coloring_proper_and_complete(spark, sf_small):
     minima = {v for v in verts
               if all((pri(v), v) < (pri(u), u) for u in nbr[v])}
     assert {v for v, c in colors.items() if c == 1} == minima
+
+
+def test_neighbor_sample_semantics(spark):
+    """Fan-out bounds, true-neighbor containment, shared hop-2
+    sampling, and the salted two-phase == naive-window equivalence on
+    a hub-skewed graph."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from ugfraud_spark.operators.walks import (
+        WALK_A, WALK_B, WALK_C, WALK_P, neighbor_sample)
+
+    # hub 0 -> 1..40 (degree >> f1, spans every salt bucket),
+    # plus a 2-hop tail 1 -> {50, 51}, 2 -> {60}
+    edges = [(0, i) for i in range(1, 41)] + [(1, 50), (1, 51), (2, 60)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = neighbor_sample(e, f1=3, f2=2, seed=7).collect()
+
+    outn = defaultdict(set)
+    for s, d in edges:
+        outn[s].add(d)
+
+    def pri(s, d, hop, seed=7):
+        return ((s * WALK_A + d * WALK_B + seed + hop * WALK_C)
+                % WALK_P * WALK_A + WALK_B) % WALK_P
+
+    def naive(s, f, hop):
+        return set(sorted(outn[s], key=lambda d: (pri(s, d, hop), d))[:f])
+
+    hop1 = defaultdict(set)
+    hop2 = defaultdict(set)
+    for r in out:
+        assert r["dst"] in outn[r["src"]]  # only true edges sampled
+        (hop1 if r["hop"] == 1 else hop2)[(r["root"], r["src"])].add(r["dst"])
+
+    # hop 1: exact top-f1 of the FULL adjacency (two-phase == naive),
+    # min(outdeg, f1) rows per root
+    for s in outn:
+        assert hop1[(s, s)] == naive(s, 3, hop=1)
+    assert len(hop1[(0, 0)]) == 3 and len(hop1[(2, 2)]) == 1
+
+    # hop 2: exactly the shared per-vertex hop-2 sample of each sampled
+    # hop-1 neighbor that has out-edges
+    for (root, s), nbrs in hop1.items():
+        for v1 in nbrs:
+            want = naive(v1, 2, hop=2) if v1 in outn else set()
+            assert hop2.get((root, v1), set()) == want
+
+    # deterministic: a second run is row-identical
+    again = neighbor_sample(e, f1=3, f2=2, seed=7).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -272,3 +272,57 @@ def negative_samples(edges: DataFrame, k: int = 3, oversample: int = 4,
                     F.row_number().over(w_src).alias("neg_rank"))
         .where(F.col("neg_rank") <= k)
     )
+
+
+def _sampled_adjacency(edges: DataFrame, f: int, seed: int, hop: int,
+                       salts: int = 8) -> DataFrame:
+    """Deterministic top-``f`` out-neighbors per vertex, ordered by the
+    scrambled edge hash (h, dst) — the exact grouped top-k, computed
+    SKEW-SAFELY in two phases: phase 1 ranks within (src, dst % salts)
+    so no window frame ever holds more than outdeg/salts rows (salts
+    scales with the hub degree at 100 TB), phase 2 ranks the <= f·salts
+    survivors per src. Identical output to the naive per-src window
+    (any global top-f row is also top-f inside its salt bucket)."""
+    h = (
+        F.col("src") * F.lit(WALK_A) + F.col("dst") * F.lit(WALK_B)
+        + F.lit(seed + hop * WALK_C)
+    ) % F.lit(WALK_P)
+    h = (h * F.lit(WALK_A) + F.lit(WALK_B)) % F.lit(WALK_P)
+    ranked = edges.select("src", "dst", h.alias("h"))
+    w1 = Window.partitionBy("src", F.col("dst") % salts).orderBy("h", "dst")
+    p1 = ranked.withColumn("rn", F.row_number().over(w1)).where(
+        F.col("rn") <= f).drop("rn")
+    w2 = Window.partitionBy("src").orderBy("h", "dst")
+    return p1.withColumn("rn", F.row_number().over(w2)).where(
+        F.col("rn") <= f).select("src", "dst")
+
+
+def neighbor_sample(edges: DataFrame, f1: int = 3, f2: int = 2,
+                    seed: int = 7) -> DataFrame:
+    """(root, hop, src, dst): deterministic GraphSAGE-style fan-out
+    sampling — every vertex's 2-hop training neighborhood, f1 sampled
+    out-neighbors at hop 1 and f2 of EACH sampled neighbor's
+    out-neighbors at hop 2.
+
+    Sampling is shared per vertex (a vertex's hop-2 sample is a pure
+    function of (vertex, seed, hop), not of the root that reached it) —
+    the standard trick that turns per-root resampling (|V|·f1·f2 hash
+    draws that all rehash the same hub adjacency) into two sampled
+    adjacency TABLES and one join; at 10^12 docs the hop-2 frame is
+    |sampled hop-1| ⋈ a <= f2-wide adjacency, both sides bounded.
+
+    Scale shape: two salted grouped top-k passes over the edge scan
+    (see `_sampled_adjacency`) and ONE hash join hop1.dst = adj2.src.
+    Deterministic in (edges, seed): no RNG state, resumable anywhere."""
+    s1 = _sampled_adjacency(edges, f1, seed, hop=1)
+    s2 = _sampled_adjacency(edges, f2, seed, hop=2)
+    hop1 = s1.select(
+        F.col("src").alias("root"), F.lit(1).alias("hop"), "src", "dst")
+    hop2 = (
+        s1.select(F.col("src").alias("root"), F.col("dst").alias("v1"))
+        .join(s2.select(F.col("src").alias("v1"), F.col("dst").alias("v2")),
+              "v1")
+        .select("root", F.lit(2).alias("hop"),
+                F.col("v1").alias("src"), F.col("v2").alias("dst"))
+    )
+    return hop1.unionByName(hop2)

@@ -1969,6 +1969,32 @@ def sql_random_walks(n_walks: int = 2, length: int = 4, seed: int = 1,
     return _with(ctes, unions)
 
 
+def sql_neighbor_sample(f1: int = 3, f2: int = 2, seed: int = 7,
+                        mod: int = UNI_MOD) -> str:
+    """Mirror of walks.neighbor_sample: ONE row_number per src over the
+    full adjacency (the naive form of the engine's salted two-phase
+    top-k — identical output), same scrambled hash, same shared
+    per-vertex hop-2 sampling joined onto hop 1."""
+    from .operators.walks import WALK_A, WALK_B, WALK_C, WALK_P
+
+    def adj(hop: int, f: int) -> str:
+        return (
+            "SELECT src, dst FROM (SELECT src, dst, ROW_NUMBER() OVER ("
+            "PARTITION BY src ORDER BY "
+            f"((((src * {WALK_A} + dst * {WALK_B} + {seed + hop * WALK_C})"
+            f" % {WALK_P}) * {WALK_A} + {WALK_B}) % {WALK_P}), dst) AS rn "
+            f"FROM uni) WHERE rn <= {f}"
+        )
+
+    return _with(
+        [("uni", uni_frag(mod)), ("a1", adj(1, f1)), ("a2", adj(2, f2))],
+        "SELECT src AS root, 1 AS hop, src, dst FROM a1 "
+        "UNION ALL "
+        "SELECT a1.src AS root, 2 AS hop, a1.dst AS src, a2.dst AS dst "
+        "FROM a1 JOIN a2 ON a2.src = a1.dst",
+    )
+
+
 def sql_node2vec_walks(n_walks: int = 2, length: int = 4, seed: int = 1,
                        w_ret: int = 1, w_adj: int = 4, w_out: int = 16,
                        mod: int = UNI_MOD) -> str:

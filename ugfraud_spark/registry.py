@@ -966,6 +966,16 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walks.random_walks(e)
 
 
+def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE fan-out sampling: every vertex's deterministic 2-hop
+    training neighborhood (f1=3, f2=2), salted grouped top-k + one
+    join — shared per-vertex hop-2 samples, no per-root resampling."""
+    from .operators import walks
+
+    e = tables.uni_edges_directed(spark, sf_dir)
+    return walks.neighbor_sample(e)
+
+
 def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """node2vec corpus: second-order biased walks with integer bias
     weights (p=4, q=1/4 defaults) — the weighted draw is an exact
@@ -1813,6 +1823,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "salsa": _uni(q_salsa, oracle.sql_salsa(iters=HITS_ITERS, mod=m)),
         "katz": _uni(q_katz, oracle.sql_katz(iters=PR_ITERS, mod=m)),
         "betweenness": _uni(q_betweenness, oracle.sql_betweenness(mod=m)),
+        "neighbor_sample": _uni(q_neighbor_sample,
+                                oracle.sql_neighbor_sample(mod=m)),
         "random_walks": _uni(q_random_walks, oracle.sql_random_walks(mod=m)),
         "node2vec_walks": _uni(q_node2vec_walks,
                                oracle.sql_node2vec_walks(mod=m)),
