@@ -1286,3 +1286,63 @@ def test_snapshot_delta_hand_replay(spark):
     assert out[5] == "changed"     # in both, %5==0 -> '#v2' bytes
     assert out[1] == "unchanged"   # in both, untouched
     assert set(out) == {0, 1, 2, 3, 4, 5, 6, 7}
+
+
+def test_robots_admission_longest_match(spark):
+    """Longest-match-wins both directions: a longer allow overrides a
+    shorter deny and vice versa; default '/' admits everything else."""
+    from ugfraud_spark.operators.robots import (
+        demo_rules, doc_urls, robots_admission, robots_admission_demo)
+
+    # host_id = doc_id % 37; pick doc_ids landing on rule-bearing hosts
+    # h=9: 9%3==0 AND 9%4==1 -> full rule chain on one host
+    docs = spark.createDataFrame(
+        [(9, "t", "en", "src15", 1),     # h9  /src15/... matches /src1 (deny) + /src (deny)
+         (46, "t", "en", "src12", 1),    # h9  /src12 allow overrides /src1 deny
+         (83, "t", "en", "src7", 1),     # h9  /src7/en allow overrides /src deny
+         (120, "t", "de", "src7", 1),    # h9  /src7/de -> /src deny (no /src7/en match)
+         (157, "t", "en", "other", 1),   # h9  default '/' allow
+         (1, "t", "en", "src15", 1)],    # h1  %4==1: /src deny; %3!=0 so no /src1
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r["doc_id"]: (r["allowed"], r["rule_prefix"])
+           for r in robots_admission_demo(docs).collect()}
+    assert out[9] == (False, "/src1")
+    assert out[46] == (True, "/src12")
+    assert out[83] == (True, "/src7/en")
+    assert out[120] == (False, "/src")
+    assert out[157] == (True, "/")
+    assert out[1] == (False, "/src")
+
+    # every URL gets exactly one decision (the default rule is total)
+    urls = doc_urls(docs)
+    dec = robots_admission(urls, demo_rules(urls))
+    assert dec.count() == docs.count()
+
+
+def test_tokenizer_fertility_matches_python_model(spark):
+    """Per-lang fertility equals the python BPE model's aggregation;
+    the division is ONE IEEE op on exact integer sums."""
+    from ugfraud_spark.operators import bpe
+
+    texts = [
+        ("the there then them the the theory", "en"),
+        ("the cat then the hat aaaa", "en"),
+        ("this the that aaaa aaaa", "de"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, l) for i, (t, l) in enumerate(texts)],
+        "doc_id long, text string, lang string")
+    per_doc = _bpe_python_encode([t for t, _ in texts], 6)
+    want = {}
+    for i, (_, lang) in enumerate(texts):
+        d = want.setdefault(lang, [0, 0, 0])
+        d[0] += 1
+        d[1] += per_doc[i][0]
+        d[2] += per_doc[i][1]
+    got = {r["lang"]: r for r in
+           bpe.tokenizer_fertility(docs, merges=6).collect()}
+    assert set(got) == set(want)
+    for lang, (nd, nw, nt) in want.items():
+        r = got[lang]
+        assert (r["n_docs"], r["n_words"], r["n_tokens"]) == (nd, nw, nt)
+        assert r["fertility"] == nt / nw  # same single IEEE division

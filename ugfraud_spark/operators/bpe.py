@@ -151,3 +151,32 @@ def token_counts(docs: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
             F.sum("wtok").alias("n_tokens"),
         )
     )
+
+
+def tokenizer_fertility(docs: DataFrame, merges: int = BPE_MERGES) -> DataFrame:
+    """(lang, n_docs, n_words, n_tokens, fertility): per-language BPE
+    fertility — tokens emitted per whitespace word — the standard
+    tokenizer-equity report for a multilingual pretraining corpus (a
+    vocabulary trained on the pooled corpus over-segments low-resource
+    languages; this is the metric that shows it).
+
+    All counts are exact BIGINT sums over `token_counts`; fertility is
+    ONE double division (house rule: zero rounding sites). Scale shape:
+    the encode join from `token_counts` plus one map-side-combined
+    groupBy on lang (|langs| rows out) — the doc_id join is
+    broadcast-or-shuffle per AQE, payload 3 ints/doc."""
+    tc = token_counts(docs, merges)
+    return (
+        tc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "lang", "n_docs", "n_words", "n_tokens",
+            (F.col("n_tokens").cast("double")
+             / F.col("n_words").cast("double")).alias("fertility"),
+        )
+    )

@@ -2603,6 +2603,36 @@ def sql_crawl_delta() -> str:
     )
 
 
+def sql_robots_admission() -> str:
+    """Mirror of robots.robots_admission_demo: same URL synthesis,
+    same pure-function rule table, arg_max on prefix length (lengths
+    distinct per host, so longest-match is tie-free in both engines)."""
+    return _with(
+        [("urls",
+          "SELECT doc_id, doc_id % 37 AS host_id, "
+          "'/' || source || '/' || lang || '/' || CAST(doc_id AS VARCHAR) "
+          "AS path FROM documents"),
+         ("hosts", "SELECT DISTINCT host_id FROM urls"),
+         ("rules",
+          "SELECT host_id, '/' AS prefix, TRUE AS allow FROM hosts "
+          "UNION ALL SELECT host_id, '/src1', FALSE FROM hosts "
+          "WHERE host_id % 3 = 0 "
+          "UNION ALL SELECT host_id, '/src12', TRUE FROM hosts "
+          "WHERE host_id % 3 = 0 "
+          "UNION ALL SELECT host_id, '/src', FALSE FROM hosts "
+          "WHERE host_id % 4 = 1 "
+          "UNION ALL SELECT host_id, '/src7/en', TRUE FROM hosts "
+          "WHERE host_id % 4 = 1"),
+         ("m",
+          "SELECT u.doc_id, u.host_id, r.prefix, r.allow "
+          "FROM urls u JOIN rules r ON r.host_id = u.host_id "
+          "AND starts_with(u.path, r.prefix)")],
+        "SELECT doc_id, host_id, arg_max(allow, length(prefix)) AS allowed, "
+        "arg_max(prefix, length(prefix)) AS rule_prefix "
+        "FROM m GROUP BY doc_id, host_id",
+    )
+
+
 def sql_inverted_index() -> str:
     """Mirror of tfidf.inverted_index: positions are 1-based offsets
     into the raw whitespace split (empty slots keep their index),
@@ -3294,6 +3324,37 @@ def sql_bpe_token_counts(merges: int = 8) -> str:
         "SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
         "CAST(SUM(v.wtok) AS BIGINT) AS n_tokens "
         "FROM dw JOIN vocab v USING (word) GROUP BY dw.doc_id",
+    )
+
+
+def sql_tokenizer_fertility(merges: int = 8) -> str:
+    """Mirror of bpe.tokenizer_fertility: the token_counts chain, then
+    the lang join + per-lang exact sums and ONE double division."""
+    ctes = _bpe_ctes(merges)
+    ctes.append((
+        "vocab",
+        f"SELECT REPLACE(seq, ' ', '') AS word, "
+        f"LEN(string_split(seq, ' ')) AS wtok FROM s{merges}",
+    ))
+    ctes.append((
+        "dw",
+        "SELECT doc_id, UNNEST(string_split(text, ' ')) AS word "
+        "FROM documents",
+    ))
+    ctes.append((
+        "tc",
+        "SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+        "CAST(SUM(v.wtok) AS BIGINT) AS n_tokens "
+        "FROM dw JOIN vocab v USING (word) GROUP BY dw.doc_id",
+    ))
+    return _with(
+        ctes,
+        "SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(tc.n_words) AS BIGINT) AS n_words, "
+        "CAST(SUM(tc.n_tokens) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(tc.n_tokens) AS DOUBLE) / CAST(SUM(tc.n_words) AS DOUBLE) "
+        "AS fertility "
+        "FROM tc JOIN documents d USING (doc_id) GROUP BY d.lang",
     )
 
 

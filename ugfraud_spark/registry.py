@@ -742,6 +742,16 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl.crawl_delta_demo(tables.load(spark, sf_dir, "documents"))
 
 
+def q_robots_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-style crawl admission: longest-matching per-host path
+    prefix rule decides allow/deny — broadcast rule join + one max_by
+    groupBy per URL."""
+    from .operators import robots
+
+    return robots.robots_admission_demo(
+        tables.load(spark, sf_dir, "documents"))
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full positional inverted index: postings (term, doc_id, tf,
     doc_freq, comma-joined ascending positions)."""
@@ -1104,6 +1114,14 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import bpe
 
     return bpe.token_counts(tables.load(spark, sf_dir, "documents"))
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language BPE fertility (tokens per whitespace word): exact
+    BIGINT sums over the encode join, one double division."""
+    from .operators import bpe
+
+    return bpe.tokenizer_fertility(tables.load(spark, sf_dir, "documents"))
 
 
 def q_epoch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1750,6 +1768,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                             oracle.sql_chunk_documents()),
         "inverted_index": (q_inverted_index, oracle.sql_inverted_index()),
         "crawl_delta": (q_crawl_delta, oracle.sql_crawl_delta()),
+        "robots_admission": (q_robots_admission,
+                             oracle.sql_robots_admission()),
         "event_rate_anomaly": (q_event_rate_anomaly,
                                oracle.sql_event_rate_anomaly()),
         "mis": _uni(q_mis, oracle.sql_mis(mod=m)),
@@ -1818,6 +1838,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "epoch_pack": (q_epoch_pack, oracle.sql_epoch_pack()),
         "bpe_merges": (q_learn_bpe, oracle.sql_learn_bpe()),
         "bpe_tokens": (q_bpe_token_counts, oracle.sql_bpe_token_counts()),
+        "tokenizer_fertility": (q_tokenizer_fertility,
+                                oracle.sql_tokenizer_fertility()),
         "spam_mass": _uni(q_spam_mass,
                           oracle.sql_spam_mass(iters=PR_ITERS, mod=m)),
         "salsa": _uni(q_salsa, oracle.sql_salsa(iters=HITS_ITERS, mod=m)),
