@@ -1346,3 +1346,61 @@ def test_tokenizer_fertility_matches_python_model(spark):
         r = got[lang]
         assert (r["n_docs"], r["n_words"], r["n_tokens"]) == (nd, nw, nt)
         assert r["fertility"] == nt / nw  # same single IEEE division
+
+
+def test_skipgram_pairs_hand_replay(spark):
+    """Window-3 forward pairs counted by a python model, raw-offset
+    distances across empty slots, min_count filtering."""
+    from collections import Counter
+
+    from ugfraud_spark.operators.lmscore import skipgram_pairs
+
+    texts = ["a b  a b", "b a b a b"]  # doubled space -> empty slot
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    want = Counter()
+    for t in texts:
+        ws = t.split(" ")
+        for i, w1 in enumerate(ws):
+            for d in range(1, 4):
+                if i + d < len(ws) and w1 != "" and ws[i + d] != "":
+                    want[(w1, ws[i + d])] += 1
+    got = {(r["w1"], r["w2"]): r["n"]
+           for r in skipgram_pairs(docs, window=3, min_count=1).collect()}
+    assert got == dict(want)
+    # 'a b  a b': (a,b) at d=1 twice + d=2 skips over the empty slot
+    assert want[("a", "b")] >= 3
+    # min_count filters to a deterministic subset
+    got2 = {(r["w1"], r["w2"]): r["n"]
+            for r in skipgram_pairs(docs, window=3, min_count=3).collect()}
+    assert got2 == {k: v for k, v in want.items() if v >= 3}
+
+
+def test_decayed_activity_exact_micro_units(spark):
+    """Weights are exact powers of two in micro-units; horizon cuts to
+    exactly 0; score is the single division."""
+    import datetime as dt
+
+    from ugfraud_spark.operators.funnel import decayed_activity
+
+    ref = dt.datetime(2024, 1, 3, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        (1, 10, ref),                      # age 0 -> 2^40
+        (2, 10, ref - h),                  # age 1 -> 2^39
+        (3, 10, ref - 40 * h),             # age 40 -> 1
+        (4, 10, ref - 41 * h),             # age 41 -> 0
+        (5, 10, ref - dt.timedelta(minutes=90)),  # age 1 (floor)
+        (6, 20, ref - 2 * h),              # other user, age 2
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "x", 0.0, "{}") for i, u, ts in rows],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string")
+    out = {r["user_id"]: r for r in decayed_activity(ev).collect()}
+    micro10 = 2**40 + 2**39 + 1 + 0 + 2**39
+    assert out[10]["n_events"] == 5
+    assert out[10]["score_micro"] == micro10
+    assert out[10]["score"] == micro10 / float(2**40)
+    assert out[20]["score_micro"] == 2**38

@@ -287,3 +287,56 @@ def event_rate_anomaly(events: DataFrame,
             (F.abs(z) >= F.lit(float(z_threshold))).alias("is_anomaly"),
         )
     )
+
+
+DECAY_HORIZON = 40  # half-lives after which a weight underflows to 0
+
+
+def decayed_activity(events: DataFrame,
+                     half_life_hours: int = 1,
+                     horizon: int = DECAY_HORIZON) -> DataFrame:
+    """(user_id, n_events, score_micro, score): exponentially-decayed
+    activity counters — each event contributes 2^(−age) where age is
+    its whole-half-life distance from the corpus reference time (the
+    max event ts, a crossJoin'd 1-row aggregate) — the trending /
+    recency signal feature stores keep per user.
+
+    Float discipline (the §63 floor-quantization recipe, binary
+    edition): 2^(−age) in units of 2^(−horizon) is the exact BIGINT
+    2^(horizon−age), so the per-user reduce is an EXACT integer sum —
+    no float summation order anywhere — and `score` is ONE double
+    division by 2^horizon at read-out. Weights older than `horizon`
+    half-lives are exactly 0 (at horizon 40 they'd be < 1e-12 of the
+    freshest weight). Overflow bound: sum < n_freshest · 2^40, i.e.
+    BIGINT-safe below ~8.4M same-hour events per user; at bigger
+    scales lower `horizon` (30 → 8.6B) — the unit is presentation
+    only, comparisons are unchanged.
+
+    Scale shape: one broadcast of the 1-row reference, a narrow map,
+    one map-side-combined groupBy on user_id."""
+    unit = float(2 ** horizon)
+    # parquet reads ts as TIMESTAMP_NTZ; the session tz is pinned UTC
+    # (plans/session.py), so the cast is value-preserving
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    ref = events.agg(F.max(ts_ms).alias("ref_ms"))
+    ms_per_bucket = 3_600_000 * half_life_hours
+    age = F.expr(
+        f"(ref_ms - unix_millis(cast(ts as timestamp))) div {ms_per_bucket}")
+    wm = (
+        F.when(age <= F.lit(horizon),
+               F.pow(F.lit(2.0), (F.lit(horizon) - age).cast("double"))
+               .cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+    )
+    return (
+        events.crossJoin(F.broadcast(ref))
+        .select("user_id", wm.alias("wm"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("wm").alias("score_micro"))
+        .select(
+            "user_id", "n_events", "score_micro",
+            (F.col("score_micro").cast("double") / F.lit(unit))
+            .alias("score"),
+        )
+    )

@@ -157,3 +157,41 @@ def lm_doc_scores(docs: DataFrame) -> DataFrame:
             6,
         ).alias("avg_logprob"),
     )
+
+
+def skipgram_pairs(docs: DataFrame, window: int = 3,
+                   min_count: int = COLLOC_MIN_COUNT) -> DataFrame:
+    """(w1, w2, n): skip-gram co-occurrence counts — every forward
+    (center, context-within-+window) token pair over the corpus, the
+    training-pair extraction word2vec/GloVe pipelines run (collocations
+    above is the adjacent-only PMI subset; this is the full window).
+
+    Pair formation is PURE ARRAY EXPRESSIONS over one split() — for
+    each offset d in 1..window, `transform(slice(ws, 1, n-d))` pairs
+    ws[i] with ws[i+d] — so nothing shuffles until the (w1, w2) count
+    groupBy (map-side combined; output is vocabulary², not corpus,
+    sized). Pairs are formed at RAW whitespace offsets (doubled spaces
+    leave empty slots that keep distances honest) and pairs touching an
+    empty slot are dropped after, exactly like inverted_index's
+    position rule. The min_count filter makes the output a
+    deterministic SET — no top-k tie cut.
+    """
+    ws = F.split(F.col("text"), " ")
+    per_d = [
+        F.expr(
+            f"transform(slice(ws, 1, greatest(size(ws) - {d}, 0)), "
+            f"(x, i) -> struct(x AS w1, ws[i + {d}] AS w2))"
+        )
+        for d in range(1, window + 1)
+    ]
+    pairs = (
+        docs.select(ws.alias("ws"))
+        .select(F.explode(F.concat(*per_d)).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )

@@ -2603,6 +2603,48 @@ def sql_crawl_delta() -> str:
     )
 
 
+def sql_skipgram_pairs(window: int = 3, min_count: int = 5) -> str:
+    """Mirror of lmscore.skipgram_pairs via the naive position
+    self-join: non-empty tokens at raw whitespace offsets, pairs at
+    offset distance 1..window — the quadratic form of the engine's
+    zero-shuffle array expressions."""
+    return _with(
+        [("sp",
+          "SELECT doc_id, string_split(text, ' ') AS w FROM documents"),
+         ("g",
+          "SELECT doc_id, UNNEST(range(1, LEN(w) + 1)) AS i, w FROM sp"),
+         ("tok",
+          "SELECT doc_id, i, w[i] AS word FROM g WHERE w[i] <> ''")],
+        "SELECT a.word AS w1, b.word AS w2, COUNT(*) AS n "
+        "FROM tok a JOIN tok b ON b.doc_id = a.doc_id "
+        f"AND b.i - a.i BETWEEN 1 AND {window} "
+        f"GROUP BY a.word, b.word HAVING COUNT(*) >= {min_count}",
+    )
+
+
+def sql_decayed_activity(half_life_hours: int = 1,
+                         horizon: int = 40) -> str:
+    """Mirror of funnel.decayed_activity: same integer age bucketing
+    (// on nonnegative ms deltas == Spark's div), exact BIGINT weight
+    sum, one double division by 2^horizon."""
+    ms = 3_600_000 * half_life_hours
+    unit = float(2 ** horizon)
+    return _with(
+        [("ref", "SELECT MAX(epoch_ms(ts)) AS ref_ms FROM events"),
+         ("a",
+          f"SELECT user_id, (ref.ref_ms - epoch_ms(ts)) // {ms} AS age "
+          "FROM events, ref"),
+         ("w",
+          f"SELECT user_id, CASE WHEN age <= {horizon} THEN "
+          f"CAST(power(2, {horizon} - age) AS BIGINT) ELSE 0 END AS wm "
+          "FROM a")],
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(wm) AS BIGINT) AS score_micro, "
+        f"CAST(SUM(wm) AS DOUBLE) / {unit!r} AS score "
+        "FROM w GROUP BY user_id",
+    )
+
+
 def sql_robots_admission() -> str:
     """Mirror of robots.robots_admission_demo: same URL synthesis,
     same pure-function rule table, arg_max on prefix length (lengths

@@ -742,6 +742,23 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl.crawl_delta_demo(tables.load(spark, sf_dir, "documents"))
 
 
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec training pairs: forward skip-gram co-occurrences
+    within a +3 window, min_count-filtered (deterministic set, no
+    k-cut); zero shuffle before the vocabulary-sized count groupBy."""
+    from .operators import lmscore
+
+    return lmscore.skipgram_pairs(tables.load(spark, sf_dir, "documents"))
+
+
+def q_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed per-user activity: exact BIGINT
+    binary-micro-unit weights (2^(horizon-age)), one division."""
+    from .operators import funnel
+
+    return funnel.decayed_activity(tables.load(spark, sf_dir, "events"))
+
+
 def q_robots_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots-style crawl admission: longest-matching per-host path
     prefix rule decides allow/deny — broadcast rule join + one max_by
@@ -1770,6 +1787,9 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "crawl_delta": (q_crawl_delta, oracle.sql_crawl_delta()),
         "robots_admission": (q_robots_admission,
                              oracle.sql_robots_admission()),
+        "skipgram_pairs": (q_skipgram_pairs, oracle.sql_skipgram_pairs()),
+        "decayed_activity": (q_decayed_activity,
+                             oracle.sql_decayed_activity()),
         "event_rate_anomaly": (q_event_rate_anomaly,
                                oracle.sql_event_rate_anomaly()),
         "mis": _uni(q_mis, oracle.sql_mis(mod=m)),
