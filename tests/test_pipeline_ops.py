@@ -1404,3 +1404,50 @@ def test_decayed_activity_exact_micro_units(spark):
     assert out[10]["score_micro"] == micro10
     assert out[10]["score"] == micro10 / float(2**40)
     assert out[20]["score_micro"] == 2**38
+
+
+def test_importance_sample_replay_and_certainty(spark):
+    """Keep set equals the python hash replay; a vertex with
+    k·pr >= 1 is kept with certainty; seed changes the tail draw."""
+    from ugfraud_spark.operators.mix import (
+        SAMPLE_A, SAMPLE_B, SAMPLE_P, importance_sample)
+
+    prs = [(1, 0.5), (2, 0.25), (3, 0.001), (4, 0.0004), (5, 0.0001),
+           (6, 0.2486), (7, 0.00001)]
+    ranked = spark.createDataFrame(prs, "id long, pagerank double")
+
+    def replay(k, seed):
+        keep = set()
+        for v, pr in prs:
+            h = ((v * SAMPLE_A + seed) % SAMPLE_P * SAMPLE_A
+                 + SAMPLE_B) % SAMPLE_P
+            if float(h) < k * pr * float(SAMPLE_P):
+                keep.add(v)
+        return keep
+
+    for k, seed in [(3.0, 5), (3.0, 6), (2000.0, 5)]:
+        got = {r["id"] for r in
+               importance_sample(ranked, k, seed).collect()}
+        assert got == replay(k, seed)
+    # certainty region: k·pr = 3·0.5 > 1
+    assert 1 in replay(3.0, 5)
+    # k large enough -> everything kept
+    assert replay(1e9, 5) == {v for v, _ in prs}
+
+
+def test_host_churn_hand_replay(spark):
+    """Counts and the single-division churn from a hand-built delta."""
+    from ugfraud_spark.operators.crawl import host_churn
+
+    delta = spark.createDataFrame(
+        [(0, "added"), (37, "removed"), (74, "changed"),
+         (111, "unchanged"), (148, "unchanged"),
+         (1, "changed"), (38, "changed")],
+        "doc_id long, status string")
+    out = {r["host_id"]: r for r in host_churn(delta).collect()}
+    h0 = out[0]
+    assert (h0["n_added"], h0["n_removed"], h0["n_changed"],
+            h0["n_unchanged"]) == (1, 1, 1, 2)
+    assert h0["churn"] == 3 / 5
+    h1 = out[1]
+    assert h1["n_changed"] == 2 and h1["churn"] == 1.0

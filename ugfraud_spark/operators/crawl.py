@@ -72,3 +72,31 @@ def crawl_delta_demo(docs: DataFrame) -> DataFrame:
         ).alias("fp"),
     )
     return snapshot_delta(old, new)
+
+
+def host_churn(delta: DataFrame, n_hosts: int = 37) -> DataFrame:
+    """(host_id, n_added, n_removed, n_changed, n_unchanged, churn):
+    per-host recrawl churn over a `snapshot_delta` frame — the signal
+    crawl schedulers use to set per-host revisit rates (fast-churning
+    hosts get recrawled sooner). Counts are exact conditional sums;
+    churn = (added+removed+changed)/total is ONE double division.
+
+    Scale shape: one map-side-combined groupBy on the host fold —
+    |hosts| rows out regardless of |docs|."""
+    is_ = lambda s: F.sum((F.col("status") == s).cast("bigint"))  # noqa: E731
+    return (
+        delta.groupBy((F.col("doc_id") % n_hosts).alias("host_id"))
+        .agg(
+            is_("added").alias("n_added"),
+            is_("removed").alias("n_removed"),
+            is_("changed").alias("n_changed"),
+            is_("unchanged").alias("n_unchanged"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            "host_id", "n_added", "n_removed", "n_changed", "n_unchanged",
+            ((F.col("n_added") + F.col("n_removed") + F.col("n_changed"))
+             .cast("double") / F.col("n_total").cast("double"))
+            .alias("churn"),
+        )
+    )

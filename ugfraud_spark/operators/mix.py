@@ -80,3 +80,31 @@ def grouped_split(docs: DataFrame, test_permille: int = TEST_PERMILLE,
         F.when((h.cast("bigint") % 1000) < test_permille, F.lit("test"))
         .otherwise(F.lit("train")).alias("split"),
     )
+
+
+SAMPLE_A = 1_103_515_245
+SAMPLE_B = 747_796_405
+SAMPLE_P = 2_147_483_647  # 2^31 - 1
+
+
+def importance_sample(ranked: DataFrame, k_expected: float = 2000.0,
+                      seed: int = 5) -> DataFrame:
+    """(id, pagerank): deterministic Poisson sampling PROPORTIONAL TO
+    RANK — vertex v is kept iff hash(v) < k·pr(v)·P, so inclusion
+    probability is min(1, k·pr(v)) and the expected sample size is
+    ~k_expected (Σpr ≈ 1). The importance-weighted corpus subset a
+    quality-over-quantity pretraining mix draws (high-rank pages
+    certain, tail pages proportionally), without any sort or global
+    structure: ONE narrow filter over the rank frame, embarrassingly
+    parallel, reproducible in (ranks, seed).
+
+    `ranked` is (id, pagerank) with pagerank ALREADY 6dp-rounded (the
+    gate's certified rank output): both engines then evaluate the
+    identical double product k·pr·P against the identical integer
+    hash — correctly-rounded IEEE ops on identical operands, no
+    rounding site (the compare itself is exact)."""
+    h = (F.col("id") * F.lit(SAMPLE_A) + F.lit(seed)) % F.lit(SAMPLE_P)
+    h = (h * F.lit(SAMPLE_A) + F.lit(SAMPLE_B)) % F.lit(SAMPLE_P)
+    thr = (F.lit(float(k_expected)) * F.col("pagerank")
+           * F.lit(float(SAMPLE_P)))
+    return ranked.where(h.cast("double") < thr).select("id", "pagerank")

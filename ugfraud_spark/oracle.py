@@ -2603,6 +2603,45 @@ def sql_crawl_delta() -> str:
     )
 
 
+def sql_importance_sample(k_expected: float = 2000.0, seed: int = 5,
+                          iters: int = 5, mod: int = UNI_MOD) -> str:
+    """Mirror of mix.importance_sample over sql_pagerank's 6dp ranks:
+    identical integer hash, identical double product k·pr·P, exact
+    compare — the rank chain nests as a materialized CTE."""
+    from .operators.mix import SAMPLE_A, SAMPLE_B, SAMPLE_P
+
+    return _with(
+        [("prq", sql_pagerank(iters, mod=mod))],
+        "SELECT id, pagerank FROM prq WHERE "
+        f"CAST((((id * {SAMPLE_A} + {seed}) % {SAMPLE_P}) * {SAMPLE_A} "
+        f"+ {SAMPLE_B}) % {SAMPLE_P} AS DOUBLE) < "
+        f"CAST({k_expected!r} AS DOUBLE) * pagerank "
+        f"* CAST({SAMPLE_P} AS DOUBLE)",
+    )
+
+
+def sql_host_churn(n_hosts: int = 37) -> str:
+    """Mirror of crawl.host_churn over sql_crawl_delta: exact
+    conditional BIGINT sums per host fold, one double division."""
+    return _with(
+        [("cd", sql_crawl_delta())],
+        "SELECT doc_id % "
+        f"{n_hosts} AS host_id, "
+        "CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_added, "
+        "CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_removed, "
+        "CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_changed, "
+        "CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_unchanged, "
+        "CAST(SUM(CASE WHEN status <> 'unchanged' THEN 1 ELSE 0 END) "
+        "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS churn "
+        "FROM cd GROUP BY doc_id % "
+        f"{n_hosts}",
+    )
+
+
 def sql_skipgram_pairs(window: int = 3, min_count: int = 5) -> str:
     """Mirror of lmscore.skipgram_pairs via the naive position
     self-join: non-empty tokens at raw whitespace offsets, pairs at

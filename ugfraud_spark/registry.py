@@ -742,6 +742,24 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl.crawl_delta_demo(tables.load(spark, sf_dir, "documents"))
 
 
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rank-proportional Poisson sample of the vertex
+    set: hash(v) < k·pr(v)·P over the certified 6dp PageRank — one
+    narrow filter, no sort."""
+    from .operators import mix
+
+    return mix.importance_sample(q_pagerank(spark, sf_dir))
+
+
+def q_host_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host recrawl churn over the two-epoch crawl delta: exact
+    status counts per host fold, one double division."""
+    from .operators import crawl
+
+    return crawl.host_churn(
+        crawl.crawl_delta_demo(tables.load(spark, sf_dir, "documents")))
+
+
 def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """word2vec training pairs: forward skip-gram co-occurrences
     within a +3 window, min_count-filtered (deterministic set, no
@@ -1788,6 +1806,9 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "robots_admission": (q_robots_admission,
                              oracle.sql_robots_admission()),
         "skipgram_pairs": (q_skipgram_pairs, oracle.sql_skipgram_pairs()),
+        "importance_sample": _uni(q_importance_sample,
+                                  oracle.sql_importance_sample(mod=m)),
+        "host_churn": (q_host_churn, oracle.sql_host_churn()),
         "decayed_activity": (q_decayed_activity,
                              oracle.sql_decayed_activity()),
         "event_rate_anomaly": (q_event_rate_anomaly,
