@@ -1421,3 +1421,41 @@ def test_neighbor_sample_semantics(spark):
     # deterministic: a second run is row-identical
     again = neighbor_sample(e, f1=3, f2=2, seed=7).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_rich_club_hand_replay(spark):
+    """phi from a hand-built graph: a 3-clique of hubs plus pendant
+    leaves pushing hub degrees up."""
+    from ugfraud_spark.operators.degrees import rich_club
+
+    # hubs 0,1,2 form a triangle; each hub also has 2 pendant leaves
+    edges = [(0, 1), (0, 2), (1, 2),
+             (0, 10), (0, 11), (1, 12), (1, 13), (2, 14), (2, 15)]
+    und = spark.createDataFrame(edges, "a long, b long")
+    out = {r["k"]: r for r in rich_club(und, ks=(1, 2, 3)).collect()}
+    # deg(hubs)=4, deg(leaves)=1
+    # k=1: N=3 hubs (deg>1), E = 3 (triangle; leaf edges have min deg 1)
+    assert (out[1]["n_k"], out[1]["e_k"]) == (3, 3)
+    assert out[1]["phi"] == 1.0
+    # k=3: hubs have deg 4 > 3 -> same club
+    assert (out[3]["n_k"], out[3]["e_k"], out[3]["phi"]) == (3, 3, 1.0)
+    # k=2 same
+    assert out[2]["phi"] == 1.0
+    # grid value above every degree: no club -> row omitted
+    out2 = {r["k"] for r in rich_club(und, ks=(1, 4)).collect()}
+    assert out2 == {1}
+
+
+def test_degree_deciles_tie_sharing(spark):
+    """All vertices of one degree share floor(10*below/n); buckets
+    are monotone in degree."""
+    from ugfraud_spark.operators.degrees import degree_deciles
+
+    # star: center degree 9, nine leaves degree 1 -> n=10
+    und = spark.createDataFrame([(0, i) for i in range(1, 10)],
+                                "a long, b long")
+    out = {r["id"]: (r["deg"], r["decile"])
+           for r in degree_deciles(und).collect()}
+    for leaf in range(1, 10):
+        assert out[leaf] == (1, 0)       # below=0 -> bucket 0
+    assert out[0] == (9, 9)              # below=9, floor(90/10)=9

@@ -89,3 +89,85 @@ def powerlaw_alpha(edges_dir: DataFrame, dmin: int = 2) -> DataFrame:
             F.lit(1.0) + F.col("n_tail").cast("double") / F.col("s"), 6
         ).alias("alpha"),
     )
+
+
+RICH_CLUB_KS = (1, 2, 4, 8, 16, 32, 64)
+
+
+def rich_club(und: DataFrame, ks: tuple[int, ...] = RICH_CLUB_KS
+              ) -> DataFrame:
+    """(k, n_k, e_k, phi): the rich-club coefficient over the
+    undirected graph — for each degree threshold k, the density of the
+    subgraph induced by the vertices of degree > k:
+
+        φ(k) = 2·E_k / (N_k·(N_k−1))
+
+    (Zhou-Mondragón; the 'do hubs link to hubs' web-graph statistic,
+    complementing the scalar degree assortativity). Rows with N_k < 2
+    (φ undefined) are omitted — a deterministic set.
+
+    Scale shape: degrees are one groupBy; per-edge min-endpoint degree
+    is two vertex-keyed joins; then everything collapses to two TINY
+    histograms (distinct degrees ≤ max degree rows), and the ks grid
+    joins those histograms with an inequality — the grid and histogram
+    frames are KBs at any corpus size, so the threshold sweep never
+    rescans edges. Exact BIGINTs throughout, φ is ONE double division."""
+    deg = degree(und)
+    m = (
+        und.join(deg.select(F.col("id").alias("a"),
+                            F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"),
+                         F.col("deg").alias("db")), "b")
+        .select(F.least("da", "db").alias("m"))
+    )
+    eh = m.groupBy("m").agg(F.count(F.lit(1)).alias("ec"))
+    nh = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("nc"))
+    grid = und.sparkSession.createDataFrame(
+        [(int(k),) for k in ks], "k long")
+    nk = (
+        grid.join(nh, nh.deg > grid.k)
+        .groupBy("k").agg(F.sum("nc").alias("n_k"))
+    )
+    ek = (
+        grid.join(eh, eh.m > grid.k)
+        .groupBy("k").agg(F.sum("ec").alias("e_k"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .where(F.col("n_k") >= 2)
+        .select(
+            "k", "n_k",
+            F.coalesce(F.col("e_k"), F.lit(0)).alias("e_k"),
+            (F.lit(2.0) * F.coalesce(F.col("e_k"), F.lit(0)).cast("double")
+             / (F.col("n_k") * (F.col("n_k") - 1)).cast("double"))
+            .alias("phi"),
+        )
+    )
+
+
+def degree_deciles(und: DataFrame) -> DataFrame:
+    """(id, deg, decile): each vertex's degree decile (0..9), defined
+    from the EXACT cumulative degree histogram — all vertices of the
+    same degree share a bucket (floor(10·cum_below/n)), so no
+    per-vertex rank window ever sorts a billion tied deg=1 rows (the
+    skew trap the tie-sharing definition exists to avoid). Feature
+    binning for degree-aware models; integer arithmetic end-to-end."""
+    deg = degree(und)
+    nh = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("nc"))
+    # cumulative count strictly below each degree: a window over the
+    # tiny histogram (distinct degrees), never over vertices
+    from pyspark.sql.window import Window
+
+    w = (Window.orderBy("deg")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = nh.select(
+        "deg", F.coalesce(F.sum("nc").over(w), F.lit(0)).alias("below"))
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        deg.join(F.broadcast(cum), "deg")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id", "deg",
+            F.expr("(10 * below) div n").cast("int").alias("decile"),
+        )
+    )

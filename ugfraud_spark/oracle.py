@@ -178,6 +178,57 @@ def sql_host_top_pages(iters: int = 5, k: int = 3,
     )
 
 
+def sql_rich_club(ks: tuple = (1, 2, 4, 8, 16, 32, 64),
+                  mod: int = UNI_MOD) -> str:
+    """Mirror of degrees.rich_club: same histogram collapse, same grid
+    inequality join, identical (2·e)/(n·(n−1)) double expression."""
+    klist = ", ".join(str(int(k)) for k in ks)
+    return _with(
+        [("uni", uni_frag(mod)),
+         ("und", UND),
+         ("deg",
+          "SELECT id, COUNT(*) AS deg FROM (SELECT a AS id FROM und "
+          "UNION ALL SELECT b AS id FROM und) GROUP BY id"),
+         ("m",
+          "SELECT LEAST(da.deg, db.deg) AS m FROM und "
+          "JOIN deg da ON da.id = und.a JOIN deg db ON db.id = und.b"),
+         ("eh", "SELECT m, COUNT(*) AS ec FROM m GROUP BY m"),
+         ("nh", "SELECT deg, COUNT(*) AS nc FROM deg GROUP BY deg"),
+         ("grid", f"SELECT UNNEST([{klist}]) AS k"),
+         ("nk",
+          "SELECT k, CAST(SUM(nc) AS BIGINT) AS n_k FROM grid "
+          "JOIN nh ON nh.deg > grid.k GROUP BY k"),
+         ("ek",
+          "SELECT k, CAST(SUM(ec) AS BIGINT) AS e_k FROM grid "
+          "JOIN eh ON eh.m > grid.k GROUP BY k")],
+        "SELECT nk.k, nk.n_k, COALESCE(ek.e_k, 0) AS e_k, "
+        "CAST(2.0 AS DOUBLE) * CAST(COALESCE(ek.e_k, 0) AS DOUBLE) "
+        "/ CAST(nk.n_k * (nk.n_k - 1) AS DOUBLE) AS phi "
+        "FROM nk LEFT JOIN ek ON ek.k = nk.k WHERE nk.n_k >= 2",
+    )
+
+
+def sql_degree_deciles(mod: int = UNI_MOD) -> str:
+    """Mirror of degrees.degree_deciles: cumulative-below over the
+    degree histogram, tie-sharing floor(10·below/n) buckets."""
+    return _with(
+        [("uni", uni_frag(mod)),
+         ("und", UND),
+         ("deg",
+          "SELECT id, COUNT(*) AS deg FROM (SELECT a AS id FROM und "
+          "UNION ALL SELECT b AS id FROM und) GROUP BY id"),
+         ("nh", "SELECT deg, COUNT(*) AS nc FROM deg GROUP BY deg"),
+         ("cum",
+          "SELECT deg, COALESCE(SUM(nc) OVER (ORDER BY deg "
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+          "AS below FROM nh"),
+         ("n", "SELECT COUNT(*) AS n FROM deg")],
+        "SELECT deg.id, deg.deg, "
+        "CAST((10 * cum.below) // n.n AS INTEGER) AS decile "
+        "FROM deg JOIN cum USING (deg), n",
+    )
+
+
 def sql_cc_minprop(iters: int = 30, mod: int = UNI_MOD) -> str:
     """k rounds of synchronous min-label propagation over the undirected
     graph; labels converge to the min vertex id per component once

@@ -717,6 +717,24 @@ def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.uni_edges_undirected(spark, sf_dir))
 
 
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) over a degree-threshold grid: the
+    'hubs link to hubs' density curve; histogram-collapsed, exact
+    BIGINTs, one division per row."""
+    from .operators import degrees
+
+    return degrees.rich_club(tables.uni_edges_undirected(spark, sf_dir))
+
+
+def q_degree_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex degree decile from the exact cumulative histogram —
+    tie-sharing buckets, no per-vertex rank window."""
+    from .operators import degrees
+
+    return degrees.degree_deciles(
+        tables.uni_edges_undirected(spark, sf_dir))
+
+
 def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Luby-style maximal independent set of the
     undirected link graph: greedy-by-hashed-priority rounds."""
@@ -1814,6 +1832,9 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "event_rate_anomaly": (q_event_rate_anomaly,
                                oracle.sql_event_rate_anomaly()),
         "mis": _uni(q_mis, oracle.sql_mis(mod=m)),
+        "rich_club": _uni(q_rich_club, oracle.sql_rich_club(mod=m)),
+        "degree_deciles": _uni(q_degree_deciles,
+                               oracle.sql_degree_deciles(mod=m)),
         "graph_summary": _uni(q_graph_summary,
                               oracle.sql_graph_summary(mod=m)),
         "greedy_coloring": _uni(q_greedy_coloring,
