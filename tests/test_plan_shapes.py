@@ -245,3 +245,48 @@ def test_attribution_gap_stays_jvm_side(spark):
         ev.where("event_type = 'click'")))
     assert "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_skipgram_pairs_plan_one_shuffle(spark):
+    """skipgram_pairs forms pairs in pure array expressions: exactly
+    ONE Exchange (the vocabulary-count groupBy) with a map-side
+    partial aggregate below it — no Window, no posexplode shuffle."""
+    import re
+
+    from ugfraud_spark.operators import lmscore
+
+    plan = _plan(lmscore.skipgram_pairs(
+        _docs(spark, ["a b c d e", "x y z"]), window=3, min_count=1))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Window" not in plan, plan
+    aggs = re.findall(r"\(\d+\) (?:Sort|Hash)Aggregate", plan)
+    assert len(aggs) == 2, plan
+
+
+def test_robots_admission_plan_broadcasts_rules(spark):
+    """The rule table must ride a BroadcastExchange into the match
+    join; the only shuffle Exchange is the per-URL max_by groupBy."""
+    import re
+
+    from ugfraud_spark.operators import robots
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", f"src{i % 20}", 1) for i in range(50)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    plan = _plan(robots.robots_admission_demo(docs))
+    assert "BroadcastExchange" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_snapshot_delta_plan_no_singlepartition(spark):
+    """The diff is one hash join on doc_id: no SinglePartition
+    exchange, no Window, no sort-merge of raw text (fingerprints only
+    cross the shuffle)."""
+    from ugfraud_spark.operators import crawl
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string")
+    plan = _plan(crawl.crawl_delta_demo(docs))
+    assert "SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
