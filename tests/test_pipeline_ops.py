@@ -1451,3 +1451,35 @@ def test_host_churn_hand_replay(spark):
     assert h0["churn"] == 3 / 5
     h1 = out[1]
     assert h1["n_changed"] == 2 and h1["churn"] == 1.0
+
+
+def test_session_entry_exit_hand_replay(spark):
+    """Entry/exit picked by the tie-free (ts, event_id) order; bounce
+    = 1-event session; gap splits sessions."""
+    import datetime as dt
+
+    from ugfraud_spark.streaming.events import session_entry_exit
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1 session A: view -> click -> buy
+        (1, t0, 1, "view"), (2, t0 + m, 1, "click"), (3, t0 + 5 * m, 1, "buy"),
+        # user 1 session B after the 30-min gap: a bounce
+        (4, t0 + 60 * m, 1, "view"),
+        # user 2: ts tie broken by event_id (5 before 6)
+        (5, t0, 2, "click"), (6, t0, 2, "view"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, et, 0.0, "{}") for i, ts, u, et in rows],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string")
+    out = {(r["entry_type"], r["exit_type"]): r
+           for r in session_entry_exit(ev).collect()}
+    assert out[("view", "buy")]["n_sessions"] == 1
+    assert out[("view", "buy")]["n_bounce"] == 0
+    assert out[("view", "view")]["n_sessions"] == 1      # the bounce
+    assert out[("view", "view")]["bounce_rate"] == 1.0
+    assert out[("click", "view")]["n_sessions"] == 1     # tie-break
+    assert set(out) == {("view", "buy"), ("view", "view"),
+                        ("click", "view")}

@@ -2348,6 +2348,42 @@ def sql_sessionize(gap_minutes: int = 30) -> str:
     )
 
 
+def sql_session_entry_exit(gap_minutes: int = 30) -> str:
+    """Mirror of streaming.session_entry_exit: the sql_sessionize
+    gaps-and-islands chain, entry/exit via tie-free (ts, event_id)
+    row numbers, same exact counts + one division."""
+    return _with(
+        [("o",
+          f"SELECT user_id, ts, event_id, event_type, CASE WHEN LAG(ts) "
+          f"OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+          f"OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, "
+          f"event_id) >= INTERVAL {gap_minutes} MINUTE THEN 1 ELSE 0 END "
+          f"AS new_s FROM events"),
+         ("s",
+          "SELECT user_id, ts, event_id, event_type, SUM(new_s) OVER "
+          "(PARTITION BY user_id ORDER BY ts, event_id "
+          "ROWS UNBOUNDED PRECEDING) AS sid FROM o"),
+         ("x",
+          "SELECT user_id, sid, event_type, "
+          "ROW_NUMBER() OVER (PARTITION BY user_id, sid "
+          "ORDER BY ts, event_id) AS rn, "
+          "ROW_NUMBER() OVER (PARTITION BY user_id, sid "
+          "ORDER BY ts DESC, event_id DESC) AS rrn FROM s"),
+         ("sess",
+          "SELECT user_id, sid, "
+          "MAX(CASE WHEN rn = 1 THEN event_type END) AS entry_type, "
+          "MAX(CASE WHEN rrn = 1 THEN event_type END) AS exit_type, "
+          "COUNT(*) AS n_events FROM x GROUP BY user_id, sid")],
+        "SELECT entry_type, exit_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+        "CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_bounce, "
+        "CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ CAST(COUNT(*) AS DOUBLE) AS bounce_rate "
+        "FROM sess GROUP BY entry_type, exit_type",
+    )
+
+
 def sql_textrank(k: int = 30, iters: int | None = None,
                  damping: float = 0.85) -> str:
     """Mirror of tfidf.textrank_keywords: identical adjacent-pair word

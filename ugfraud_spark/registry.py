@@ -508,6 +508,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_events.sessionize(ev, gap_minutes=30)
 
 
+def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry/exit transition matrix with bounce rates over the
+    same session_window expression as sessionize."""
+    ev = tables.load(spark, sf_dir, "events")
+    return streaming_events.session_entry_exit(ev, gap_minutes=30)
+
+
 def q_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState,
     explicit GroupState, update mode, availableNow drain) — checked for
@@ -1807,6 +1814,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
             oracle.sql_windowed_approx_distinct(60)),
         "attribution_stream": (
             q_attribution_stream, oracle.sql_purchase_attribution(30)),
+        "session_entry_exit": (q_session_entry_exit,
+                               oracle.sql_session_entry_exit()),
         "sessionize_stream": (
             q_sessionize_stream, oracle.sql_sessionize(30)),
         "funnel_counts": (q_funnel_counts, oracle.sql_funnel_counts()),

@@ -528,3 +528,43 @@ def run_stream_attribution(spark: SparkSession, parquet_path: str,
         if tmp_dir is not None:
             shutil.rmtree(tmp_dir, ignore_errors=True)
     return spark.table(name)
+
+
+def session_entry_exit(events: DataFrame,
+                       gap_minutes: int = 30) -> DataFrame:
+    """(entry_type, exit_type, n_sessions, n_bounce, bounce_rate): the
+    session entry/exit transition matrix with bounce rates — which
+    event types open sessions, which close them, and how often a
+    session dies immediately (classic web/product analytics next to
+    `sessionize`).
+
+    Sessions come from the same F.session_window expression as
+    `sessionize`; entry/exit are min_by/max_by over the total order
+    (ts, event_id) — event_id uniqueness makes the order tie-free, so
+    both engines pick the same event. A bounce is a 1-event session
+    (entry == exit by construction). Counts exact BIGINT, bounce_rate
+    ONE double division.
+
+    Scale shape: one session_window groupBy (the sessionize shuffle)
+    followed by one map-side-combined groupBy on the tiny
+    (entry, exit) key space."""
+    w = F.session_window("ts", f"{gap_minutes} minutes")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    sess = events.groupBy("user_id", w.alias("w")).agg(
+        F.min_by("event_type", key).alias("entry_type"),
+        F.max_by("event_type", key).alias("exit_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        sess.groupBy("entry_type", "exit_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("bigint"))
+            .alias("n_bounce"),
+        )
+        .select(
+            "entry_type", "exit_type", "n_sessions", "n_bounce",
+            (F.col("n_bounce").cast("double")
+             / F.col("n_sessions").cast("double")).alias("bounce_rate"),
+        )
+    )
