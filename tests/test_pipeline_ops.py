@@ -1483,3 +1483,58 @@ def test_session_entry_exit_hand_replay(spark):
     assert out[("click", "view")]["n_sessions"] == 1     # tie-break
     assert set(out) == {("view", "buy"), ("view", "view"),
                         ("click", "view")}
+
+
+def test_resolve_redirects_chains_and_cycles(spark):
+    """Chain a->b->c resolves to c; 2-cycle d<->e stays unresolved;
+    direct hop resolves; non-sources never emit rows."""
+    from ugfraud_spark.operators.crawl import resolve_redirects
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(8)], "doc_id long, text string")
+    red = spark.createDataFrame(
+        [(0, 1), (1, 2),          # chain 0 -> 1 -> 2
+         (3, 4), (4, 3),          # 2-cycle
+         (5, 6)],                 # direct
+        "src long, dst long")
+    out = {r["id"]: (r["final_id"], r["resolved"])
+           for r in resolve_redirects(docs, red).collect()}
+    assert out[0] == (2, True)
+    assert out[1] == (2, True)
+    assert out[5] == (6, True)
+    # cycle members land back on a redirect source -> unresolved
+    assert out[3][1] is False and out[4][1] is False
+    assert out[3][0] in (3, 4)
+    assert set(out) == {0, 1, 3, 4, 5}
+
+    # a chain of length 8 = 2^3 resolves exactly at 3 doublings
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long")
+    docs9 = spark.createDataFrame(
+        [(i, "t") for i in range(9)], "doc_id long, text string")
+    out8 = {r["id"]: (r["final_id"], r["resolved"])
+            for r in resolve_redirects(docs9, chain).collect()}
+    assert out8[0] == (8, True)
+
+
+def test_pagerank_residual_curve_properties(spark):
+    """Residuals are positive and decreasing on a fixed graph, and
+    iteration 1 equals the hand value on a 2-cycle."""
+    from ugfraud_spark.operators.pagerank import residual_curve
+
+    # 2-vertex cycle: pagerank is uniform at every iteration -> after
+    # the first step the state is IDENTICAL to init (0.5, 0.5):
+    # r1 = 0.15/2 + 0.85*0.5 = 0.5 exactly in IEEE
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    out = {r["iter"]: r["l1_residual"]
+           for r in residual_curve(e, iters=2).collect()}
+    assert out[1] == 0.0 and out[2] == 0.0
+
+    # star 1 -> {2,3,4}: mass concentrates, residuals shrink
+    e2 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 1), (3, 1), (4, 1)],
+        "src long, dst long")
+    out2 = [r["l1_residual"] for r in
+            residual_curve(e2, iters=3).orderBy("iter").collect()]
+    assert all(x >= 0 for x in out2)
+    assert out2[0] > out2[1] > out2[2]

@@ -100,3 +100,71 @@ def host_churn(delta: DataFrame, n_hosts: int = 37) -> DataFrame:
             .alias("churn"),
         )
     )
+
+
+def redirect_edges_demo(docs: DataFrame) -> DataFrame:
+    """(src, dst): the gate's deterministic synthetic redirect map —
+    every 13th doc 301-redirects to (3·id+7) mod n (doc_ids are
+    contiguous 0..n−1, so the map is closed over the id domain; a
+    target can itself be a redirect, producing multi-hop chains)."""
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        docs.crossJoin(F.broadcast(n))
+        .where(F.col("doc_id") % 13 == 0)
+        .select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 3 + 7) % F.col("n")).alias("dst"),
+        )
+    )
+
+
+def resolve_redirects(docs: DataFrame, redirects: DataFrame,
+                      doublings: int = 3) -> DataFrame:
+    """(id, final_id, resolved) for every redirect SOURCE: follow the
+    redirect map to its fixed point by POINTER DOUBLING — after k
+    rounds every chain of length ≤ 2^k is fully resolved, so 64-hop
+    chains cost 6 self-joins, not 64 (the crawl canonicalization step:
+    fetch the final URL, index under it). `resolved` is False when the
+    final id still has an outgoing redirect (cycle, or a chain longer
+    than 2^doublings — browsers cap at ~20 for the same reason).
+
+    Scale shape: next() is totalized over the id domain (non-sources
+    map to themselves), each doubling is ONE self equi-join of the
+    |V|-row pointer frame on the id key, localCheckpoint'ed per round
+    (the house iterative-kernel rule); no per-hop chain walking ever
+    touches the driver."""
+    nxt = redirects.select(F.col("src").alias("id"),
+                           F.col("dst").alias("nxt"))
+    f = (
+        docs.select(F.col("doc_id").alias("id"))
+        .join(nxt, "id", "left")
+        .select("id", F.coalesce("nxt", "id").alias("nxt"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(doublings):
+        f = (
+            f.join(
+                f.select(F.col("id").alias("nxt"),
+                         F.col("nxt").alias("nxt2")),
+                "nxt",
+            )
+            .select("id", F.col("nxt2").alias("nxt"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        redirects.select(F.col("src").alias("id"))
+        .join(f, "id")
+        .join(
+            redirects.select(F.col("src").alias("nxt"),
+                             F.lit(True).alias("still_src")),
+            "nxt", "left",
+        )
+        .select(
+            "id", F.col("nxt").alias("final_id"),
+            F.col("still_src").isNull().alias("resolved"),
+        )
+    )
+
+
+def redirect_resolution_demo(docs: DataFrame) -> DataFrame:
+    return resolve_redirects(docs, redirect_edges_demo(docs))

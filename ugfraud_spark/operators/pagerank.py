@@ -420,3 +420,39 @@ def pagerank_weighted(
     )
     res.state = res.state.select("id", "value")
     return res
+
+
+def residual_curve(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """(iter, l1_residual): the per-superstep L1 convergence curve of
+    the PageRank kernel — the engine-exact, GATEABLE version of the
+    convergence metrics the superstep driver checkpoints (north-star
+    resumability surface). Each iteration's states come from the SAME
+    kernel (`pagerank(max_iter=t)` — no reimplementation to drift).
+
+    Float discipline: per-vertex |Δ| is floored to integer nano-units
+    (floor of identical IEEE doubles is engine-independent — the §63
+    recipe), summed as exact BIGINTs, and divided once at read-out —
+    so the residual survives any partitioning/summation order.
+
+    Gate-scale cost is iters(iters+1)/2 supersteps (prefix re-runs);
+    production reads the driver's residual stream instead — this query
+    exists to certify those numbers against an independent engine."""
+    states = [pagerank(edges, max_iter=t).state
+              for t in range(1, iters + 1)]
+    v = states[0].select("id")
+    n = v.count()  # scalar: fixes the uniform init, same 1.0/n as SQL
+    prev = v.select("id", F.lit(1.0 / n).alias("value"))
+    rows = None
+    for t, cur in enumerate(states, start=1):
+        d = prev.select("id", F.col("value").alias("pv")).join(
+            cur.select("id", F.col("value").alias("cv")), "id")
+        micro = d.agg(
+            F.sum(F.floor(F.abs(F.col("cv") - F.col("pv")) * F.lit(1e9)))
+            .alias("micro"))
+        row = micro.select(
+            F.lit(t).alias("iter"),
+            (F.col("micro").cast("double") / F.lit(1e9))
+            .alias("l1_residual"))
+        rows = row if rows is None else rows.unionByName(row)
+        prev = cur
+    return rows

@@ -122,6 +122,68 @@ def sql_pagerank(iters: int = 5, damping: float = 0.85, mod: int = UNI_MOD) -> s
     return _with(ctes, f"SELECT id, ROUND(pr, 6) AS pagerank FROM r{iters}")
 
 
+def sql_pagerank_residuals(iters: int = 5, damping: float = 0.85,
+                           mod: int = UNI_MOD) -> str:
+    """Mirror of pagerank.residual_curve: the sql_pagerank recurrence
+    verbatim, per-iteration Σ floor(|Δ|·1e9) as exact BIGINT nano-units
+    (floor of identical doubles is engine-independent), one division."""
+    ctes = [
+        ("uni", uni_frag(mod)),
+        ("v", VERTS),
+        ("od", "SELECT src AS id, COUNT(*) AS out_deg FROM uni GROUP BY src"),
+        ("nn", "SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v"),
+        ("r0", "SELECT v.id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM v, nn"),
+    ]
+    d = f"CAST({damping!r} AS DOUBLE)"
+    for t in range(1, iters + 1):
+        prev = f"r{t-1}"
+        ctes.append(
+            (
+                f"r{t}",
+                f"SELECT v.id, (CAST(1.0 AS DOUBLE) - {d}) / nn.n "
+                f"+ {d} * COALESCE(s.mass, CAST(0.0 AS DOUBLE)) AS pr\n"
+                f"FROM v CROSS JOIN nn LEFT JOIN (\n"
+                f"  SELECT uni.dst AS id, SUM({prev}.pr / od.out_deg) AS mass\n"
+                f"  FROM uni JOIN {prev} ON {prev}.id = uni.src "
+                f"JOIN od ON od.id = uni.src GROUP BY uni.dst\n"
+                f") s ON s.id = v.id",
+            )
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {t} AS iter, CAST(SUM(CAST(FLOOR(ABS(r{t}.pr - r{t-1}.pr)"
+        f" * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS l1_residual "
+        f"FROM r{t} JOIN r{t-1} ON r{t-1}.id = r{t}.id"
+        for t in range(1, iters + 1))
+    return _with(ctes, unions)
+
+
+def sql_redirect_resolution(doublings: int = 3) -> str:
+    """Mirror of crawl.redirect_resolution_demo: same synthetic map,
+    unrolled pointer-doubling self-joins, same resolved test."""
+    ctes = [
+        ("nn", "SELECT COUNT(*) AS n FROM documents"),
+        ("red",
+         "SELECT doc_id AS src, (doc_id * 3 + 7) % nn.n AS dst "
+         "FROM documents, nn WHERE doc_id % 13 = 0"),
+        ("f0",
+         "SELECT d.doc_id AS id, COALESCE(r.dst, d.doc_id) AS nxt "
+         "FROM documents d LEFT JOIN red r ON r.src = d.doc_id"),
+    ]
+    for k in range(1, doublings + 1):
+        ctes.append((
+            f"f{k}",
+            f"SELECT a.id, b.nxt FROM f{k-1} a "
+            f"JOIN f{k-1} b ON b.id = a.nxt",
+        ))
+    return _with(
+        ctes,
+        f"SELECT r.src AS id, f.nxt AS final_id, "
+        f"(r2.src IS NULL) AS resolved "
+        f"FROM red r JOIN f{doublings} f ON f.id = r.src "
+        f"LEFT JOIN red r2 ON r2.src = f.nxt",
+    )
+
+
 def sql_host_rank(iters: int = 5, damping: float = 0.85,
                   mod: int = UNI_MOD,
                   n_hosts: int | None = None) -> str:

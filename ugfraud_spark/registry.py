@@ -759,6 +759,22 @@ def q_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel.event_rate_anomaly(tables.load(spark, sf_dir, "events"))
 
 
+def q_pagerank_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-superstep L1 convergence curve of the PageRank kernel in
+    exact nano-units — certifies the driver's residual stream."""
+    e = tables.uni_edges_directed(spark, sf_dir)
+    return pagerank.residual_curve(e, iters=PR_ITERS)
+
+
+def q_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain canonicalization by pointer doubling: final
+    target + resolved flag for every redirect source."""
+    from .operators import crawl
+
+    return crawl.redirect_resolution_demo(
+        tables.load(spark, sf_dir, "documents"))
+
+
 def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-epoch crawl snapshot diff: added/removed/changed/unchanged
     per doc via md5 content fingerprints, one full-outer hash join."""
@@ -1830,6 +1846,11 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                             oracle.sql_chunk_documents()),
         "inverted_index": (q_inverted_index, oracle.sql_inverted_index()),
         "crawl_delta": (q_crawl_delta, oracle.sql_crawl_delta()),
+        "pagerank_residuals": _uni(
+            q_pagerank_residuals,
+            oracle.sql_pagerank_residuals(PR_ITERS, mod=m)),
+        "redirect_resolution": (q_redirect_resolution,
+                                oracle.sql_redirect_resolution()),
         "robots_admission": (q_robots_admission,
                              oracle.sql_robots_admission()),
         "skipgram_pairs": (q_skipgram_pairs, oracle.sql_skipgram_pairs()),
