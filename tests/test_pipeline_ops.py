@@ -1538,3 +1538,36 @@ def test_pagerank_residual_curve_properties(spark):
             residual_curve(e2, iters=3).orderBy("iter").collect()]
     assert all(x >= 0 for x in out2)
     assert out2[0] > out2[1] > out2[2]
+
+
+def test_user_gap_stats_hand_replay(spark):
+    """Gaps floor to whole seconds; percentiles match numpy's linear
+    interpolation; singleton-gap users included, 1-event users not."""
+    import datetime as dt
+
+    import numpy as np
+
+    from ugfraud_spark.operators.funnel import user_gap_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows, eid = [], 0
+    # user 1: gaps 1, 2, 10 s (and a 1.9s gap flooring to 1)
+    for off in [0, 1, 3, 13]:
+        eid += 1
+        rows.append((eid, t0 + off * s, 1))
+    eid += 1
+    rows.append((eid, t0 + dt.timedelta(seconds=14.9), 1))  # gap 1.9 -> 1
+    # user 2: a single event -> no gaps -> no output row
+    eid += 1
+    rows.append((eid, t0, 2))
+    ev = spark.createDataFrame(
+        [(i, ts, u, "x", 0.0, "{}") for i, ts, u in rows],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string")
+    out = {r["user_id"]: r for r in user_gap_stats(ev).collect()}
+    assert set(out) == {1}
+    gaps = [1, 2, 10, 1]
+    assert out[1]["n_rows"] == 4
+    assert out[1]["p50"] == round(float(np.percentile(gaps, 50)), 6)
+    assert out[1]["p90"] == round(float(np.percentile(gaps, 90)), 6)

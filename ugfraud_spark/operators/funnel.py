@@ -340,3 +340,32 @@ def decayed_activity(events: DataFrame,
             .alias("score"),
         )
     )
+
+
+def user_gap_stats(events: DataFrame) -> DataFrame:
+    """(user_id, n_rows, p50, p90): exact percentiles of each user's
+    inter-event gaps in whole seconds — the cadence feature behind
+    bot/burst detection (human gaps are heavy-tailed; scripted traffic
+    is metronomic, i.e. p90 ≈ p50).
+
+    Gaps come from a LEAD over the (ts, event_id)-ordered per-user
+    window (the event_transitions shape — frames bounded by one user's
+    activity), floored to integer seconds so the percentile input is a
+    bounded-integer column; percentiles then reuse
+    attrs.grouped_percentiles' histogram + cumulative-distribution
+    walk — no user's raw gaps are ever buffered."""
+    from pyspark.sql.window import Window
+
+    from .attrs import grouped_percentiles
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead(F.unix_millis(F.col("ts").cast("timestamp"))).over(w)
+    cur_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gaps = (
+        events.select(
+            "user_id",
+            F.floor((nxt - cur_ms) / F.lit(1000.0)).alias("gap_s"),
+        )
+        .where(F.col("gap_s").isNotNull())
+    )
+    return grouped_percentiles(gaps, "user_id", "gap_s", [0.5, 0.9])

@@ -1298,6 +1298,22 @@ def sql_doc_length_stats() -> str:
     )
 
 
+def sql_user_gap_stats() -> str:
+    """Mirror of funnel.user_gap_stats: LEAD gaps floored to whole
+    seconds, then DuckDB's native quantile_cont vs the engine's
+    histogram walk — independent algorithms, equal numbers."""
+    return _with(
+        [("g",
+          "SELECT user_id, CAST(FLOOR((LEAD(epoch_ms(ts)) OVER "
+          "(PARTITION BY user_id ORDER BY ts, event_id) - epoch_ms(ts)) "
+          "/ 1000.0) AS BIGINT) AS gap_s FROM events")],
+        "SELECT user_id, COUNT(*) AS n_rows, "
+        "ROUND(quantile_cont(gap_s, 0.5), 6) AS p50, "
+        "ROUND(quantile_cont(gap_s, 0.9), 6) AS p90 "
+        "FROM g WHERE gap_s IS NOT NULL GROUP BY user_id",
+    )
+
+
 def sql_cms_heavy_hitters(d: int = 4, w: int = 64, k: int = 20) -> str:
     """Mirror of sketch.cms_heavy_hitters over events.user_id: same
     scramble-hash grid, elementwise sum, min-over-rows estimate,

@@ -810,6 +810,14 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lmscore.skipgram_pairs(tables.load(spark, sf_dir, "documents"))
 
 
+def q_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user inter-event-gap percentiles (whole seconds) via
+    the histogram + cumulative-distribution walk."""
+    from .operators import funnel
+
+    return funnel.user_gap_stats(tables.load(spark, sf_dir, "events"))
+
+
 def q_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-decayed per-user activity: exact BIGINT
     binary-micro-unit weights (2^(horizon-age)), one division."""
@@ -1859,6 +1867,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "host_churn": (q_host_churn, oracle.sql_host_churn()),
         "decayed_activity": (q_decayed_activity,
                              oracle.sql_decayed_activity()),
+        "user_gap_stats": (q_user_gap_stats, oracle.sql_user_gap_stats()),
         "event_rate_anomaly": (q_event_rate_anomaly,
                                oracle.sql_event_rate_anomaly()),
         "mis": _uni(q_mis, oracle.sql_mis(mod=m)),
