@@ -1571,3 +1571,27 @@ def test_user_gap_stats_hand_replay(spark):
     assert out[1]["n_rows"] == 4
     assert out[1]["p50"] == round(float(np.percentile(gaps, 50)), 6)
     assert out[1]["p90"] == round(float(np.percentile(gaps, 90)), 6)
+
+
+def test_vocab_drift_hand_replay(spark):
+    """log_ratio replayed by hand; min_count on BOTH sides; the sign
+    convention (positive = gained share in new)."""
+    import math
+
+    from ugfraud_spark.operators.crawl import vocab_drift
+
+    old = spark.createDataFrame(
+        [(1, "a a a a a b b b b b c")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(2, "a a a a a a a a a a b b b b b")], "doc_id long, text string")
+    out = {r["term"]: r for r in
+           vocab_drift(old, new, min_count=5).collect()}
+    # c: only 1 in old -> filtered; a: 5->10 of 11->15 totals
+    assert set(out) == {"a", "b"}
+    assert (out["a"]["c_old"], out["a"]["c_new"]) == (5, 10)
+    assert out["a"]["log_ratio"] == round(
+        math.log((10.0 * 11) / (5.0 * 15)), 6)
+    assert out["a"]["log_ratio"] > 0          # gained share
+    assert out["b"]["log_ratio"] == round(
+        math.log((5.0 * 11) / (5.0 * 15)), 6)
+    assert out["b"]["log_ratio"] < 0          # lost share

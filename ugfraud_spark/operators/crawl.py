@@ -168,3 +168,62 @@ def resolve_redirects(docs: DataFrame, redirects: DataFrame,
 
 def redirect_resolution_demo(docs: DataFrame) -> DataFrame:
     return resolve_redirects(docs, redirect_edges_demo(docs))
+
+
+VOCAB_DRIFT_MIN = 5
+
+
+def vocab_drift(old_docs: DataFrame, new_docs: DataFrame,
+                min_count: int = VOCAB_DRIFT_MIN) -> DataFrame:
+    """(term, c_old, c_new, log_ratio): per-term frequency drift
+    between two corpus snapshots — log((c_new·N_old)/(c_old·N_new)),
+    the vocabulary-shift monitor that catches topic/source drift
+    between crawl epochs before it reaches training (positive =
+    term gained share in the new epoch).
+
+    Float discipline (the collocations recipe): the ratio is exact
+    BIGINT products evaluated in one identical left-associated double
+    expression, ONE LN, rounded to 6 dp — no other float op. Products
+    stay < 2^53 at sandbox scales; at 10¹² tokens lift to
+    DECIMAL(38,0). ``min_count`` on BOTH sides keeps the ratio away
+    from the unstable low-count tail AND makes the output a
+    deterministic set (no k-cut); epoch-exclusive terms (c=0, log
+    undefined) belong to a novelty listing, not a drift ratio.
+
+    Scale shape: two token-count groupBys (map-side combined,
+    vocabulary-sized outputs), one vocabulary-keyed join, scalars ride
+    broadcast 1-row frames."""
+    def counts(d: DataFrame, name: str):
+        tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("t")) \
+               .where(F.col("t") != "")
+        per = tok.groupBy("t").agg(F.count(F.lit(1)).alias(name))
+        tot = tok.agg(F.count(F.lit(1)).alias(f"n_{name}"))
+        return per, tot
+
+    po, to = counts(old_docs, "c_old")
+    pn, tn = counts(new_docs, "c_new")
+    j = (
+        po.where(F.col("c_old") >= min_count)
+        .join(pn.where(F.col("c_new") >= min_count), po["t"] == pn["t"])
+        .select(po["t"].alias("term"), "c_old", "c_new")
+        .crossJoin(F.broadcast(to))
+        .crossJoin(F.broadcast(tn))
+    )
+    lr = F.round(
+        F.log(
+            (F.col("c_new").cast("double") * F.col("n_c_old"))
+            / (F.col("c_old").cast("double") * F.col("n_c_new"))
+        ),
+        6,
+    )
+    return j.select("term", "c_old", "c_new", lr.alias("log_ratio"))
+
+
+def vocab_drift_demo(docs: DataFrame) -> DataFrame:
+    """Gate construction: the crawl_delta epochs over RAW text (the
+    drift question is which documents exist in each epoch, so the
+    recrawl '#v2' byte edit is not applied here)."""
+    return vocab_drift(
+        docs.where(F.col("doc_id") % 7 != 0),
+        docs.where(F.col("doc_id") % 11 != 3),
+    )

@@ -2807,6 +2807,32 @@ def sql_host_churn(n_hosts: int = 37) -> str:
     )
 
 
+def sql_vocab_drift(min_count: int = 5) -> str:
+    """Mirror of crawl.vocab_drift_demo: same epochs over raw text,
+    exact counts, one LN of the identical left-associated double
+    ratio, ROUND 6."""
+    def counts(name: str, where: str) -> str:
+        return (
+            "SELECT t, COUNT(*) AS c FROM (SELECT UNNEST("
+            "string_split(text, ' ')) AS t FROM documents "
+            f"WHERE {where}) WHERE t <> '' GROUP BY t"
+        )
+
+    return _with(
+        [("po", counts("c_old", "doc_id % 7 <> 0")),
+         ("pn", counts("c_new", "doc_id % 11 <> 3")),
+         ("tot_o",
+          "SELECT CAST(SUM(c) AS BIGINT) AS n_old FROM po"),
+         ("tot_n",
+          "SELECT CAST(SUM(c) AS BIGINT) AS n_new FROM pn")],
+        "SELECT po.t AS term, po.c AS c_old, pn.c AS c_new, "
+        "ROUND(LN((CAST(pn.c AS DOUBLE) * tot_o.n_old) "
+        "/ (CAST(po.c AS DOUBLE) * tot_n.n_new)), 6) AS log_ratio "
+        "FROM po JOIN pn ON pn.t = po.t, tot_o, tot_n "
+        f"WHERE po.c >= {min_count} AND pn.c >= {min_count}",
+    )
+
+
 def sql_skipgram_pairs(window: int = 3, min_count: int = 5) -> str:
     """Mirror of lmscore.skipgram_pairs via the naive position
     self-join: non-empty tokens at raw whitespace offsets, pairs at

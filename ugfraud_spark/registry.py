@@ -801,6 +801,14 @@ def q_host_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         crawl.crawl_delta_demo(tables.load(spark, sf_dir, "documents")))
 
 
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term frequency drift between the two crawl epochs: one LN
+    of an exact BIGINT product ratio, min_count on both sides."""
+    from .operators import crawl
+
+    return crawl.vocab_drift_demo(tables.load(spark, sf_dir, "documents"))
+
+
 def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """word2vec training pairs: forward skip-gram co-occurrences
     within a +3 window, min_count-filtered (deterministic set, no
@@ -1868,6 +1876,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "decayed_activity": (q_decayed_activity,
                              oracle.sql_decayed_activity()),
         "user_gap_stats": (q_user_gap_stats, oracle.sql_user_gap_stats()),
+        "vocab_drift": (q_vocab_drift, oracle.sql_vocab_drift()),
         "event_rate_anomaly": (q_event_rate_anomaly,
                                oracle.sql_event_rate_anomaly()),
         "mis": _uni(q_mis, oracle.sql_mis(mod=m)),
