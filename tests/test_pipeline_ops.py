@@ -1595,3 +1595,39 @@ def test_vocab_drift_hand_replay(spark):
     assert out["b"]["log_ratio"] == round(
         math.log((5.0 * 11) / (5.0 * 15)), 6)
     assert out["b"]["log_ratio"] < 0          # lost share
+
+
+def test_langid_agreement_hand_replay(spark):
+    """Agreement counted against the deterministic argmax (ties ->
+    lexicographically smallest lang)."""
+    from ugfraud_spark.operators.quality import langid_agreement
+
+    docs = spark.createDataFrame(
+        [(1, "the query join", "en"),     # en markers -> agree
+         (2, "der und gross", "de"),      # de markers -> agree
+         (3, "der und gross", "en"),      # de markers, labeled en -> no
+         (4, "xyz", "en")],               # all scores 0 -> tie -> 'de'
+        "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in langid_agreement(docs).collect()}
+    assert (out["en"]["n_docs"], out["en"]["n_agree"]) == (3, 1)
+    assert out["en"]["rate"] == 1 / 3
+    assert (out["de"]["n_docs"], out["de"]["n_agree"]) == (1, 1)
+
+
+def test_host_lang_entropy_hand_replay(spark):
+    """Monolingual host -> 0; two-lang 50/50 -> ln 2; term order is the
+    fixed literal order."""
+    import math
+
+    from ugfraud_spark.operators.quotient import host_lang_entropy
+
+    docs = spark.createDataFrame(
+        # host 0: 2 en -> entropy 0; host 1: en + de 50/50 -> ln 2
+        [(0, "t", "en"), (37, "t", "en"),
+         (1, "t", "en"), (38, "t", "de")],
+        "doc_id long, text string, lang string")
+    out = {r["host_id"]: r for r in host_lang_entropy(docs).collect()}
+    assert out[0]["entropy"] == 0.0
+    want = -(0.5 * math.log(0.5) + 0.5 * math.log(0.5))
+    assert out[1]["entropy"] == round(want, 6)  # 6dp: LN ulp convention
+    assert abs(out[1]["entropy"] - math.log(2)) < 1e-6

@@ -108,3 +108,29 @@ def source_reputation(docs: DataFrame) -> DataFrame:
             F.round(F.col("_s") / F.col("n_scored").cast("double"), 6),
         ).alias("avg_lm"),
     )
+
+
+def langid_agreement(docs: DataFrame) -> DataFrame:
+    """(lang, n_docs, n_agree, rate): how often the n-gram language-ID
+    heuristic agrees with the labeled lang, per label — the standard
+    QA check before trusting EITHER signal for mixing decisions (a low
+    row means mislabeled docs or a weak marker set for that language).
+
+    One narrow map (the lang-ID argmax is a pure column expression)
+    plus one map-side-combined groupBy on the 5-value lang key; exact
+    counts, ONE double division."""
+    from ..functions.text import predicted_lang
+
+    agree = (predicted_lang(F.col("text")) == F.col("lang")).cast("bigint")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(agree).alias("n_agree"),
+        )
+        .select(
+            "lang", "n_docs", "n_agree",
+            (F.col("n_agree").cast("double")
+             / F.col("n_docs").cast("double")).alias("rate"),
+        )
+    )

@@ -93,3 +93,39 @@ def host_top_pages(scores: DataFrame, score_col: str,
         .where(F.col("rnk") <= k)
         .select("host", "rnk", "id", "score")
     )
+
+
+ENTROPY_LANGS = ("de", "en", "es", "fr", "zh")  # fixed summation order
+
+
+def host_lang_entropy(docs: DataFrame, n_hosts: int = 37) -> DataFrame:
+    """(host_id, n_docs, entropy): Shannon entropy of each host's
+    language mix — the per-source diversity diagnostic a multilingual
+    mixing pipeline reads next to tokenizer fertility (entropy 0 =
+    monolingual host; ln(5) ≈ 1.609 = uniform over the five corpus
+    languages).
+
+    Float discipline: per-language counts are exact BIGINTs from ONE
+    conditional-sum groupBy (no pivot shuffle); the entropy is a
+    SINGLE fixed-order expression −Σ (c/t)·ln(c/t) over the literal
+    ENTROPY_LANGS order, so the five-term double summation is the
+    same left-associated IEEE sequence on both engines (a dynamic
+    per-lang SUM would be partition-order-dependent), ROUNDED to 6 dp
+    — measured: Spark's and DuckDB's LN disagree by 1 ulp on some
+    rational inputs (3/14 at sf0.01), so LN-bearing outputs take the
+    house PMI/collocations convention rather than gating raw.
+    Languages outside the literal set would need a sixth term —
+    asserted against at the gate by construction of the corpus."""
+    counts = [
+        F.sum((F.col("lang") == lang).cast("bigint")).alias(f"c_{lang}")
+        for lang in ENTROPY_LANGS
+    ]
+    g = docs.groupBy((F.col("doc_id") % n_hosts).alias("host_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"), *counts)
+    term = None
+    for lang in ENTROPY_LANGS:
+        r = F.col(f"c_{lang}").cast("double") / F.col("n_docs").cast("double")
+        t = F.when(F.col(f"c_{lang}") > 0, r * F.log(r)).otherwise(F.lit(0.0))
+        term = t if term is None else term + t
+    return g.select("host_id", "n_docs",
+                    F.round(-term, 6).alias("entropy"))

@@ -2807,6 +2807,55 @@ def sql_host_churn(n_hosts: int = 37) -> str:
     )
 
 
+def sql_langid_agreement() -> str:
+    """Mirror of quality.langid_agreement: the text_features lang CASE
+    rendered identically, grouped by the label."""
+    scores = {
+        lang: " + ".join(_tx.sql_word_occurrences("text", m) for m in markers)
+        for lang, markers in _tx.LANG_MARKERS.items()
+    }
+    mx = "GREATEST(" + ", ".join(f"({s})" for s in scores.values()) + ")"
+    case = " ".join(
+        f"WHEN ({scores[lang]}) = mx THEN '{lang}'" for lang in sorted(scores)
+    )
+    return _with(
+        [("p",
+          f"SELECT lang, CASE {case} END AS pred_lang FROM "
+          f"(SELECT lang, text, {mx} AS mx FROM documents)")],
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_agree, "
+        "CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ CAST(COUNT(*) AS DOUBLE) AS rate "
+        "FROM p GROUP BY lang",
+    )
+
+
+def sql_host_lang_entropy(n_hosts: int = 37) -> str:
+    """Mirror of quotient.host_lang_entropy: same conditional counts,
+    same fixed-order five-term entropy expression."""
+    from .operators.quotient import ENTROPY_LANGS
+
+    counts = ", ".join(
+        f"CAST(SUM(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS c_{lang}"
+        for lang in ENTROPY_LANGS
+    )
+    terms = " + ".join(
+        f"(CASE WHEN c_{lang} > 0 THEN (CAST(c_{lang} AS DOUBLE) "
+        f"/ CAST(n_docs AS DOUBLE)) * LN(CAST(c_{lang} AS DOUBLE) "
+        f"/ CAST(n_docs AS DOUBLE)) ELSE 0.0 END)"
+        for lang in ENTROPY_LANGS
+    )
+    return _with(
+        [("g",
+          f"SELECT doc_id % {n_hosts} AS host_id, "
+          f"CAST(COUNT(*) AS BIGINT) AS n_docs, {counts} "
+          f"FROM documents GROUP BY doc_id % {n_hosts}")],
+        f"SELECT host_id, n_docs, ROUND(-({terms}), 6) AS entropy FROM g",
+    )
+
+
 def sql_vocab_drift(min_count: int = 5) -> str:
     """Mirror of crawl.vocab_drift_demo: same epochs over raw text,
     exact counts, one LN of the identical left-associated double

@@ -801,6 +801,23 @@ def q_host_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         crawl.crawl_delta_demo(tables.load(spark, sf_dir, "documents")))
 
 
+def q_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID vs label agreement rate per language: pure column
+    argmax, one groupBy, one division."""
+    from .operators import quality
+
+    return quality.langid_agreement(tables.load(spark, sf_dir, "documents"))
+
+
+def q_host_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host language-mix Shannon entropy in one fixed-order
+    five-term expression over exact conditional counts."""
+    from .operators import quotient
+
+    return quotient.host_lang_entropy(
+        tables.load(spark, sf_dir, "documents"))
+
+
 def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-term frequency drift between the two crawl epochs: one LN
     of an exact BIGINT product ratio, min_count on both sides."""
@@ -1877,6 +1894,10 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                              oracle.sql_decayed_activity()),
         "user_gap_stats": (q_user_gap_stats, oracle.sql_user_gap_stats()),
         "vocab_drift": (q_vocab_drift, oracle.sql_vocab_drift()),
+        "langid_agreement": (q_langid_agreement,
+                             oracle.sql_langid_agreement()),
+        "host_lang_entropy": (q_host_lang_entropy,
+                              oracle.sql_host_lang_entropy()),
         "event_rate_anomaly": (q_event_rate_anomaly,
                                oracle.sql_event_rate_anomaly()),
         "mis": _uni(q_mis, oracle.sql_mis(mod=m)),
