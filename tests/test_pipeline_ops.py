@@ -1631,3 +1631,56 @@ def test_host_lang_entropy_hand_replay(spark):
     want = -(0.5 * math.log(0.5) + 0.5 * math.log(0.5))
     assert out[1]["entropy"] == round(want, 6)  # 6dp: LN ulp convention
     assert abs(out[1]["entropy"] - math.log(2)) < 1e-6
+
+
+def test_minhash_calibration_estimator(spark):
+    """Identical docs agree on all H positions (est 1.0 == exact 1.0);
+    n_match is the per-position signature agreement count."""
+    from ugfraud_spark.operators.dedup import (
+        MINHASH_H, minhash_calibration, minhash_signatures)
+
+    t = ("alpha beta gamma delta epsilon zeta eta theta iota "
+         "kappa lambda mu")
+    docs = spark.createDataFrame(
+        [(1, t), (2, t),                              # exact dup
+         (3, t + " extra tokens appended here now")],  # near dup
+        "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r
+           for r in minhash_calibration(docs).collect()}
+    assert (1, 2) in out
+    r12 = out[(1, 2)]
+    assert r12["n_match"] == MINHASH_H
+    assert r12["est_jaccard"] == 1.0 and r12["jaccard"] == 1.0
+    # the near-dup pair (if LSH surfaces it) must replay the signature
+    # agreement count exactly
+    sig = {r["doc_id"]: [r[f"mh{j}"] for j in range(MINHASH_H)]
+           for r in minhash_signatures(docs).collect()}
+    for (a, b), r in out.items():
+        want = sum(x == y for x, y in zip(sig[a], sig[b]))
+        assert r["n_match"] == want
+        assert r["est_jaccard"] == round(want / float(MINHASH_H), 6)
+
+
+def test_frontier_priority_composition(spark):
+    """Frontier = allowed ∩ (added|changed), carrying the host churn."""
+    from ugfraud_spark.operators.crawl import (
+        crawl_delta_demo, frontier_priority_demo, host_churn)
+    from ugfraud_spark.operators.robots import robots_admission_demo
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", f"src{i % 20}", 1) for i in range(120)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = {r["doc_id"]: r for r in frontier_priority_demo(docs).collect()}
+    delta = {r["doc_id"]: r["status"]
+             for r in crawl_delta_demo(docs).collect()}
+    allowed = {r["doc_id"] for r in robots_admission_demo(docs).collect()
+               if r["allowed"]}
+    churn = {r["host_id"]: r["churn"]
+             for r in host_churn(crawl_delta_demo(docs)).collect()}
+    want = {d for d, s in delta.items()
+            if s in ("added", "changed") and d in allowed}
+    assert set(out) == want and len(want) > 0
+    for d, r in out.items():
+        assert r["status"] == delta[d]
+        assert r["churn"] == churn[d % 37]

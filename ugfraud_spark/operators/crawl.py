@@ -227,3 +227,28 @@ def vocab_drift_demo(docs: DataFrame) -> DataFrame:
         docs.where(F.col("doc_id") % 7 != 0),
         docs.where(F.col("doc_id") % 11 != 3),
     )
+
+
+def frontier_priority_demo(docs: DataFrame) -> DataFrame:
+    """(doc_id, host_id, status, churn): the END-TO-END recrawl
+    frontier — robots-ALLOWED documents of the new epoch whose content
+    is new or changed, prioritized by their host's measured churn
+    (fast-churning hosts first). Pure composition of the three
+    certified stages (admission ⋈ delta ⋈ churn): two doc-keyed joins
+    plus one broadcast of the |hosts|-row churn frame — the query a
+    crawl scheduler actually runs each cycle."""
+    from .robots import robots_admission_demo
+
+    # feeds both the needs-fetch filter and the churn aggregate
+    delta = crawl_delta_demo(docs).localCheckpoint(eager=True)
+    need = delta.where(F.col("status").isin("added", "changed"))
+    allowed = robots_admission_demo(docs).where(F.col("allowed")) \
+        .select("doc_id")
+    ch = host_churn(delta)
+    return (
+        need.join(allowed, "doc_id")
+        .select("doc_id", (F.col("doc_id") % 37).alias("host_id"),
+                "status")
+        .join(F.broadcast(ch.select("host_id", "churn")), "host_id")
+        .select("doc_id", "host_id", "status", "churn")
+    )

@@ -523,3 +523,44 @@ def remove_boilerplate(docs: DataFrame, w: int = CHUNK_W,
         "n_spans",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
     )
+
+
+def minhash_calibration(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_match, est_jaccard, jaccard): the MinHash
+    ESTIMATOR CERTIFICATE — for every LSH candidate pair, the fraction
+    of agreeing signature positions (the unbiased Jaccard estimate the
+    banding rides on) next to the EXACT shingle Jaccard. This is the
+    report that justifies the dedup pipeline's thresholds: if
+    |est − exact| drifts, H is too small for the corpus' similarity
+    profile.
+
+    Everything reuses the certified chains: signatures from
+    `minhash_signatures`, pairs + exact Jaccard from
+    `ngram_jaccard_pairs`; the only new math is an integer match count
+    over the H columns and ONE rounded division. Scale shape: two
+    doc-keyed broadcast-or-shuffle joins of the (tiny) pair frame onto
+    the signature table."""
+    pairs = ngram_jaccard_pairs(docs)
+    sig = minhash_signatures(docs)
+    a = sig.select(F.col("doc_id").alias("doc_a"),
+                   *[F.col(f"mh{j}").alias(f"a{j}")
+                     for j in range(MINHASH_H)])
+    b = sig.select(F.col("doc_id").alias("doc_b"),
+                   *[F.col(f"mh{j}").alias(f"b{j}")
+                     for j in range(MINHASH_H)])
+    match = None
+    for j in range(MINHASH_H):
+        m = (F.col(f"a{j}") == F.col(f"b{j}")).cast("bigint")
+        match = m if match is None else match + m
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b", match.alias("n_match"), "jaccard",
+        )
+        .select(
+            "doc_a", "doc_b", "n_match",
+            F.round(F.col("n_match").cast("double")
+                    / F.lit(float(MINHASH_H)), 6).alias("est_jaccard"),
+            "jaccard",
+        )
+    )

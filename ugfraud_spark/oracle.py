@@ -1239,6 +1239,44 @@ def sql_winnow_dup_pairs(w: int | None = None,
     )
 
 
+def sql_minhash_calibration(h: int = 12, bands: int = 4, rows: int = 3,
+                            max_bucket: int = 512) -> str:
+    """Mirror of dedup.minhash_calibration: the ngram-jaccard chain's
+    pairs + exact jaccard, joined back to the signature CTE; the match
+    count is the identical 12-term CASE sum, est is one ROUND."""
+    ctes, jfinal = _ngram_jaccard_ctes(h, bands, rows, max_bucket)
+    ctes.append(("jac", jfinal))
+    match = " + ".join(
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(h))
+    return _with(
+        ctes,
+        "SELECT j.doc_a, j.doc_b, "
+        f"CAST({match} AS BIGINT) AS n_match, "
+        f"ROUND(CAST({match} AS DOUBLE) / CAST({h} AS DOUBLE), 6) "
+        "AS est_jaccard, j.jaccard "
+        "FROM jac j JOIN sig sa ON sa.doc_id = j.doc_a "
+        "JOIN sig sb ON sb.doc_id = j.doc_b",
+    )
+
+
+def sql_frontier_priority() -> str:
+    """Mirror of crawl.frontier_priority_demo: the three certified
+    chains nested as materialized CTEs, composed with the identical
+    filters and joins."""
+    return _with(
+        [("fdelta", sql_crawl_delta()),
+         ("fadm", sql_robots_admission()),
+         ("fch", sql_host_churn())],
+        "SELECT fdelta.doc_id, fdelta.doc_id % 37 AS host_id, "
+        "fdelta.status, fch.churn "
+        "FROM fdelta JOIN fadm ON fadm.doc_id = fdelta.doc_id "
+        "AND fadm.allowed "
+        "JOIN fch ON fch.host_id = fdelta.doc_id % 37 "
+        "WHERE fdelta.status IN ('added', 'changed')",
+    )
+
+
 def sql_dedup_clusters(threshold: float = 0.8, h: int = 12, bands: int = 4,
                        rows: int = 3, max_bucket: int = 512) -> str:
     """Duplicate CLUSTERS: verified near-dup pairs (jaccard >=

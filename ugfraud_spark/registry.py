@@ -801,6 +801,24 @@ def q_host_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         crawl.crawl_delta_demo(tables.load(spark, sf_dir, "documents")))
 
 
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator certificate: signature agreement vs exact
+    shingle Jaccard for every LSH candidate pair."""
+    from .operators import dedup
+
+    return dedup.minhash_calibration(
+        tables.load(spark, sf_dir, "documents"))
+
+
+def q_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end recrawl frontier: robots-allowed new/changed docs
+    prioritized by host churn — admission ⋈ delta ⋈ churn."""
+    from .operators import crawl
+
+    return crawl.frontier_priority_demo(
+        tables.load(spark, sf_dir, "documents"))
+
+
 def q_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID vs label agreement rate per language: pure column
     argmax, one groupBy, one division."""
@@ -1896,6 +1914,10 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "vocab_drift": (q_vocab_drift, oracle.sql_vocab_drift()),
         "langid_agreement": (q_langid_agreement,
                              oracle.sql_langid_agreement()),
+        "minhash_calibration": (q_minhash_calibration,
+                                oracle.sql_minhash_calibration()),
+        "frontier_priority": (q_frontier_priority,
+                              oracle.sql_frontier_priority()),
         "host_lang_entropy": (q_host_lang_entropy,
                               oracle.sql_host_lang_entropy()),
         "event_rate_anomaly": (q_event_rate_anomaly,
