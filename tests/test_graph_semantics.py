@@ -1459,3 +1459,28 @@ def test_degree_deciles_tie_sharing(spark):
     for leaf in range(1, 10):
         assert out[leaf] == (1, 0)       # below=0 -> bucket 0
     assert out[0] == (9, 9)              # below=9, floor(90/10)=9
+
+
+def test_knn_curve_hand_replay(spark):
+    """Star graph: leaves (deg 1) have avg neighbor degree n-1; the
+    center's neighbors are all leaves (avg 1)."""
+    from ugfraud_spark.operators.degrees import knn_curve
+
+    und = spark.createDataFrame([(0, i) for i in range(1, 6)],
+                                "a long, b long")
+    out = {r["deg"]: r for r in knn_curve(und).collect()}
+    assert out[1]["n_vertices"] == 5
+    assert out[1]["avg_nbr_deg"] == 5.0   # every leaf touches the hub
+    assert out[5]["n_vertices"] == 1
+    assert out[5]["avg_nbr_deg"] == 1.0   # the hub touches only leaves
+
+    # triangle + pendant: vertex degrees 2,2,3,1
+    und2 = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a long, b long")
+    out2 = {r["deg"]: r for r in knn_curve(und2).collect()}
+    # deg-2 class = {1,2}: neighbors 2,3 and 1,3 -> (2+3+2+3)/4
+    assert out2[2]["avg_nbr_deg"] == 10 / 4
+    # deg-3 class = {3}: neighbors 1,2,4 -> (2+2+1)/3
+    assert out2[3]["avg_nbr_deg"] == 5 / 3
+    # deg-1 class = {4}: neighbor 3 -> 3
+    assert out2[1]["avg_nbr_deg"] == 3.0

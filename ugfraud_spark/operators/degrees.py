@@ -171,3 +171,37 @@ def degree_deciles(und: DataFrame) -> DataFrame:
             F.expr("(10 * below) div n").cast("int").alias("decile"),
         )
     )
+
+
+def knn_curve(und: DataFrame) -> DataFrame:
+    """(deg, n_vertices, avg_nbr_deg): the average-neighbor-degree
+    curve knn(k) (Pastor-Satorras–Vázquez-Vespignani) — the standard
+    web-graph plot read next to the scalar assortativity: decreasing =
+    disassortative (hubs touch leaves), flat = uncorrelated.
+
+    For each degree class k: the mean degree of all neighbors of all
+    degree-k vertices. Exact BIGINT sums (per-edge endpoint-degree
+    join, then one groupBy on the tiny degree-class key), ONE double
+    division per output row. n_vertices counts the class size."""
+    deg = degree(und)
+    sym = und.select(F.col("a").alias("v"), F.col("b").alias("u")) \
+        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+    j = (
+        sym.join(deg.select(F.col("id").alias("v"),
+                            F.col("deg").alias("dv")), "v")
+        .join(deg.select(F.col("id").alias("u"),
+                         F.col("deg").alias("du")), "u")
+    )
+    per_class = j.groupBy(F.col("dv").alias("deg")).agg(
+        F.sum("du").alias("s_nbr"),
+        F.count(F.lit(1)).alias("n_ends"),
+    )
+    sizes = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_vertices"))
+    return (
+        per_class.join(sizes, "deg")
+        .select(
+            "deg", "n_vertices",
+            (F.col("s_nbr").cast("double") / F.col("n_ends").cast("double"))
+            .alias("avg_nbr_deg"),
+        )
+    )

@@ -270,6 +270,33 @@ def sql_rich_club(ks: tuple = (1, 2, 4, 8, 16, 32, 64),
     )
 
 
+def sql_knn_curve(mod: int = UNI_MOD) -> str:
+    """Mirror of degrees.knn_curve: symmetric endpoint-degree join,
+    exact sums per degree class, one division."""
+    return _with(
+        [("uni", uni_frag(mod)),
+         ("und", UND),
+         ("deg",
+          "SELECT id, COUNT(*) AS deg FROM (SELECT a AS id FROM und "
+          "UNION ALL SELECT b AS id FROM und) GROUP BY id"),
+         ("sym",
+          "SELECT a AS v, b AS u FROM und "
+          "UNION ALL SELECT b AS v, a AS u FROM und"),
+         ("j",
+          "SELECT dv.deg AS deg, du.deg AS du FROM sym "
+          "JOIN deg dv ON dv.id = sym.v JOIN deg du ON du.id = sym.u"),
+         ("pc",
+          "SELECT deg, CAST(SUM(du) AS BIGINT) AS s_nbr, "
+          "CAST(COUNT(*) AS BIGINT) AS n_ends FROM j GROUP BY deg"),
+         ("sz",
+          "SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_vertices "
+          "FROM deg GROUP BY deg")],
+        "SELECT pc.deg, sz.n_vertices, "
+        "CAST(pc.s_nbr AS DOUBLE) / CAST(pc.n_ends AS DOUBLE) "
+        "AS avg_nbr_deg FROM pc JOIN sz ON sz.deg = pc.deg",
+    )
+
+
 def sql_degree_deciles(mod: int = UNI_MOD) -> str:
     """Mirror of degrees.degree_deciles: cumulative-below over the
     degree histogram, tie-sharing floor(10·below/n) buckets."""

@@ -733,6 +733,14 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees.rich_club(tables.uni_edges_undirected(spark, sf_dir))
 
 
+def q_knn_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-neighbor-degree curve knn(k): exact endpoint-degree
+    sums per degree class, one division per row."""
+    from .operators import degrees
+
+    return degrees.knn_curve(tables.uni_edges_undirected(spark, sf_dir))
+
+
 def q_degree_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex degree decile from the exact cumulative histogram —
     tie-sharing buckets, no per-vertex rank window."""
@@ -1924,6 +1932,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                                oracle.sql_event_rate_anomaly()),
         "mis": _uni(q_mis, oracle.sql_mis(mod=m)),
         "rich_club": _uni(q_rich_club, oracle.sql_rich_club(mod=m)),
+        "knn_curve": _uni(q_knn_curve, oracle.sql_knn_curve(mod=m)),
         "degree_deciles": _uni(q_degree_deciles,
                                oracle.sql_degree_deciles(mod=m)),
         "graph_summary": _uni(q_graph_summary,
