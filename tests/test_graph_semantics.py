@@ -1484,3 +1484,39 @@ def test_knn_curve_hand_replay(spark):
     assert out2[3]["avg_nbr_deg"] == 5 / 3
     # deg-1 class = {4}: neighbor 3 -> 3
     assert out2[1]["avg_nbr_deg"] == 3.0
+
+
+def test_butterflies_hand_replay(spark):
+    """K(2,2) = 1 butterfly to each user; K(2,3) = C(3,2) = 3; a
+    product above the cap contributes nothing."""
+    from pyspark.sql import functions as F
+
+    from ugfraud_spark.operators.triangles import butterflies
+
+    def bip(rows):
+        return spark.createDataFrame(
+            [(u, p, 1.0, 1) for u, p in rows],
+            "src long, dst long, weight double, sign int")
+
+    # users 1,2 share products 100,101 -> one butterfly each
+    k22 = bip([(1, 100), (1, 101), (2, 100), (2, 101)])
+    out = {r["user"]: r["n_butterflies"] for r in butterflies(k22).collect()}
+    assert out == {1: 1, 2: 1}
+
+    # users 1,2 share products 100,101,102 -> C(3,2) = 3 each
+    k23 = bip([(u, p) for u in (1, 2) for p in (100, 101, 102)])
+    out = {r["user"]: r["n_butterflies"] for r in butterflies(k23).collect()}
+    assert out == {1: 3, 2: 3}
+
+    # three users share two products: 3 pairs x 1 butterfly; each user
+    # is in 2 pairs -> 2 butterflies per user
+    k32 = bip([(u, p) for u in (1, 2, 3) for p in (100, 101)])
+    out = {r["user"]: r["n_butterflies"] for r in butterflies(k32).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+    # cap: a mega-product shared by everyone is dropped pre-join
+    capped = bip([(1, 100), (1, 101), (2, 100), (2, 101),
+                  (1, 999), (2, 999), (3, 999)])
+    out = {r["user"]: r["n_butterflies"]
+           for r in butterflies(capped, max_deg=2).collect()}
+    assert out == {1: 1, 2: 1}

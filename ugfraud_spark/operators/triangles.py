@@ -441,3 +441,46 @@ def graph_summary(edges_ab: DataFrame) -> DataFrame:
              / F.col("n_vertices")).alias("avg_degree"),
         )
     )
+
+
+BFLY_MAX_DEG = 256
+
+
+def butterflies(bip: DataFrame, max_deg: int = BFLY_MAX_DEG) -> DataFrame:
+    """(user, n_butterflies): per-user butterfly (2×2 biclique) counts
+    over the user–product bipartite graph — the bipartite analog of
+    triangle counting and THE density motif behind Fraudar-style
+    dense-block fraud (a review farm is a butterfly factory: every
+    pair of colluding users sharing every pair of targets).
+
+    Counting: users u<v sharing c products form C(c,2) butterflies,
+    credited to both users. The wedge join self-joins edges on the
+    PRODUCT key, so a product of degree d fans out d² pairs — products
+    above ``max_deg`` are dropped BEFORE the join (the cocitation /
+    LSH-bucket quadratic-skew trade, mirrored exactly in the oracle;
+    popularity hubs are precisely the products a fraud block does NOT
+    need, so the cap cuts noise as well as cost). All integer
+    arithmetic: C(c,2) = (c·(c−1)) div 2 — no float anywhere."""
+    ok = (
+        bip.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") <= max_deg)
+        .select("dst")
+    )
+    e = bip.join(ok, "dst", "left_semi").select("src", "dst")
+    l, r = e.alias("l"), e.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.dst") == F.col("r.dst"))
+               & (F.col("l.src") < F.col("r.src")))
+        .select(F.col("l.src").alias("u"), F.col("r.src").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("u", "v",
+                F.expr("(c * (c - 1)) div 2").alias("bf"))
+    )
+    return (
+        pairs.select(F.col("u").alias("user"), "bf")
+        .unionAll(pairs.select(F.col("v").alias("user"), "bf"))
+        .groupBy("user")
+        .agg(F.sum("bf").alias("n_butterflies"))
+    )

@@ -240,6 +240,29 @@ def sql_host_top_pages(iters: int = 5, k: int = 3,
     )
 
 
+def sql_butterflies(max_deg: int = 256) -> str:
+    """Mirror of triangles.butterflies: identical product-degree cap,
+    u<v wedge self-join on the product key, integer C(c,2)."""
+    return _with(
+        [("bip", BIP),
+         ("ok",
+          f"SELECT dst FROM (SELECT dst, COUNT(*) AS d FROM bip "
+          f"GROUP BY dst) WHERE d <= {max_deg}"),
+         ("e", "SELECT src, dst FROM bip WHERE dst IN (SELECT dst FROM ok)"),
+         ("pr",
+          "SELECT l.src AS u, r.src AS v, COUNT(*) AS c FROM e l "
+          "JOIN e r ON r.dst = l.dst AND l.src < r.src "
+          "GROUP BY l.src, r.src HAVING COUNT(*) >= 2"),
+         ("bf",
+          "SELECT u, v, (c * (c - 1)) // 2 AS bf FROM pr"),
+         ("per",
+          "SELECT u AS usr, bf FROM bf UNION ALL SELECT v AS usr, bf "
+          "FROM bf")],
+        'SELECT usr AS "user", CAST(SUM(bf) AS BIGINT) AS n_butterflies '
+        "FROM per GROUP BY usr",
+    )
+
+
 def sql_rich_club(ks: tuple = (1, 2, 4, 8, 16, 32, 64),
                   mod: int = UNI_MOD) -> str:
     """Mirror of degrees.rich_club: same histogram collapse, same grid

@@ -724,6 +724,15 @@ def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.uni_edges_undirected(spark, sf_dir))
 
 
+def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user butterfly (2x2 biclique) counts over the user-product
+    graph: the dense-block fraud motif; hub-capped wedge join, pure
+    integer C(c,2)."""
+    from .operators import triangles as tri
+
+    return tri.butterflies(tables.bipartite_edges(spark, sf_dir))
+
+
 def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rich-club coefficient φ(k) over a degree-threshold grid: the
     'hubs link to hubs' density curve; histogram-collapsed, exact
@@ -1933,6 +1942,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "mis": _uni(q_mis, oracle.sql_mis(mod=m)),
         "rich_club": _uni(q_rich_club, oracle.sql_rich_club(mod=m)),
         "knn_curve": _uni(q_knn_curve, oracle.sql_knn_curve(mod=m)),
+        "butterflies": (q_butterflies, oracle.sql_butterflies()),
         "degree_deciles": _uni(q_degree_deciles,
                                oracle.sql_degree_deciles(mod=m)),
         "graph_summary": _uni(q_graph_summary,
