@@ -144,3 +144,36 @@ def test_inverted_index_positions_and_df(spark):
     assert out[("b", 1)]["doc_freq"] == 2
     assert out[("b", 2)]["doc_freq"] == 2
     assert out[("c", 3)]["doc_freq"] == 2
+
+
+def test_rrf_fusion_hand_replay(spark):
+    """RRF replayed from the two component rankings; docs in only one
+    list get the single term; ordering is (rrf desc, doc_id)."""
+    from ugfraud_spark.operators.tfidf import (
+        bm25_retrieval, rrf_fusion, tf_retrieval)
+
+    texts = [
+        (1, "spark spark spark hash"),
+        (2, "spark hash window window hash"),
+        (3, "window"),
+        (4, "nothing relevant here at all"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    q = ["spark", "hash", "window"]
+    # deterministic rank replay: (score desc, doc_id)
+    ra = {r["doc_id"]: i + 1 for i, r in enumerate(sorted(
+        bm25_retrieval(docs, q, 3).collect(),
+        key=lambda r: (-r["score"], r["doc_id"])))}
+    rb = {r["doc_id"]: i + 1 for i, r in enumerate(sorted(
+        tf_retrieval(docs, q, 3).collect(),
+        key=lambda r: (-r["n_hits"], r["doc_id"])))}
+    want = {}
+    for d in set(ra) | set(rb):
+        want[d] = (1.0 / (ra[d] + 60) if d in ra else 0.0) \
+            + (1.0 / (rb[d] + 60) if d in rb else 0.0)
+    got = {r["doc_id"]: r["rrf"]
+           for r in rrf_fusion(docs, q, k=3).collect()}
+    top3 = dict(sorted(want.items(),
+                       key=lambda kv: (-kv[1], kv[0]))[:3])
+    assert got == top3
+    assert 4 not in got  # no query term, in neither list

@@ -234,3 +234,55 @@ def inverted_index(docs: DataFrame) -> DataFrame:
     return post.join(dfreq, "term").select(
         "term", "doc_id", "tf", "doc_freq", "positions"
     )
+
+
+def tf_retrieval(docs: DataFrame, query_terms: list[str],
+                 k: int = 20) -> DataFrame:
+    """(doc_id, n_hits): the raw term-frequency lexical baseline — the
+    second ranker RRF fusion needs. Same pushed-down isin filter as
+    BM25's posting lookup, one map-side-combined count, (n desc,
+    doc_id) TakeOrdered k-cut."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).where(F.col("t").isin(list(query_terms)))
+    return (
+        tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def rrf_fusion(docs: DataFrame, query_terms: list[str],
+               k: int = 20, kc: int = 60) -> DataFrame:
+    """(doc_id, rrf): reciprocal-rank fusion (Cormack et al.) of the
+    BM25 list and the raw-TF list for one query — the standard
+    zero-tuning way to merge rankers before a reranker:
+
+        rrf(d) = Σ_lists 1/(kc + rank_list(d)),  missing list → 0.
+
+    Ranks come from ROW_NUMBER over each retrieval's deterministic
+    (score desc, doc_id) total order — windows over ≤ k rows (the
+    k-cut frames, constant-bounded, never corpus-sized). Each term is
+    one correctly-rounded division by an exact integer and the fusion
+    is a FIXED two-term sum, so raw doubles gate exactly. Output is
+    the (rrf desc, doc_id) top-k — a deterministic set."""
+    from pyspark.sql.window import Window
+
+    def ranked(df, score_col):
+        w = Window.orderBy(F.desc(score_col), F.asc("doc_id"))
+        return df.select("doc_id", F.row_number().over(w).alias("r"))
+
+    a = ranked(bm25_retrieval(docs, query_terms, k), "score") \
+        .withColumnRenamed("r", "ra")
+    b = ranked(tf_retrieval(docs, query_terms, k), "n_hits") \
+        .withColumnRenamed("r", "rb")
+    j = a.join(b, "doc_id", "full_outer")
+    term = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(),
+        F.lit(1.0) / (F.col(c) + F.lit(kc)).cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        j.select("doc_id", (term("ra") + term("rb")).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -3111,6 +3111,41 @@ def sql_event_transitions() -> str:
     )
 
 
+def sql_rrf_fusion(query_terms: list[str], k: int = 20,
+                   kc: int = 60) -> str:
+    """Mirror of tfidf.rrf_fusion: sql_bm25_retrieval nested, the TF
+    baseline inline, ROW_NUMBER ranks over the same total orders, the
+    identical fixed two-term sum, (rrf DESC, doc_id) top-k."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+
+    def term(col: str) -> str:
+        return (
+            f"(CASE WHEN {col} IS NOT NULL THEN CAST(1.0 AS DOUBLE) "
+            f"/ CAST({col} + {kc} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) "
+            f"END)"
+        )
+
+    return _with(
+        [("bm", sql_bm25_retrieval(query_terms, k)),
+         ("ra",
+          "SELECT doc_id, ROW_NUMBER() OVER "
+          "(ORDER BY score DESC, doc_id) AS ra FROM bm"),
+         ("tfh",
+          "SELECT doc_id, COUNT(*) AS n_hits FROM (SELECT doc_id, "
+          "UNNEST(string_split(text, ' ')) AS t FROM documents) "
+          f"WHERE t IN ({terms}) GROUP BY doc_id "
+          f"ORDER BY n_hits DESC, doc_id LIMIT {k}"),
+         ("rb",
+          "SELECT doc_id, ROW_NUMBER() OVER "
+          "(ORDER BY n_hits DESC, doc_id) AS rb FROM tfh"),
+         ("j",
+          "SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, "
+          f"{term('ra.ra')} + {term('rb.rb')} AS rrf "
+          "FROM ra FULL OUTER JOIN rb ON rb.doc_id = ra.doc_id")],
+        f"SELECT doc_id, rrf FROM j ORDER BY rrf DESC, doc_id LIMIT {k}",
+    )
+
+
 def sql_bm25_retrieval(query_terms: list[str], k: int = 20) -> str:
     """Mirror of tfidf.bm25_retrieval: identical BM25 rendering as
     SQL_TFIDF_TOPK's bm25 column (the LN/constant shapes are the ones

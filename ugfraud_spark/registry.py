@@ -1170,6 +1170,13 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 BM25_QUERY)
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 and raw-TF retrieval lists
+    for the fixed query — fixed two-term 1/(60+rank) sum, top-20."""
+    return tfidf.rrf_fusion(tables.load(spark, sf_dir, "documents"),
+                            BM25_QUERY)
+
+
 def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session co-visitation item similarity: per-user gaps-and-islands
     sessions, capped distinct incidence, pair counts, cosine."""
@@ -2032,6 +2039,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                               oracle.sql_item_cooccurrence()),
         "bm25_retrieval": (q_bm25_retrieval,
                            oracle.sql_bm25_retrieval(BM25_QUERY)),
+        "rrf_fusion": (q_rrf_fusion, oracle.sql_rrf_fusion(BM25_QUERY)),
         "quantize_embeddings": (q_quantize_embeddings,
                                 oracle.sql_quantize_embeddings()),
         "eigenvector": _uni(q_eigenvector,
