@@ -1684,3 +1684,56 @@ def test_frontier_priority_composition(spark):
     for d, r in out.items():
         assert r["status"] == delta[d]
         assert r["churn"] == churn[d % 37]
+
+
+def test_retrieval_tau_hand_values(spark):
+    """tau = 1 for identical order, -1 for reversed, hand value for a
+    partial agreement; empty intersection yields the n<2 null row."""
+    from ugfraud_spark.operators.lmscore import retrieval_tau
+
+    def rk(pairs):
+        return spark.createDataFrame(pairs, "doc_id long, r int")
+
+    same = rk([(1, 1), (2, 2), (3, 3)])
+    r = retrieval_tau(same, same).collect()[0]
+    assert (r["n_common"], r["concordant"], r["discordant"]) == (3, 3, 0)
+    assert r["tau"] == 1.0
+
+    rev = rk([(1, 3), (2, 2), (3, 1)])
+    r = retrieval_tau(same, rev).collect()[0]
+    assert r["tau"] == -1.0 and r["discordant"] == 3
+
+    # one swapped pair of three: 2 concordant, 1 discordant -> 1/3
+    swap = rk([(1, 2), (2, 1), (3, 3)])
+    r = retrieval_tau(same, swap).collect()[0]
+    assert r["tau"] == (2 - 1) / 3
+
+    # disjoint lists: n_common 0, tau null
+    r = retrieval_tau(rk([(1, 1)]), rk([(2, 1)])).collect()[0]
+    assert r["n_common"] == 0 and r["tau"] is None
+
+
+def test_source_lm_profile_aggregation(spark):
+    """Per-source mean equals the decimal-exact mean of the per-doc
+    scores (replayed from lm_doc_scores)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from ugfraud_spark.operators.lmscore import (
+        lm_doc_scores, source_lm_profile)
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a", "s1"), (2, "a b c d e", "s1"),
+         (3, "z z z z", "s2")],
+        "doc_id long, text string, source string")
+    per = {r["doc_id"]: r["avg_logprob"]
+           for r in lm_doc_scores(docs.select("doc_id", "text")).collect()}
+    by_src = defaultdict(list)
+    for d, s in [(1, "s1"), (2, "s1"), (3, "s2")]:
+        by_src[s].append(per[d])
+    out = {r["source"]: r for r in source_lm_profile(docs).collect()}
+    for s, vals in by_src.items():
+        want = round(float(sum(Decimal(str(v)) for v in vals))
+                     / len(vals), 6)
+        assert out[s]["n_docs"] == len(vals)
+        assert abs(out[s]["mean_logprob"] - want) < 1e-12

@@ -195,3 +195,69 @@ def skipgram_pairs(docs: DataFrame, window: int = 3,
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= min_count)
     )
+
+
+def source_lm_profile(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, mean_logprob): the per-source LM-quality
+    profile — mean per-document corpus-LM score by source, the number
+    a source-level filtering/weighting decision (C4-style "drop the
+    spammy feed") actually reads. Docs with no bigram carry no score
+    and are excluded by the join, like in lm_doc_scores itself.
+
+    Float discipline: per-doc avg_logprob is already 6dp (see
+    lm_doc_scores); the per-source mean sums those as exact
+    DECIMAL(28,6) — associative, partitioning-independent — with one
+    division + one final 6dp round (the house decimal-reduce rule).
+    Scale shape: the doc_id join plus ONE map-side-combined groupBy
+    on the tiny source key."""
+    per_doc = lm_doc_scores(docs)
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("avg_logprob").cast("decimal(28,6)"))
+                .cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+def retrieval_tau(ra: DataFrame, rb: DataFrame) -> DataFrame:
+    """(n_common, concordant, discordant, tau): Kendall tau-a between
+    two retrieval rankings over their COMMON documents — the exact
+    rank-agreement certificate for a ranker swap (tau 1 = same order,
+    −1 = reversed). `ra`/`rb` are (doc_id, r) rank frames.
+
+    Pure integers until ONE division: pairs of common docs are a
+    self-join of the (tiny, k-cut-bounded) joined rank frame —
+    C(k,2) rows at most, never corpus-sized."""
+    j = ra.select("doc_id", F.col("r").alias("r_a")).join(
+        rb.select("doc_id", F.col("r").alias("r_b")), "doc_id")
+    l, r = j.alias("l"), j.alias("r")
+    pairs = l.join(
+        r, F.col("l.doc_id") < F.col("r.doc_id")).select(
+        ((F.col("l.r_a") < F.col("r.r_a"))
+         == (F.col("l.r_b") < F.col("r.r_b"))).cast("bigint").alias("conc"))
+    n = j.agg(F.count(F.lit(1)).alias("n_common"))
+    agg = pairs.agg(
+        F.sum("conc").alias("concordant"),
+        F.sum(F.lit(1) - F.col("conc")).alias("discordant"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n))
+        .select(
+            "n_common",
+            F.coalesce("concordant", F.lit(0)).alias("concordant"),
+            F.coalesce("discordant", F.lit(0)).alias("discordant"),
+            F.when(
+                F.col("n_common") >= 2,
+                (F.coalesce("concordant", F.lit(0))
+                 - F.coalesce("discordant", F.lit(0))).cast("double")
+                / F.expr("(n_common * (n_common - 1)) div 2")
+                .cast("double"),
+            ).alias("tau"),
+        )
+    )

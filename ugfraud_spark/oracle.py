@@ -3111,6 +3111,57 @@ def sql_event_transitions() -> str:
     )
 
 
+def sql_source_lm_profile() -> str:
+    """Mirror of lmscore.source_lm_profile: the lm chain nested, exact
+    DECIMAL(28,6) sum of the 6dp per-doc scores, one division + one
+    round."""
+    return _with(
+        [("lm", sql_lm_doc_scores())],
+        "SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "ROUND(CAST(SUM(CAST(lm.avg_logprob AS DECIMAL(28,6))) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE), 6) AS mean_logprob "
+        "FROM lm JOIN documents d USING (doc_id) GROUP BY d.source",
+    )
+
+
+def sql_retrieval_tau(query_terms: list[str], k: int = 20) -> str:
+    """Mirror of lmscore.retrieval_tau over the BM25 and raw-TF lists:
+    same ROW_NUMBER ranks, the C(k,2) pair self-join, integer
+    concordance counts, one division."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return _with(
+        [("bm", sql_bm25_retrieval(query_terms, k)),
+         ("ra",
+          "SELECT doc_id, ROW_NUMBER() OVER "
+          "(ORDER BY score DESC, doc_id) AS r_a FROM bm"),
+         ("tfh",
+          "SELECT doc_id, COUNT(*) AS n_hits FROM (SELECT doc_id, "
+          "UNNEST(string_split(text, ' ')) AS t FROM documents) "
+          f"WHERE t IN ({terms}) GROUP BY doc_id "
+          f"ORDER BY n_hits DESC, doc_id LIMIT {k}"),
+         ("rb",
+          "SELECT doc_id, ROW_NUMBER() OVER "
+          "(ORDER BY n_hits DESC, doc_id) AS r_b FROM tfh"),
+         ("j",
+          "SELECT ra.doc_id, ra.r_a, rb.r_b FROM ra "
+          "JOIN rb USING (doc_id)"),
+         ("p",
+          "SELECT CASE WHEN (l.r_a < r.r_a) = (l.r_b < r.r_b) "
+          "THEN 1 ELSE 0 END AS conc "
+          "FROM j l JOIN j r ON l.doc_id < r.doc_id"),
+         ("pa",
+          "SELECT CAST(COALESCE(SUM(conc), 0) AS BIGINT) AS concordant, "
+          "CAST(COALESCE(SUM(1 - conc), 0) AS BIGINT) AS discordant "
+          "FROM p"),
+         ("nn", "SELECT CAST(COUNT(*) AS BIGINT) AS n_common FROM j")],
+        "SELECT nn.n_common, pa.concordant, pa.discordant, "
+        "CASE WHEN nn.n_common >= 2 THEN "
+        "CAST(pa.concordant - pa.discordant AS DOUBLE) "
+        "/ CAST((nn.n_common * (nn.n_common - 1)) // 2 AS DOUBLE) "
+        "END AS tau FROM pa, nn",
+    )
+
+
 def sql_rrf_fusion(query_terms: list[str], k: int = 20,
                    kc: int = 60) -> str:
     """Mirror of tfidf.rrf_fusion: sql_bm25_retrieval nested, the TF

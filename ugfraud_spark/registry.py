@@ -1170,6 +1170,33 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 BM25_QUERY)
 
 
+def q_source_lm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean corpus-LM score: exact decimal sum of 6dp
+    per-doc scores, one division + one round."""
+    from .operators import lmscore
+
+    return lmscore.source_lm_profile(
+        tables.load(spark, sf_dir, "documents"))
+
+
+def q_retrieval_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a between the BM25 and raw-TF rankings over their
+    common documents: exact concordance counts, one division."""
+    from pyspark.sql.window import Window
+
+    from .operators import lmscore
+
+    docs = tables.load(spark, sf_dir, "documents")
+
+    def ranked(df, score_col, name):
+        w = Window.orderBy(F.desc(score_col), F.asc("doc_id"))
+        return df.select("doc_id", F.row_number().over(w).alias("r"))
+
+    ra = ranked(tfidf.bm25_retrieval(docs, BM25_QUERY), "score", "r")
+    rb = ranked(tfidf.tf_retrieval(docs, BM25_QUERY), "n_hits", "r")
+    return lmscore.retrieval_tau(ra, rb)
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of the BM25 and raw-TF retrieval lists
     for the fixed query — fixed two-term 1/(60+rank) sum, top-20."""
@@ -2040,6 +2067,10 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "bm25_retrieval": (q_bm25_retrieval,
                            oracle.sql_bm25_retrieval(BM25_QUERY)),
         "rrf_fusion": (q_rrf_fusion, oracle.sql_rrf_fusion(BM25_QUERY)),
+        "retrieval_tau": (q_retrieval_tau,
+                          oracle.sql_retrieval_tau(BM25_QUERY)),
+        "source_lm_profile": (q_source_lm_profile,
+                              oracle.sql_source_lm_profile()),
         "quantize_embeddings": (q_quantize_embeddings,
                                 oracle.sql_quantize_embeddings()),
         "eigenvector": _uni(q_eigenvector,
