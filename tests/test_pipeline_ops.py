@@ -1737,3 +1737,47 @@ def test_source_lm_profile_aggregation(spark):
                      / len(vals), 6)
         assert out[s]["n_docs"] == len(vals)
         assert abs(out[s]["mean_logprob"] - want) < 1e-12
+
+
+def test_quality_score_hand_replay(spark):
+    """The composite replayed from its three signals; length term
+    saturates at 200 tokens."""
+    from ugfraud_spark.operators.quality import quality_score
+
+    short = "the a an of to in is it"                      # 8 tokens
+    longt = " ".join(f"w{i}" for i in range(250))          # 250 uniq
+    docs = spark.createDataFrame(
+        [(1, short), (2, longt)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_score(docs).collect()}
+
+    def replay(text):
+        ws = text.split(" ")
+        n = len(ws)
+        from ugfraud_spark.functions.text import STOPWORDS
+        stop = sum(ws.count(w) for w in STOPWORDS)
+        sr = round(stop / n, 6)
+        dup = round(1 - len(set(ws)) / n, 6)
+        import math
+        raw = 0.4 * sr + 0.3 * (min(n, 200) / 200.0) + 0.3 * (1.0 - dup)
+        return math.floor(raw * 1e6) / 1e6
+
+    assert out[1]["quality_score"] == replay(short)
+    assert out[2]["quality_score"] == replay(longt)
+    assert out[2]["n_tokens"] == 250
+    # saturation: the length term maxes at 0.3
+    assert abs(out[2]["quality_score"] - (0.3 + 0.3)) < 1e-9
+
+
+def test_host_dup_stats_hand_replay(spark):
+    """Duplicates are non-canonical members of md5 groups; rate is the
+    single division."""
+    from ugfraud_spark.operators.crawl import host_dup_stats
+
+    docs = spark.createDataFrame(
+        [(0, "same"), (37, "same"), (74, "same"),   # host 0: 2 dups
+         (1, "x"), (38, "y")],                      # host 1: none
+        "doc_id long, text string")
+    out = {r["host_id"]: r for r in host_dup_stats(docs).collect()}
+    assert (out[0]["n_docs"], out[0]["n_dup"]) == (3, 2)
+    assert out[0]["dup_rate"] == 2 / 3
+    assert (out[1]["n_dup"], out[1]["dup_rate"]) == (0, 0.0)

@@ -252,3 +252,29 @@ def frontier_priority_demo(docs: DataFrame) -> DataFrame:
         .join(F.broadcast(ch.select("host_id", "churn")), "host_id")
         .select("doc_id", "host_id", "status", "churn")
     )
+
+
+def host_dup_stats(docs: DataFrame, n_hosts: int = 37) -> DataFrame:
+    """(host_id, n_docs, n_dup, dup_rate): per-host exact-duplicate
+    load — how much of each host's crawl is byte-identical content
+    (mirror sites, session-id URL aliases). A doc is a duplicate when
+    it is not its content group's canonical min-doc_id. One md5
+    groupBy + one fingerprint-keyed join + one host-keyed groupBy;
+    exact counts, ONE division."""
+    fp = F.md5(F.col("text").cast("binary")).alias("fp")
+    keep = docs.select(fp, "doc_id").groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"))
+    j = docs.select("doc_id", fp).join(keep, "fp")
+    return (
+        j.groupBy((F.col("doc_id") % n_hosts).alias("host_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("doc_id") != F.col("keep_id")).cast("bigint"))
+            .alias("n_dup"),
+        )
+        .select(
+            "host_id", "n_docs", "n_dup",
+            (F.col("n_dup").cast("double") / F.col("n_docs").cast("double"))
+            .alias("dup_rate"),
+        )
+    )

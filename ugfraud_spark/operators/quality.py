@@ -134,3 +134,34 @@ def langid_agreement(docs: DataFrame) -> DataFrame:
              / F.col("n_docs").cast("double")).alias("rate"),
         )
     )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, quality_score): a numeric composite quality
+    score — the 'quality-classifier-lite' scalar mixing pipelines use
+    for soft weighting where quality_filter's booleans are too blunt:
+
+        0.4·stopword_ratio + 0.3·min(n_tokens,200)/200
+        + 0.3·(1 − dup_word_frac),  FLOOR-quantized to 6 dp.
+
+    Every input is already 6dp-rounded or integer (the text_features /
+    repetition gates prove them engine-identical) and the combination
+    is ONE fixed-order expression — but the weighted sum of 6dp values
+    lands EXACTLY on .5e-6 ties (measured: 2+ docs at sf0.01), where
+    Spark HALF_UP and DuckDB ROUND disagree; so the composite takes
+    the §63 floor-quantization recipe (floor of identical doubles is
+    engine-independent; decimal ROUND is not): micro-units via FLOOR,
+    one division at read-out. Pure narrow map — zero shuffle."""
+    q = quality_exprs(F.col("text"))
+    r = repetition_exprs(F.col("text"))
+    raw = (
+        F.lit(0.4) * q["stopword_ratio"]
+        + F.lit(0.3) * (F.least(q["n_tokens"], F.lit(200)).cast("double")
+                        / F.lit(200.0))
+        + F.lit(0.3) * (F.lit(1.0) - r["dup_word_frac"])
+    )
+    score = F.floor(raw * F.lit(1e6)).cast("long").cast("double") \
+        / F.lit(1e6)
+    return docs.select(
+        "doc_id", q["n_tokens"].alias("n_tokens"),
+        score.alias("quality_score"))

@@ -1583,6 +1583,51 @@ def sql_quality_repetition() -> str:
     )
 
 
+def sql_quality_score() -> str:
+    """Mirror of quality.quality_score: the repetition chain nested
+    for dup_word_frac, stopword_ratio/n_tokens inline, the identical
+    fixed-order composite, one final ROUND."""
+    from .functions.text import (STOPWORDS, sql_token_count,
+                                 sql_word_occurrences)
+
+    nt = sql_token_count("text")
+    stop = " + ".join(sql_word_occurrences("text", w) for w in STOPWORDS)
+    return _with(
+        [("qr", sql_quality_repetition()),
+         ("q",
+          f"SELECT doc_id, {nt} AS n_tokens, "
+          f"ROUND(({stop}) / CAST({nt} AS DOUBLE), 6) AS stopword_ratio "
+          "FROM documents")],
+        "SELECT q.doc_id, q.n_tokens, "
+        "CAST(FLOOR((CAST(0.4 AS DOUBLE) * q.stopword_ratio "
+        "+ CAST(0.3 AS DOUBLE) * (CAST(LEAST(q.n_tokens, 200) AS DOUBLE) "
+        "/ CAST(200.0 AS DOUBLE)) "
+        "+ CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) "
+        "- qr.dup_word_frac)) * 1e6) AS BIGINT) / 1e6 AS quality_score "
+        "FROM q JOIN qr USING (doc_id)",
+    )
+
+
+def sql_host_dup_stats(n_hosts: int = 37) -> str:
+    """Mirror of crawl.host_dup_stats: md5 canonical groups, per-host
+    duplicate counts, one division."""
+    return _with(
+        [("keep",
+          "SELECT MD5(text) AS fp, MIN(doc_id) AS keep_id "
+          "FROM documents GROUP BY MD5(text)"),
+         ("j",
+          "SELECT d.doc_id, k.keep_id FROM documents d "
+          "JOIN keep k ON k.fp = MD5(d.text)")],
+        f"SELECT doc_id % {n_hosts} AS host_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_dup, "
+        "CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) "
+        "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate "
+        f"FROM j GROUP BY doc_id % {n_hosts}",
+    )
+
+
 def sql_kmeans_assign(k: int = 8, iters: int = 3) -> str:
     """Mirror of kmeans.kmeans_assign: init = k smallest vec_ids,
     per-iteration argmin with the identical sequential fold

@@ -836,6 +836,22 @@ def q_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.load(spark, sf_dir, "documents"))
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric composite quality score (soft weighting scalar): one
+    fixed-order expression over already-gated 6dp signals."""
+    from .operators import quality
+
+    return quality.quality_score(tables.load(spark, sf_dir, "documents"))
+
+
+def q_host_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host exact-duplicate load: md5 canonical groups, exact
+    counts, one division."""
+    from .operators import crawl
+
+    return crawl.host_dup_stats(tables.load(spark, sf_dir, "documents"))
+
+
 def q_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID vs label agreement rate per language: pure column
     argmax, one groupBy, one division."""
@@ -1965,6 +1981,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "vocab_drift": (q_vocab_drift, oracle.sql_vocab_drift()),
         "langid_agreement": (q_langid_agreement,
                              oracle.sql_langid_agreement()),
+        "quality_score": (q_quality_score, oracle.sql_quality_score()),
+        "host_dup_stats": (q_host_dup_stats, oracle.sql_host_dup_stats()),
         "minhash_calibration": (q_minhash_calibration,
                                 oracle.sql_minhash_calibration()),
         "frontier_priority": (q_frontier_priority,
