@@ -1781,3 +1781,28 @@ def test_host_dup_stats_hand_replay(spark):
     assert (out[0]["n_docs"], out[0]["n_dup"]) == (3, 2)
     assert out[0]["dup_rate"] == 2 / 3
     assert (out[1]["n_dup"], out[1]["dup_rate"]) == (0, 0.0)
+
+
+def test_host_mirror_pairs_hand_replay(spark):
+    """Shared-content counting, the min_shared cut, and the group cap
+    dropping boilerplate served by every host."""
+    from ugfraud_spark.operators.crawl import host_mirror_pairs
+
+    rows = []
+    # hosts 0 and 1 mirror two content groups (docs on both hosts)
+    rows += [(0, "page A"), (1, "page A"), (37, "page B"), (38, "page B")]
+    # hosts 0 and 2 share ONE group -> below min_shared, cut
+    rows += [(74, "page C"), (2, "page C")]
+    # boilerplate on hosts 0..4 -> capped out at max_group=3
+    rows += [(111 + i, "footer") for i in range(5)]  # hosts 0,1,2,3,4
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["host_a"], r["host_b"]): r["n_shared"]
+           for r in host_mirror_pairs(docs, max_group=3).collect()}
+    assert out == {(0, 1): 2}
+
+    # without the cap, the boilerplate group creates pair mass
+    out2 = {(r["host_a"], r["host_b"]): r["n_shared"]
+            for r in host_mirror_pairs(docs, max_group=64,
+                                       min_shared=1).collect()}
+    assert out2[(0, 1)] == 3  # A, B, footer
+    assert out2[(3, 4)] == 1  # footer only

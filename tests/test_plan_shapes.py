@@ -290,3 +290,27 @@ def test_snapshot_delta_plan_no_singlepartition(spark):
     plan = _plan(crawl.crawl_delta_demo(docs))
     assert "SinglePartition" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_butterflies_plan_equi_join(spark):
+    """The wedge join must plan as a hash equi-join on the product
+    key — never a BroadcastNestedLoop/Cartesian from the inequality."""
+    from ugfraud_spark.operators.triangles import butterflies
+
+    bip = spark.createDataFrame(
+        [(u, p, 1.0, 1) for u in range(6) for p in range(4)],
+        "src long, dst long, weight double, sign int")
+    plan = _plan(butterflies(bip))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_host_mirror_pairs_plan_equi_join(spark):
+    """Same guard for the mirror-pair posting self-join."""
+    from ugfraud_spark.operators.crawl import host_mirror_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i % 7}") for i in range(40)], "doc_id long, text string")
+    plan = _plan(host_mirror_pairs(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -278,3 +278,73 @@ def host_dup_stats(docs: DataFrame, n_hosts: int = 37) -> DataFrame:
             .alias("dup_rate"),
         )
     )
+
+
+MIRROR_MAX_GROUP = 64
+MIRROR_MIN_SHARED = 2
+
+
+def mirror_pairs_from_postings(posting: DataFrame,
+                               max_group: int = MIRROR_MAX_GROUP,
+                               min_shared: int = MIRROR_MIN_SHARED
+                               ) -> DataFrame:
+    """(host_a, host_b, n_shared) from a (fp, host) DISTINCT posting
+    frame: content groups with more than ``max_group`` distinct hosts
+    are dropped BEFORE the self-join (a boilerplate page served by
+    every host would go quadratic — and is exactly the content that
+    does NOT indicate mirroring), then one equi-join on fp with
+    a < b and a map-side-combined pair count; ``min_shared`` keeps
+    the output a deterministic set of real mirror signals. The
+    winnowing posting-list shape."""
+    small = (
+        posting.groupBy("fp").agg(F.count(F.lit(1)).alias("g"))
+        .where(F.col("g") <= max_group)
+        .select("fp")
+    )
+    kept = posting.join(small, "fp", "left_semi")
+    l, r = kept.alias("l"), kept.alias("r")
+    return (
+        l.join(r, (F.col("l.fp") == F.col("r.fp"))
+               & (F.col("l.host") < F.col("r.host")))
+        .select(F.col("l.host").alias("host_a"),
+                F.col("r.host").alias("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def host_mirror_pairs(docs: DataFrame, n_hosts: int = 37,
+                      max_group: int = MIRROR_MAX_GROUP,
+                      min_shared: int = MIRROR_MIN_SHARED) -> DataFrame:
+    """Host pairs serving byte-identical content — the mirror/
+    alias-site detector every crawler runs so it stops fetching the
+    same corpus twice. Postings are one md5 groupBy-distinct away;
+    the rest is `mirror_pairs_from_postings`."""
+    posting = (
+        docs.select(
+            F.md5(F.col("text").cast("binary")).alias("fp"),
+            (F.col("doc_id") % n_hosts).alias("host"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return mirror_pairs_from_postings(posting, max_group, min_shared)
+
+
+def host_mirror_pairs_demo(docs: DataFrame) -> DataFrame:
+    """Gate construction: the corpus has no natural cross-host exact
+    dups (dedup_exact shows one group per doc), so the demo PLANTS a
+    deterministic mirror — every doc with doc_id % 9 == 0 is also
+    served by host (doc_id % 37 + 5) % 37 — and runs the real
+    detector over base ∪ mirror postings (mirrored verbatim in SQL)."""
+    base = docs.select(
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        (F.col("doc_id") % 37).alias("host"), "doc_id")
+    mirror = base.where(F.col("doc_id") % 9 == 0).select(
+        "fp", ((F.col("doc_id") % 37 + 5) % 37).alias("host"), "doc_id")
+    posting = (
+        base.unionByName(mirror).select("fp", "host").distinct()
+        .localCheckpoint(eager=True)
+    )
+    return mirror_pairs_from_postings(posting)

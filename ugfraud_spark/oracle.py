@@ -1628,6 +1628,31 @@ def sql_host_dup_stats(n_hosts: int = 37) -> str:
     )
 
 
+def sql_host_mirror_pairs(n_hosts: int = 37, max_group: int = 64,
+                          min_shared: int = 2) -> str:
+    """Mirror of crawl.host_mirror_pairs_demo: identical planted
+    mirror postings (doc_id % 9 == 0 also served by host+5), group cap
+    before the self-join, a < b pair counts."""
+    return _with(
+        [("posting",
+          f"SELECT DISTINCT fp, host FROM ("
+          f"SELECT MD5(text) AS fp, doc_id % {n_hosts} AS host "
+          "FROM documents UNION ALL "
+          f"SELECT MD5(text) AS fp, (doc_id % {n_hosts} + 5) % {n_hosts} "
+          "AS host FROM documents WHERE doc_id % 9 = 0)"),
+         ("small",
+          "SELECT fp FROM (SELECT fp, COUNT(*) AS g FROM posting "
+          f"GROUP BY fp) WHERE g <= {max_group}"),
+         ("kept",
+          "SELECT fp, host FROM posting "
+          "WHERE fp IN (SELECT fp FROM small)")],
+        "SELECT l.host AS host_a, r.host AS host_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_shared "
+        "FROM kept l JOIN kept r ON r.fp = l.fp AND l.host < r.host "
+        f"GROUP BY l.host, r.host HAVING COUNT(*) >= {min_shared}",
+    )
+
+
 def sql_kmeans_assign(k: int = 8, iters: int = 3) -> str:
     """Mirror of kmeans.kmeans_assign: init = k smallest vec_ids,
     per-iteration argmin with the identical sequential fold

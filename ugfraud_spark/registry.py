@@ -844,6 +844,16 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.quality_score(tables.load(spark, sf_dir, "documents"))
 
 
+def q_host_mirror_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection: host pairs sharing >= 2 byte-identical
+    content groups (deterministic planted mirrors — the corpus has no
+    natural ones); posting-list shape with a group-size cap."""
+    from .operators import crawl
+
+    return crawl.host_mirror_pairs_demo(
+        tables.load(spark, sf_dir, "documents"))
+
+
 def q_host_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host exact-duplicate load: md5 canonical groups, exact
     counts, one division."""
@@ -1983,6 +1993,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                              oracle.sql_langid_agreement()),
         "quality_score": (q_quality_score, oracle.sql_quality_score()),
         "host_dup_stats": (q_host_dup_stats, oracle.sql_host_dup_stats()),
+        "host_mirror_pairs": (q_host_mirror_pairs,
+                              oracle.sql_host_mirror_pairs()),
         "minhash_calibration": (q_minhash_calibration,
                                 oracle.sql_minhash_calibration()),
         "frontier_priority": (q_frontier_priority,
