@@ -1806,3 +1806,40 @@ def test_host_mirror_pairs_hand_replay(spark):
                                        min_shared=1).collect()}
     assert out2[(0, 1)] == 3  # A, B, footer
     assert out2[(3, 4)] == 1  # footer only
+
+
+def test_dedup_training_pairs_labels(spark):
+    """Positives are threshold-cleared candidate pairs; negatives are
+    the hash replay minus candidates; no pair carries both labels."""
+    from ugfraud_spark.operators.dedup import (
+        PAIR_A, PAIR_B, PAIR_P, dedup_training_pairs,
+        lsh_candidate_pairs, ngram_jaccard_pairs)
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron pi rho sigma")
+    docs = spark.createDataFrame(
+        [(i, base if i % 3 == 0 else f"{base} tail{i} t{i} u{i} v{i}")
+         for i in range(12)],
+        "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r["label"]
+           for r in dedup_training_pairs(docs, n_neg=30).collect()}
+
+    pos = {(r["doc_a"], r["doc_b"])
+           for r in ngram_jaccard_pairs(docs).collect()
+           if r["jaccard"] >= 0.5}
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in lsh_candidate_pairs(docs).collect()}
+
+    def scr(x):
+        return ((x * PAIR_A + PAIR_B) % PAIR_P * PAIR_A + PAIR_B) % PAIR_P
+
+    neg = set()
+    for i in range(30):
+        a, b = scr(2 * i) % 12, scr(2 * i + 1) % 12
+        a, b = min(a, b), max(a, b)
+        if a != b and (a, b) not in cand:
+            neg.add((a, b))
+    want = {p: 1 for p in pos} | {p: 0 for p in neg}
+    assert out == want
+    assert set(pos) & neg == set()  # anti-join guarantees disjoint
+    assert 1 in out.values() and 0 in out.values()

@@ -564,3 +564,57 @@ def minhash_calibration(docs: DataFrame) -> DataFrame:
             "jaccard",
         )
     )
+
+
+PAIR_NEG_DRAWS = 100
+PAIR_POS_THRESHOLD = 0.5
+PAIR_A = 1_103_515_245
+PAIR_B = 747_796_405
+PAIR_P = 2_147_483_647
+
+
+def dedup_training_pairs(docs: DataFrame,
+                         n_neg: int = PAIR_NEG_DRAWS,
+                         threshold: float = PAIR_POS_THRESHOLD
+                         ) -> DataFrame:
+    """(doc_a, doc_b, label): weak-supervision pairs for training a
+    learned dedup/similarity model — the labeling job that turns the
+    rule-based pipeline into training data. Positives (label 1) are
+    LSH candidate pairs whose EXACT shingle Jaccard clears
+    ``threshold`` (certified chain); negatives (label 0) are
+    deterministic hash-drawn doc pairs anti-joined against the FULL
+    candidate set, so a near-dup can never leak in as a negative.
+
+    Negative draws are counter-based (the random_walks recipe):
+    a_i = scramble(2i) mod n, b_i = scramble(2i+1) mod n over the
+    contiguous doc_id domain, canonicalized a < b, degenerate a = b
+    dropped — reproducible in (corpus, n_neg), collision-deduped so
+    the output is a deterministic SET. Scale shape: the certified
+    LSH/Jaccard chain plus an n_neg-row generated frame and one
+    anti-join."""
+    pos = (
+        ngram_jaccard_pairs(docs)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.lit(1).alias("label"))
+    )
+    cand = lsh_candidate_pairs(docs).select("doc_a", "doc_b")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    draws = (
+        docs.sparkSession.range(n_neg).select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(n))
+    )
+
+    def scr(x):
+        return ((x * PAIR_A + PAIR_B) % PAIR_P * PAIR_A + PAIR_B) % PAIR_P
+
+    a = scr(F.col("i") * 2) % F.col("n")
+    b = scr(F.col("i") * 2 + 1) % F.col("n")
+    neg = (
+        draws.select(F.least(a, b).alias("doc_a"),
+                     F.greatest(a, b).alias("doc_b"))
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+        .join(cand, ["doc_a", "doc_b"], "left_anti")
+        .select("doc_a", "doc_b", F.lit(0).alias("label"))
+    )
+    return pos.unionByName(neg)

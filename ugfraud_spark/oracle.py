@@ -1289,6 +1289,44 @@ def sql_winnow_dup_pairs(w: int | None = None,
     )
 
 
+def sql_dedup_training_pairs(n_neg: int = 100, threshold: float = 0.5,
+                             h: int = 12, bands: int = 4, rows: int = 3,
+                             max_bucket: int = 512) -> str:
+    """Mirror of dedup.dedup_training_pairs: the jaccard chain nested,
+    identical counter-hash negative draws, NOT EXISTS anti-join."""
+    from .operators.dedup import PAIR_A, PAIR_B, PAIR_P
+
+    ctes, jfinal = _ngram_jaccard_ctes(h, bands, rows, max_bucket)
+    ctes.append(("jac", jfinal))
+
+    def scr(x: str) -> str:
+        return (f"((({x}) * {PAIR_A} + {PAIR_B}) % {PAIR_P} "
+                f"* {PAIR_A} + {PAIR_B}) % {PAIR_P}")
+
+    ctes += [
+        ("nn2", "SELECT COUNT(*) AS n FROM documents"),
+        ("draws",
+         f"SELECT UNNEST(range(0, {n_neg})) AS i"),
+        ("rawneg",
+         f"SELECT LEAST({scr('i * 2')} % nn2.n, "
+         f"{scr('i * 2 + 1')} % nn2.n) AS doc_a, "
+         f"GREATEST({scr('i * 2')} % nn2.n, "
+         f"{scr('i * 2 + 1')} % nn2.n) AS doc_b "
+         "FROM draws, nn2"),
+        ("neg",
+         "SELECT DISTINCT doc_a, doc_b FROM rawneg "
+         "WHERE doc_a <> doc_b AND NOT EXISTS ("
+         "SELECT 1 FROM pairs p WHERE p.doc_a = rawneg.doc_a "
+         "AND p.doc_b = rawneg.doc_b)"),
+    ]
+    return _with(
+        ctes,
+        f"SELECT doc_a, doc_b, 1 AS label FROM jac "
+        f"WHERE jaccard >= {threshold!r}::DOUBLE "
+        "UNION ALL SELECT doc_a, doc_b, 0 AS label FROM neg",
+    )
+
+
 def sql_minhash_calibration(h: int = 12, bands: int = 4, rows: int = 3,
                             max_bucket: int = 512) -> str:
     """Mirror of dedup.minhash_calibration: the ngram-jaccard chain's

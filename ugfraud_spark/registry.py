@@ -818,6 +818,15 @@ def q_host_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         crawl.crawl_delta_demo(tables.load(spark, sf_dir, "documents")))
 
 
+def q_dedup_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision dedup training pairs: LSH-verified positives,
+    hash-drawn candidate-anti-joined negatives."""
+    from .operators import dedup
+
+    return dedup.dedup_training_pairs(
+        tables.load(spark, sf_dir, "documents"))
+
+
 def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator certificate: signature agreement vs exact
     shingle Jaccard for every LSH candidate pair."""
@@ -1997,6 +2006,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                               oracle.sql_host_mirror_pairs()),
         "minhash_calibration": (q_minhash_calibration,
                                 oracle.sql_minhash_calibration()),
+        "dedup_training_pairs": (q_dedup_training_pairs,
+                                 oracle.sql_dedup_training_pairs()),
         "frontier_priority": (q_frontier_priority,
                               oracle.sql_frontier_priority()),
         "host_lang_entropy": (q_host_lang_entropy,
