@@ -7,10 +7,14 @@ every implemented operator with its DuckDB oracle (see
 budget; every query beyond the budget lives in
 ``registry.build_shadow_registry`` (len() it for the count) and runs
 through the identical cross-engine gate in
-``tests/test_oracle_parity.py`` — as-of/range joins, rollup, TF-IDF,
-weighted SSSP, dedup clusters, incremental + streaming-incremental
-dedup, mixture sampling, repetition metrics, vocabulary top-k,
-grouped percentiles, clustering coefficient, IVF-ANN invariants.
+``tests/test_oracle_parity.py`` — as-of/range joins, rollup, weighted
+SSSP, mixture sampling, repetition metrics, vocabulary top-k, grouped
+percentiles, clustering coefficient, IVF-ANN invariants, and the ten
+long-stable entries rotated out in round 5 to make room for the
+LLM-pipeline gates (dedup clusters, streaming incremental dedup,
+contamination, BM25/TF-IDF retrieval, inverted index, sequence
+packing, boilerplate removal, epoch shuffle, quality filter) in the
+driver-recorded set.
 """
 
 from __future__ import annotations

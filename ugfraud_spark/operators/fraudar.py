@@ -160,22 +160,62 @@ def log_weighted_ave_degree(
     return fast_greedy_decreasing(row_idx, col_idx, n_rows, n_cols, col_weights)
 
 
+def sqrt_weighted_ave_degree(
+    row_idx: np.ndarray, col_idx: np.ndarray, n_rows: int, n_cols: int
+) -> Block:
+    """colWeights = 1/sqrt(colSum + 5) (``Fraudar.py:153-162``)."""
+    col_sums = np.zeros(n_cols)
+    np.add.at(col_sums, col_idx, 1.0)
+    col_weights = 1.0 / np.sqrt(col_sums + 5)
+    return fast_greedy_decreasing(row_idx, col_idx, n_rows, n_cols, col_weights)
+
+
+def ave_degree(
+    row_idx: np.ndarray, col_idx: np.ndarray, n_rows: int, n_cols: int
+) -> Block:
+    """Unweighted peel: colWeights = 1 (``Fraudar.py:175-178``)."""
+    col_weights = np.ones(n_cols)
+    return fast_greedy_decreasing(row_idx, col_idx, n_rows, n_cols, col_weights)
+
+
+# name → weighting kernel, mirroring the reference's three public modes
+# (Fraudar.py:153-178: sqrtWeightedAveDegree / logWeightedAveDegree /
+# aveDegree)
+WEIGHTINGS = {
+    "log": log_weighted_ave_degree,
+    "sqrt": sqrt_weighted_ave_degree,
+    "ave": ave_degree,
+}
+
+
 def detect_blocks(
     row_idx: np.ndarray, col_idx: np.ndarray, n_rows: int, n_cols: int,
-    plateau: float = 0.01, max_blocks: int = 50
+    plateau: float = 0.01, max_blocks: int = 50, weighting: str = "log"
 ) -> list[Block]:
     """``Fraudar.py:48-63``: re-run the peel with each found block's
-    internal edges removed, stop when the score plateaus."""
+    internal edges removed, stop when the score plateaus. ``weighting``
+    picks the reference's column-weight mode (log/sqrt/ave).
+
+    When the peel exhausts every edge BEFORE the plateau triggers (seen
+    with the integer ``ave`` weights, where scores step coarsely), the
+    reference runs the kernel once more on the now-empty matrix: the
+    peel never improves on the initial 0 average, ``bestNumDeleted``
+    stays 0, and the emitted terminal block is (all rows, all cols,
+    score 0.0). That block is semantics — ``eval_Fraudar.py``'s
+    normalization takes ``min_den`` from it and routes every otherwise-
+    undetected user through its 0.0 weight instead of the 1e-6 floor —
+    so the empty run is replicated here rather than short-circuited."""
+    kernel = WEIGHTINGS[weighting]
     alive = np.ones(len(row_idx), dtype=bool)
     blocks: list[Block] = []
     for _ in range(max_blocks):
         r, c = row_idx[alive], col_idx[alive]
-        if len(r) == 0:
-            break
-        blk = log_weighted_ave_degree(r, c, n_rows, n_cols)
+        blk = kernel(r, c, n_rows, n_cols)
         if blocks and abs(blk.score - blocks[-1].score) < plateau:
             break
         blocks.append(blk)
+        if len(r) == 0:  # terminal empty-matrix block just emitted
+            break
         rs = np.isin(row_idx, list(blk.rows))
         cs = np.isin(col_idx, list(blk.cols))
         alive &= ~(rs & cs)
@@ -192,10 +232,17 @@ PARITY_MAX_EDGES = 200_000
 
 
 def fraudar_scores(edges: DataFrame, plateau: float = 0.01,
-                   parity_max_edges: int = PARITY_MAX_EDGES) -> DataFrame:
+                   parity_max_edges: int = PARITY_MAX_EDGES,
+                   weighting: str = "log") -> DataFrame:
     """edges(src, dst) bipartite → (id, score) per-user Fraudar density
     score, normalized like ``eval_Fraudar.py:90-113``: detected users get
     (block_density − min_density)/(max − min), others 1e-6.
+
+    ``weighting`` selects the reference's column-weight mode —
+    ``log`` (``logWeightedAveDegree``, Fraudar.py:165-172, the demo
+    default), ``sqrt`` (``sqrtWeightedAveDegree``, Fraudar.py:153-162)
+    or ``ave`` (``aveDegree``, Fraudar.py:175-178) — each with exact
+    reference parity incl. tie-breaks (tests/test_reference_parity.py).
 
     Auto-switches on edge count: exact driver peel (reference parity)
     below ``parity_max_edges``, distributed ``bulk_peel`` above."""
@@ -224,7 +271,8 @@ def fraudar_scores(edges: DataFrame, plateau: float = 0.01,
     ri = ri.astype(np.int64)
     ci = ci.astype(np.int64)
 
-    blocks = detect_blocks(ri, ci, len(u_ids), len(p_vals), plateau=plateau)
+    blocks = detect_blocks(ri, ci, len(u_ids), len(p_vals), plateau=plateau,
+                           weighting=weighting)
     max_den = blocks[0].score
     min_den = blocks[-1].score
     interval = max_den - min_den

@@ -115,8 +115,12 @@ def q_pagerank_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact fixpoint via min-prop + pointer doubling: O(log d) rounds.
+    # Oracle = CC_ITERS unrolled min-prop rounds, which its docstring
+    # pins at fixpoint (k >= diameter, asserted in pytest) — so both
+    # sides are the exact per-component minimum label.
     e = tables.uni_edges_undirected(spark, sf_dir)
-    return components.cc_minprop(e, iters=CC_ITERS)
+    return components.connected_components(e)
 
 
 def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1844,10 +1848,6 @@ def build_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "zoobp_literal": (q_zoobp_literal, oracle.sql_zoobp_literal()),
         "speagle_review": (q_speagle_review,
                            oracle.sql_speagle(SPEAGLE_ITERS, output="review")),
-        "speagle_nodes": (q_speagle_nodes,
-                          oracle.sql_speagle(SPEAGLE_ITERS, output="nodes")),
-        "ground_truth_users": (q_ground_truth_users, oracle.sql_ground_truth_users()),
-        "prior_scaled_review": (q_prior_scaled_review, oracle.sql_prior_scaled_review()),
         "prior_eval": (q_prior_eval, oracle.sql_prior_eval()),
         "gang_eval": (q_gang_eval, oracle.eval_wrap(oracle.sql_gang(GANG_ITERS))),
         "zoobp_eval": (q_zoobp_eval, oracle.eval_wrap(oracle.sql_zoobp(ZOOBP_ITERS))),
@@ -1881,23 +1881,11 @@ def build_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
             q_pages_text_identity,
             "SELECT 2000 AS n_pages, 2000 AS n_identical",
         ),
-        "attr_filter": (q_attr_filter, oracle.sql_attr_filter()),
-        "attr_index": (q_attr_index, oracle.sql_attr_index()),
-        "subset_above_degree": (q_subset_above_degree,
-                                oracle.sql_subset_above_degree()),
-        "rank_stats": _uni(q_rank_stats, oracle.sql_rank_stats(mod=m)),
-        "sampling_splits": (q_sampling_splits, oracle.sql_sampling_splits(0.25)),
         "events_windowed_stats": (q_events_windowed,
                                   oracle.sql_windowed_event_stats(60)),
         "events_stream_once": (q_events_stream_once,
                                oracle.sql_windowed_event_stats(60)),
-        "parse_props": (q_parse_props, oracle.sql_parse_props()),
         "sessionize": (q_sessionize, oracle.sql_sessionize(30)),
-        "stateful_user_stats": (
-            q_stateful_user_stats,
-            "SELECT user_id, COUNT(*) AS n_events, "
-            "ROUND(SUM(value), 6) AS sum_value FROM events GROUP BY user_id",
-        ),
         # training-data pipeline ops
         "dedup_exact": (q_dedup_exact, oracle.sql_dedup_exact()),
         "minhash_signatures": (q_minhash_signatures, oracle.sql_minhash_signatures()),
@@ -1908,6 +1896,33 @@ def build_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "multimodal_decode": (q_multimodal_decode, oracle.sql_multimodal_decode()),
         "ann_cosine_topk": (q_cosine_topk, oracle.sql_cosine_topk(ANN_QUERY_IDS, ANN_K)),
         "ann_lsh_neardup": (q_lsh_neardup, oracle.sql_ann_lsh_neardup(0.35)),
+        # --- r5 rotation (VERDICT r4 #7): ten high-value LLM-pipeline /
+        # clustering gates promoted from the shadow registry so the
+        # official CORRECTNESS artifact itself evidences this surface;
+        # the ten displaced long-stable entries (attr_filter, attr_index,
+        # subset_above_degree, rank_stats, sampling_splits, parse_props,
+        # stateful_user_stats, speagle_nodes, ground_truth_users,
+        # prior_scaled_review) moved to build_shadow_registry and keep
+        # running through the identical gate in test_oracle_parity.
+        "dedup_clusters": (q_dedup_clusters, oracle.sql_dedup_clusters()),
+        "incremental_dedup_stream": (
+            q_incremental_dedup_stream,
+            oracle.sql_incremental_dedup(mod=INCR_DEDUP_MOD),
+        ),
+        "contamination": (q_contamination,
+                          oracle.sql_contamination(
+                              dedup.CONTAM_BENCH_MOD,
+                              dedup.CONTAM_THRESHOLD)),
+        "bm25_retrieval": (q_bm25_retrieval,
+                           oracle.sql_bm25_retrieval(BM25_QUERY)),
+        "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+        "inverted_index": (q_inverted_index, oracle.sql_inverted_index()),
+        "sequence_packing": (q_pack_sequences,
+                             oracle.sql_pack_sequences()),
+        "boilerplate_removal": (q_remove_boilerplate,
+                                oracle.sql_remove_boilerplate()),
+        "epoch_shuffle": (q_epoch_shuffle, oracle.sql_epoch_shuffle()),
+        "quality_filter": (q_quality_filter, oracle.sql_quality_filter()),
     }
     if len(reg) > DRIVER_BUDGET:  # not assert: must survive python -O
         raise RuntimeError(
@@ -1935,6 +1950,23 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
     (same status as ann.ivf_topk)."""
     m = uni_mod
     reg = {
+        # --- r5 rotation: displaced driver entries stay oracle-gated here
+        "attr_filter": (q_attr_filter, oracle.sql_attr_filter()),
+        "attr_index": (q_attr_index, oracle.sql_attr_index()),
+        "subset_above_degree": (q_subset_above_degree,
+                                oracle.sql_subset_above_degree()),
+        "rank_stats": _uni(q_rank_stats, oracle.sql_rank_stats(mod=m)),
+        "sampling_splits": (q_sampling_splits, oracle.sql_sampling_splits(0.25)),
+        "parse_props": (q_parse_props, oracle.sql_parse_props()),
+        "stateful_user_stats": (
+            q_stateful_user_stats,
+            "SELECT user_id, COUNT(*) AS n_events, "
+            "ROUND(SUM(value), 6) AS sum_value FROM events GROUP BY user_id",
+        ),
+        "speagle_nodes": (q_speagle_nodes,
+                          oracle.sql_speagle(SPEAGLE_ITERS, output="nodes")),
+        "ground_truth_users": (q_ground_truth_users, oracle.sql_ground_truth_users()),
+        "prior_scaled_review": (q_prior_scaled_review, oracle.sql_prior_scaled_review()),
         "sssp_weighted": _uni(q_sssp_weighted,
                               oracle.sql_sssp_weighted(6, mod=m)),
         # the embeddings table is identical at both gate scales (500
@@ -1950,10 +1982,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "events_asof_join": (q_events_asof, SQL_EVENTS_ASOF),
         "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE),
         "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
-        "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
         "events_stream_dedup": (q_events_stream_dedup,
                                 SQL_EVENTS_STREAM_DEDUP),
-        "dedup_clusters": (q_dedup_clusters, oracle.sql_dedup_clusters()),
         "winnow_dup_pairs": (q_winnow_dup_pairs,
                              oracle.sql_winnow_dup_pairs()),
         "corpus_sample_mix": (
@@ -1981,7 +2011,6 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                            oracle.sql_sliding_event_stats()),
         "chunk_documents": (q_chunk_documents,
                             oracle.sql_chunk_documents()),
-        "inverted_index": (q_inverted_index, oracle.sql_inverted_index()),
         "crawl_delta": (q_crawl_delta, oracle.sql_crawl_delta()),
         "pagerank_residuals": _uni(
             q_pagerank_residuals,
@@ -2044,26 +2073,16 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                                      oracle.sql_assortativity(mod=m)),
         "ktruss_edges": _uni(q_ktruss, oracle.sql_ktruss(k=4, rounds=6,
                                                          mod=m)),
-        "contamination": (q_contamination,
-                          oracle.sql_contamination(
-                              dedup.CONTAM_BENCH_MOD,
-                              dedup.CONTAM_THRESHOLD)),
         "hyperball_nf": _uni(q_hyperball, oracle.sql_hyperball(t=3, mod=m)),
         "host_graph": _uni(q_host_graph, oracle.sql_host_graph(mod=m)),
         "host_stats": _uni(q_host_stats, oracle.sql_host_stats(mod=m)),
         "host_rank": _uni(q_host_rank,
                           oracle.sql_host_rank(iters=PR_ITERS, mod=m)),
-        "boilerplate_removal": (q_remove_boilerplate,
-                                oracle.sql_remove_boilerplate()),
-        "sequence_packing": (q_pack_sequences,
-                             oracle.sql_pack_sequences()),
         "reciprocity": _uni(q_reciprocity, oracle.sql_reciprocity(mod=m)),
         "powerlaw_alpha": _uni(q_powerlaw_alpha,
                                oracle.sql_powerlaw_alpha(mod=m)),
-        "quality_filter": (q_quality_filter, oracle.sql_quality_filter()),
         "lm_doc_scores": (q_lm_doc_scores, oracle.sql_lm_doc_scores()),
         "collocations": (q_collocations, oracle.sql_collocations()),
-        "epoch_shuffle": (q_epoch_shuffle, oracle.sql_epoch_shuffle()),
         "harmonic_centrality": _uni(
             q_harmonic_centrality, oracle.sql_harmonic_centrality(t=3, mod=m)),
         "closeness_lin": _uni(
@@ -2105,8 +2124,6 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                             oracle.sql_hashed_features()),
         "item_cooccurrence": (q_item_cooccurrence,
                               oracle.sql_item_cooccurrence()),
-        "bm25_retrieval": (q_bm25_retrieval,
-                           oracle.sql_bm25_retrieval(BM25_QUERY)),
         "rrf_fusion": (q_rrf_fusion, oracle.sql_rrf_fusion(BM25_QUERY)),
         "retrieval_tau": (q_retrieval_tau,
                           oracle.sql_retrieval_tau(BM25_QUERY)),
@@ -2136,10 +2153,6 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
             q_effective_diameter, oracle.sql_effective_diameter(t=3, mod=m)),
         "doc_length_stats": (q_doc_length_stats,
                              oracle.sql_doc_length_stats()),
-        "incremental_dedup_stream": (
-            q_incremental_dedup_stream,
-            oracle.sql_incremental_dedup(mod=INCR_DEDUP_MOD),
-        ),
     }
     return {
         name: ((_mod_guard(entry[0], m), entry[1])
