@@ -48,7 +48,7 @@ def test_salting_splits_hubs(spark):
     assert n_routes >= 2
     # every edge lands in exactly one block
     total = (
-        adj.blocks.select(F.explode("dsts").alias("d")).count()
+        adj.blocks.select(F.explode("dst_codes").alias("d")).count()
     )
     assert total == 100
 

@@ -35,15 +35,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 BLOCK_SCHEMA = (
-    "block_id int, srcs array<long>, dsts array<long>, weights array<double>"
+    "block_id int, srcs array<long>, dst_ids array<long>, "
+    "dst_codes array<int>, weights array<double>"
 )
 
 
 @dataclass
 class AdjacencyBlocks:
-    """blocks(block_id, srcs, dsts, weights) — parallel arrays sorted by
-    (src, dst) inside each block; routes(id, block_id) — the distinct
-    (salted) block memberships of every src vertex."""
+    """blocks(block_id, srcs, dst_ids, dst_codes, weights) — CSR-style:
+    ``srcs``/``dst_codes``/``weights`` are parallel per-edge arrays
+    sorted by (src, dst) inside each block, with the dst stored as an
+    int32 CODE into the block's unique ``dst_ids``. The coding is done
+    ONCE at build so the per-superstep kernel is a plain ``bincount``
+    over codes — no O(E log E) ``np.unique`` sort inside the hot loop —
+    and an int32 code crosses the Arrow boundary instead of an int64
+    id. ``weights`` is stored EMPTY when every edge weight is 1.0 (the
+    unweighted-web-graph common case): the kernel substitutes ones,
+    and 8 bytes/edge/superstep never cross the JVM→Arrow boundary.
+    routes(id, block_id) — the distinct (salted) block memberships of
+    every src vertex."""
 
     blocks: DataFrame
     routes: DataFrame
@@ -89,12 +99,20 @@ def build_adjacency_blocks(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
+        dsts = pdf["dst"].to_numpy(dtype="int64")
+        # dst coding happens ONCE here; every superstep then bincounts
+        # over the codes instead of re-sorting the block's dst column
+        dst_ids, dst_codes = np.unique(dsts, return_inverse=True)
+        w = pdf["weight"].to_numpy(dtype="float64")
+        if np.all(w == 1.0):  # unweighted: nothing to ship per superstep
+            w = np.array([], dtype="float64")
         return pd.DataFrame(
             {
                 "block_id": [int(pdf["block_id"].iloc[0])],
                 "srcs": [pdf["src"].to_numpy(dtype="int64")],
-                "dsts": [pdf["dst"].to_numpy(dtype="int64")],
-                "weights": [pdf["weight"].to_numpy(dtype="float64")],
+                "dst_ids": [dst_ids],
+                "dst_codes": [dst_codes.astype("int32")],
+                "weights": [w],
             }
         )
 
@@ -145,19 +163,16 @@ def spmv(adj: AdjacencyBlocks, state: DataFrame) -> DataFrame:
         # one row per block (a block_id group normally holds exactly one)
         for i in range(len(block_pdf)):
             srcs = np.asarray(block_pdf["srcs"].iloc[i], dtype="int64")
-            dsts = np.asarray(block_pdf["dsts"].iloc[i], dtype="int64")
+            ids = np.asarray(block_pdf["dst_ids"].iloc[i], dtype="int64")
+            codes = np.asarray(block_pdf["dst_codes"].iloc[i], dtype="int64")
             ws = np.asarray(block_pdf["weights"].iloc[i], dtype="float64")
-            c = lut.reindex(srcs).to_numpy(dtype="float64")
-            mask = ~np.isnan(c)
-            if not mask.any():
-                continue
-            contrib = ws[mask] * c[mask]
-            uniq, codes = np.unique(dsts[mask], return_inverse=True)
-            out_ids.append(uniq)
-            out_vals.append(np.bincount(codes, weights=contrib))
-        if not out_ids:
-            return pd.DataFrame({"id": np.array([], dtype="int64"),
-                                 "partial": np.array([], dtype="float64")})
+            if len(ws) == 0:  # unit-weight block (build-time elision)
+                ws = np.ones(len(srcs))
+            # absent state = contribution 0 (same sums as the old mask)
+            c = np.nan_to_num(lut.reindex(srcs).to_numpy(dtype="float64"))
+            partial = np.bincount(codes, weights=ws * c, minlength=len(ids))
+            out_ids.append(ids)
+            out_vals.append(partial)
         return pd.DataFrame(
             {"id": np.concatenate(out_ids), "partial": np.concatenate(out_vals)}
         )
@@ -205,21 +220,43 @@ def spmv_arrow(adj: AdjacencyBlocks, state: DataFrame) -> DataFrame:
                 dtype, copy=False)
 
         # rows of a block group are independent edge segments; the dst
-        # partial sum is associative, so flatten them all and reduce once
+        # partial sum is associative, so flatten them all and reduce
+        # once. Per-row dst codes index that ROW's dst_ids, so flattened
+        # codes get the row's cumulative dst_ids offset added (a block
+        # group normally holds exactly one row, making this a no-op).
         srcs = flat("srcs", "int64")
-        dsts = flat("dsts", "int64")
+        ids_arr = block_tbl.column("dst_ids").combine_chunks()
+        codes_arr = block_tbl.column("dst_codes").combine_chunks()
+        ids_flat = ids_arr.flatten().to_numpy(zero_copy_only=False).astype(
+            "int64", copy=False)
+        codes = codes_arr.flatten().to_numpy(zero_copy_only=False).astype(
+            "int64", copy=True)
+        if block_tbl.num_rows > 1:
+            id_lens = np.asarray(ids_arr.value_lengths(), dtype="int64")
+            code_lens = np.asarray(codes_arr.value_lengths(), dtype="int64")
+            offsets = np.concatenate(([0], np.cumsum(id_lens)[:-1]))
+            codes += np.repeat(offsets, code_lens)
         ws = flat("weights", "float64")
+        if len(ws) == 0:
+            # unit-weight blocks ship an EMPTY weights array (build-time
+            # elision: 8 fewer bytes/edge/superstep over Arrow)
+            ws = np.ones(len(srcs))
+        elif len(ws) != len(srcs):
+            # a group mixing weighted and unit-elided rows flattens
+            # ragged; pack() emits one row per block so this is
+            # unreachable from build_adjacency_blocks — fail loudly
+            # rather than mis-assign weights
+            raise ValueError(
+                f"spmv_arrow: ragged weights ({len(ws)} for {len(srcs)} "
+                "edges) — mixed unit/weighted rows in one block group")
+        # absent state = contribution 0 (same per-dst sums as a mask)
         pos = np.searchsorted(sid, srcs)
         pos_c = np.minimum(pos, len(sid) - 1)
-        mask = sid[pos_c] == srcs
-        if not mask.any():
-            return empty
-        contrib = ws[mask] * sc[pos_c[mask]]
-        uniq, codes = np.unique(dsts[mask], return_inverse=True)
+        c = np.where(sid[pos_c] == srcs, sc[pos_c], 0.0)
+        partial = np.bincount(codes, weights=ws * c, minlength=len(ids_flat))
         return pa.table(
-            {"id": pa.array(uniq, type=pa.int64()),
-             "partial": pa.array(np.bincount(codes, weights=contrib),
-                                 type=pa.float64())}
+            {"id": pa.array(ids_flat, type=pa.int64()),
+             "partial": pa.array(partial, type=pa.float64())}
         )
 
     partials = (
