@@ -1520,3 +1520,51 @@ def test_butterflies_hand_replay(spark):
     out = {r["user"]: r["n_butterflies"]
            for r in butterflies(capped, max_deg=2).collect()}
     assert out == {1: 1, 2: 1}
+
+
+def test_topic_ppr_matches_per_topic_personalized(spark):
+    """The batched K-column kernel must hit personalized_pagerank's
+    fixed point per topic EXACTLY (same join/agg plan per step, so the
+    double arithmetic sequence is identical up to shuffle summation
+    order — compare at 1e-12): batching is a physical optimization,
+    not a semantic variant."""
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 0), (5, 3)],
+        "src long, dst long")
+    topics = spark.createDataFrame(
+        [(0, 0), (3, 1), (4, 1)], "id long, topic int")
+    batched = {r["id"]: (r["v0"], r["v1"]) for r in
+               pagerank.topic_ppr(e, topics, n_topics=2,
+                                  max_iter=6).state.collect()}
+    for t, seed_ids in ((0, [0]), (1, [3, 4])):
+        seeds = spark.createDataFrame([(i,) for i in seed_ids], "id long")
+        solo = {r["id"]: r["value"] for r in
+                pagerank.personalized_pagerank(
+                    e, seeds, max_iter=6).state.collect()}
+        assert set(solo) == set(batched)
+        for v in solo:
+            assert abs(solo[v] - batched[v][t]) < 1e-12, (t, v)
+
+
+def test_topic_ppr_empty_topic_raises(spark):
+    e = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    topics = spark.createDataFrame([(0, 0)], "id long, topic int")
+    with pytest.raises(ValueError, match="topics \\[1\\] have no seed"):
+        pagerank.topic_ppr(e, topics, n_topics=2, max_iter=2)
+
+
+def test_cheirank_is_pagerank_of_transpose(spark):
+    """CheiRank on a known asymmetric digraph: a pure 'emitter' hub
+    (many out-links, no in-links) must top CheiRank while scoring the
+    teleport floor on PageRank."""
+    # 0 links to everyone; 1..4 chain weakly
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (3, 4)],
+        "src long, dst long")
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    pr = {r["id"]: r["value"] for r in
+          pagerank.pagerank(e, max_iter=8).state.collect()}
+    chei = {r["id"]: r["value"] for r in
+            pagerank.pagerank(rev, max_iter=8).state.collect()}
+    assert max(chei, key=chei.get) == 0          # emitter tops CheiRank
+    assert pr[0] == min(pr.values())             # ...and floors PageRank

@@ -1843,3 +1843,32 @@ def test_dedup_training_pairs_labels(spark):
     assert out == want
     assert set(pos) & neg == set()  # anti-join guarantees disjoint
     assert 1 in out.values() and 0 in out.values()
+
+
+def test_containment_catches_short_inside_long(spark):
+    """A short doc wholly embedded in a long one: containment must be
+    1.0 while Jaccard is diluted below 0.5 — the asymmetric signal the
+    operator exists for. Values re-checked against raw shingle sets."""
+    short = " ".join(f"w{i}" for i in range(12))
+    long_ = short + " " + " ".join(f"x{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, short), (4, "totally different words "
+                                                 * 5)],
+        "doc_id long, text string")
+    cont = {(r["doc_a"], r["doc_b"]): r["containment"]
+            for r in dedup.containment_pairs(docs).collect()}
+    jacc = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    assert cont[(1, 3)] == 1.0                      # exact dup
+    if (1, 2) in cont:                              # LSH recalls by Jaccard;
+        assert cont[(1, 2)] == 1.0                  # verify is exact when hit
+        assert jacc[(1, 2)] < 0.5
+
+    def sset(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    for (a, b), c in cont.items():
+        ta = sset(docs.where(F.col("doc_id") == a).first()["text"])
+        tb = sset(docs.where(F.col("doc_id") == b).first()["text"])
+        assert abs(c - round(len(ta & tb) / min(len(ta), len(tb)), 6)) < 1e-9

@@ -397,6 +397,51 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.0,
     return out
 
 
+def containment_pairs(docs: DataFrame, threshold: float = 0.0,
+                      max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(doc_a, doc_b, containment): exact max-containment
+    |A∩B| / min(|A|,|B|) over shingle sets, for the banded-LSH candidate
+    pairs (round 6).
+
+    The asymmetric near-dup signal Jaccard misses: a short document
+    wholly embedded in a long one (quote farms, boilerplate-wrapped
+    mirrors, doc+appendix re-posts) scores Jaccard ≈ |short|/|long| —
+    arbitrarily low — but containment 1.0. Same physical shape as
+    ``ngram_jaccard_pairs``: the shingle frame is materialized once and
+    shared by the LSH stage and the verify stage, and the verify joins
+    candidates only. Caveat inherited from MinHash-LSH candidate
+    generation: buckets recall by *Jaccard*, so extreme-asymmetry pairs
+    with tiny Jaccard may not surface as candidates — at scale, pair a
+    high-band config or a dedicated containment sketch with this
+    verifier."""
+    sh_raw = shingles(docs).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(docs, max_bucket=max_bucket, sh=sh_raw)
+    da = sh_raw.distinct().withColumnRenamed("doc_id", "doc_a")
+    db = sh_raw.distinct().withColumnRenamed("doc_id", "doc_b")
+    ca = da.groupBy("doc_a").agg(F.count(F.lit(1)).alias("na"))
+    cb = db.groupBy("doc_b").agg(F.count(F.lit(1)).alias("nb"))
+    isect = (
+        pairs.join(da, "doc_a")
+        .join(db, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        pairs.join(isect, ["doc_a", "doc_b"], "left")
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.coalesce("i", F.lit(0)) / F.least("na", "nb"), 6
+            ).alias("containment"),
+        )
+    )
+    if threshold > 0:
+        out = out.where(F.col("containment") >= threshold)
+    return out
+
+
 # benchmark-contamination check: docs whose doc_id hits this modulus
 # form the held-out eval set; the rest are training candidates
 CONTAM_BENCH_MOD = 31

@@ -171,6 +171,106 @@ def personalized_pagerank(
     return res
 
 
+def topic_ppr(
+    edges: DataFrame,
+    topics: DataFrame,
+    *,
+    n_topics: int,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    checkpoint_every: int = 1,
+    checkpoint_dir: str | None = None,
+) -> SuperstepResult:
+    """Batched topic-sensitive PageRank (Haveliwala-style): K seed sets
+    advance together through ONE edges⋈state join and ONE groupBy(dst)
+    shuffle per superstep, the state carrying K value columns
+    ``v0..v{K-1}`` instead of one.
+
+    Why this is its own operator and not a loop over
+    ``personalized_pagerank``: at web scale every superstep's cost is
+    dominated by the |E|-sized edge scan + message shuffle, and K
+    separate PPR jobs pay that K times for the identical edge traversal.
+    Widening the state row from 1 to K doubles/triples the *message
+    payload* but leaves the shuffle row count, join fan-out, and
+    partition layout unchanged — the K-fold amortization a 100-TB link
+    graph needs for topic-sensitive ranking, TrustRank panels, or
+    multi-seed spam-mass sweeps. (Reference parity: UGFraud has no
+    multi-seed variant; semantics per topic are pinned to
+    ``personalized_pagerank``'s fixed point by the shared oracle
+    recurrence.)
+
+    ``topics(id, topic)`` assigns seed vertices to topics 0..K-1 (at
+    most one topic per id — enforce upstream); ids outside the graph's
+    vertex set are dropped, and teleport for topic t is uniform over
+    its surviving seeds. Raises when any topic ends up with zero seeds
+    (its column would be identically zero — a silent config error).
+    """
+    edges = colocate_edges(edges.select("src", "dst"))
+    vb = _vertex_base(edges).localCheckpoint(eager=True)
+    topics = topics.select("id", "topic").join(
+        vb.select("id"), "id", "left_semi")
+    # K-row driver transfer (bounded by n_topics), mirrors the scalar
+    # seed count personalized_pagerank already collects
+    counts = {r["topic"]: r["n"] for r in
+              topics.groupBy("topic").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    missing = [t for t in range(n_topics) if not counts.get(t)]
+    if missing:
+        raise ValueError(
+            f"topic_ppr: topics {missing} have no seed inside the "
+            "graph's vertex set — their PPR columns would be "
+            "identically zero")
+
+    base = vb.join(topics, "id", "left")
+    for t in range(n_topics):
+        base = base.withColumn(
+            f"tp{t}",
+            F.when(F.col("topic") == t,
+                   F.lit((1.0 - damping) / counts[t])).otherwise(F.lit(0.0)),
+        )
+    base = base.drop("topic").repartition("id").persist()
+    base.count()
+    # same init as personalized_pagerank: v = tp / (1-d) → 1/n_t on
+    # topic-t seeds, 0 elsewhere (division mirrored in the oracle SQL so
+    # both engines run the identical IEEE op sequence)
+    state0 = base.select(
+        "id", "out_deg",
+        *[f"tp{t}" for t in range(n_topics)],
+        *[(F.col(f"tp{t}") / F.lit(1.0 - damping)).alias(f"v{t}")
+          for t in range(n_topics)],
+    )
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        contribs = (
+            edges.join(
+                state.where(F.col("out_deg").isNotNull())
+                .select(F.col("id").alias("src"),
+                        *[(F.col(f"v{t}") / F.col("out_deg")).alias(f"c{t}")
+                          for t in range(n_topics)])
+                .hint("shuffle_hash"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(*[F.sum(f"c{t}").alias(f"m{t}") for t in range(n_topics)])
+        )
+        return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
+            "id", "out_deg",
+            *[f"tp{t}" for t in range(n_topics)],
+            *[(F.col(f"tp{t}")
+               + F.lit(damping) * F.coalesce(f"m{t}", F.lit(0.0))
+               ).alias(f"v{t}") for t in range(n_topics)],
+        )
+
+    res = iterate(
+        state0, step, residual_fn=None,
+        max_iter=max_iter,
+        checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
+    )
+    res.state = res.state.select(
+        "id", *[f"v{t}" for t in range(n_topics)])
+    return res
+
+
 def pagerank_dangling(
     edges: DataFrame,
     *,

@@ -96,9 +96,16 @@ def sql_degree_histogram(bucket: int = 5, mod: int = UNI_MOD) -> str:
     )
 
 
-def sql_pagerank(iters: int = 5, damping: float = 0.85, mod: int = UNI_MOD) -> str:
-    ctes = [
-        ("uni", uni_frag(mod)),
+def sql_pagerank(iters: int = 5, damping: float = 0.85, mod: int = UNI_MOD,
+                 reverse: bool = False, alias: str = "pagerank") -> str:
+    """``reverse=True`` ranks the TRANSPOSED graph (CheiRank): the same
+    recurrence over src/dst-swapped edges; the vertex set is symmetric
+    so only the edge CTE changes."""
+    ctes = (
+        [("uni0", uni_frag(mod)),
+         ("uni", "SELECT dst AS src, src AS dst FROM uni0")]
+        if reverse else [("uni", uni_frag(mod))]
+    ) + [
         ("v", VERTS),
         ("od", "SELECT src AS id, COUNT(*) AS out_deg FROM uni GROUP BY src"),
         ("nn", "SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v"),
@@ -119,7 +126,7 @@ def sql_pagerank(iters: int = 5, damping: float = 0.85, mod: int = UNI_MOD) -> s
                 f") s ON s.id = v.id",
             )
         )
-    return _with(ctes, f"SELECT id, ROUND(pr, 6) AS pagerank FROM r{iters}")
+    return _with(ctes, f"SELECT id, ROUND(pr, 6) AS {alias} FROM r{iters}")
 
 
 def sql_pagerank_residuals(iters: int = 5, damping: float = 0.85,
@@ -155,6 +162,61 @@ def sql_pagerank_residuals(iters: int = 5, damping: float = 0.85,
         f"FROM r{t} JOIN r{t-1} ON r{t-1}.id = r{t}.id"
         for t in range(1, iters + 1))
     return _with(ctes, unions)
+
+
+def sql_topic_ppr(iters: int = 5, k: int = 3, seed_cap: int = 30,
+                  damping: float = 0.85, mod: int = UNI_MOD) -> str:
+    """Mirror of pagerank.topic_ppr: K personalized-teleport recurrences
+    carried as K columns through ONE unrolled iteration chain — the SQL
+    shape deliberately matches the engine's one-join-one-agg-per-step
+    batching. Seeds for topic t = vertices with id < seed_cap and
+    id % k == t; teleport (1-d)/n_t on seeds; init v_t = tp_t/(1-d)
+    (the same stored-division IEEE sequence the Spark side runs)."""
+    d = f"CAST({damping!r} AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    zero = "CAST(0.0 AS DOUBLE)"
+    tp_cols = ", ".join(
+        f"COALESCE(CASE WHEN s.topic = {t} THEN ({one} - {d}) / c.n END, "
+        f"{zero}) AS tp{t}"
+        for t in range(k)
+    )
+    ctes = [
+        ("uni", uni_frag(mod)),
+        ("v", VERTS),
+        ("od", "SELECT src AS id, COUNT(*) AS out_deg FROM uni GROUP BY src"),
+        ("seeds",
+         f"SELECT id, id % {k} AS topic FROM v WHERE id < {seed_cap}"),
+        ("cnt",
+         "SELECT topic, CAST(COUNT(*) AS DOUBLE) AS n FROM seeds "
+         "GROUP BY topic"),
+        ("tp",
+         f"SELECT v.id, {tp_cols} FROM v "
+         "LEFT JOIN seeds s ON s.id = v.id "
+         "LEFT JOIN cnt c ON c.topic = s.topic"),
+        ("r0",
+         "SELECT id, "
+         + ", ".join(f"tp{t} / ({one} - {d}) AS v{t}" for t in range(k))
+         + " FROM tp"),
+    ]
+    for i in range(1, iters + 1):
+        prev = f"r{i-1}"
+        mass = ", ".join(
+            f"SUM({prev}.v{t} / od.out_deg) AS m{t}" for t in range(k))
+        upd = ", ".join(
+            f"tp.tp{t} + {d} * COALESCE(s.m{t}, {zero}) AS v{t}"
+            for t in range(k))
+        ctes.append((
+            f"r{i}",
+            f"SELECT tp.id, {upd} FROM tp LEFT JOIN (\n"
+            f"  SELECT uni.dst AS id, {mass} FROM uni "
+            f"JOIN {prev} ON {prev}.id = uni.src "
+            f"JOIN od ON od.id = uni.src GROUP BY uni.dst\n"
+            f") s ON s.id = tp.id",
+        ))
+    final = "SELECT id, " + ", ".join(
+        f"ROUND(v{t}, 6) AS ppr_{t}" for t in range(k)
+    ) + f" FROM r{iters}"
+    return _with(ctes, final)
 
 
 def sql_redirect_resolution(doublings: int = 3) -> str:
@@ -1237,6 +1299,22 @@ def _ngram_jaccard_ctes(h: int = 12, bands: int = 4, rows: int = 3,
         "JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b"
     )
     return ctes, final
+
+
+def sql_containment_pairs(h: int = 12, bands: int = 4, rows: int = 3,
+                          max_bucket: int = 512) -> str:
+    """Mirror of dedup.containment_pairs: same LSH candidates and
+    shingle-set intersection as the Jaccard path, but scored
+    |A∩B| / min(|A|,|B|) — the asymmetric near-dup signal Jaccard
+    dilutes when a short document sits wholly inside a long one."""
+    ctes, _ = _ngram_jaccard_ctes(h, bands, rows, max_bucket)
+    final = (
+        "SELECT p.doc_a, p.doc_b, ROUND(COALESCE(i.i, 0) "
+        "/ CAST(LEAST(ca.n, cb.n) AS DOUBLE), 6) AS containment "
+        "FROM pairs p LEFT JOIN isect i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b "
+        "JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b"
+    )
+    return _with(ctes, final)
 
 
 def sql_ngram_jaccard(h: int = 12, bands: int = 4, rows: int = 3,

@@ -114,6 +114,46 @@ def q_pagerank_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(res.state.withColumnRenamed("value", "pagerank"), "pagerank")
 
 
+def q_cheirank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CheiRank: PageRank over the TRANSPOSED link graph — ranks pages
+    by how communicative their out-link neighborhood is (the classic
+    complement to PageRank's in-link authority). Pure reuse: the same
+    superstep kernel over src/dst-swapped edges."""
+    e = tables.uni_edges_directed(spark, sf_dir)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    res = pagerank.pagerank(rev, max_iter=PR_ITERS)
+    return _round6(res.state.withColumnRenamed("value", "cheirank"),
+                   "cheirank")
+
+
+TOPIC_PPR_K = 3
+TOPIC_PPR_SEED_CAP = 30
+
+
+def q_topic_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched topic-sensitive PageRank: K=3 seed sets (vertices with
+    id < 30, topic = id % 3) advance through ONE join + ONE shuffle per
+    superstep as K state columns — K-fold amortization of the |E| edge
+    pass vs K separate PPR jobs (see pagerank.topic_ppr)."""
+    e = tables.uni_edges_directed(spark, sf_dir)
+    verts = (e.select(F.col("src").alias("id"))
+             .unionAll(e.select(F.col("dst").alias("id"))).distinct())
+    topics = verts.where(F.col("id") < TOPIC_PPR_SEED_CAP).select(
+        "id", (F.col("id") % TOPIC_PPR_K).alias("topic"))
+    res = pagerank.topic_ppr(e, topics, n_topics=TOPIC_PPR_K,
+                             max_iter=PR_ITERS)
+    return res.state.select(
+        "id", *[F.round(F.col(f"v{t}"), 6).alias(f"ppr_{t}")
+                for t in range(TOPIC_PPR_K)])
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set max-containment |A∩B|/min(|A|,|B|) over the LSH
+    candidate pairs — catches short-inside-long near-dups Jaccard
+    dilutes (dedup.containment_pairs)."""
+    return dedup.containment_pairs(tables.load(spark, sf_dir, "documents"))
+
+
 def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact fixpoint via min-prop + pointer doubling: O(log d) rounds.
     # Oracle = CC_ITERS unrolled min-prop rounds, which its docstring
@@ -2153,6 +2193,17 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
             q_effective_diameter, oracle.sql_effective_diameter(t=3, mod=m)),
         "doc_length_stats": (q_doc_length_stats,
                              oracle.sql_doc_length_stats()),
+        # --- round-5 closing batch: transpose rank, batched multi-seed
+        # PPR (one edge pass for K topics), containment near-dup
+        "cheirank": _uni(q_cheirank,
+                         oracle.sql_pagerank(PR_ITERS, mod=m, reverse=True,
+                                             alias="cheirank")),
+        "topic_ppr": _uni(q_topic_ppr,
+                          oracle.sql_topic_ppr(PR_ITERS, k=TOPIC_PPR_K,
+                                               seed_cap=TOPIC_PPR_SEED_CAP,
+                                               mod=m)),
+        "containment_pairs": (q_containment_pairs,
+                              oracle.sql_containment_pairs()),
     }
     return {
         name: ((_mod_guard(entry[0], m), entry[1])
