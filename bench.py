@@ -373,7 +373,15 @@ def scaling_worker(cpus: int) -> None:
     # window as fs contention invisible to the steal counter (the
     # suspected cause of the r4 0.751 outlier pair). A fresh directory
     # per leg removes the overlap; rmtree'd on exit.
-    local_dir = tempfile.mkdtemp(prefix=f"scaling_local_{cpus}_")
+    # fresh dir per leg, ON TMPFS when available: mkdtemp's default
+    # /tmp is the sandbox's slow, noisy-neighbor virtual disk (the
+    # reason plans/session._scratch_dir prefers /dev/shm), and a
+    # virtual-disk dir adds dirty-page writeback at teardown that
+    # bleeds into the NEXT leg's timed window — worst under the fair
+    # protocol, where FOUR workers tear down at once before the 4N leg
+    local_dir = tempfile.mkdtemp(
+        prefix=f"scaling_local_{cpus}_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     spark = get_spark(f"scaling_probe_{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=SCALE_PARTITIONS,
                       extra_conf={

@@ -32,7 +32,12 @@ def _package_zip() -> str:
     workers regardless of the driver's cwd."""
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     root = os.path.dirname(pkg_dir)
-    out = os.path.join(tempfile.gettempdir(), "ugfraud_spark_pyfiles.zip")
+    # per-process name: concurrent sessions (e.g. the resource-fair
+    # scaling fan runs four local[2] JVMs at once) raced on a shared
+    # path — one writer truncating while another JVM's executor fetches
+    # fails with "exists and does not match contents of"
+    out = os.path.join(tempfile.gettempdir(),
+                       f"ugfraud_spark_pyfiles_{os.getpid()}.zip")
     with zipfile.ZipFile(out, "w") as z:
         for dirpath, _dirnames, filenames in os.walk(pkg_dir):
             for fn in filenames:
