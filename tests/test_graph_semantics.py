@@ -1568,3 +1568,56 @@ def test_cheirank_is_pagerank_of_transpose(spark):
             pagerank.pagerank(rev, max_iter=8).state.collect()}
     assert max(chei, key=chei.get) == 0          # emitter tops CheiRank
     assert pr[0] == min(pr.values())             # ...and floors PageRank
+
+
+def test_teleport_pagerank_reduces_to_pagerank_and_ppr(spark):
+    """teleport_pagerank is characterized by its two degenerate cases:
+    uniform weights reproduce plain PageRank, and an indicator weight
+    vector reproduces personalized_pagerank on the same seed set (the
+    generalization is exactly the τ column)."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (4, 0), (3, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    verts = sorted({u for ed in edges for u in ed})
+
+    pr = {r["id"]: r["value"]
+          for r in pagerank.pagerank(e, max_iter=8).state.collect()}
+    w_uni = spark.createDataFrame([(v, 1.0) for v in verts],
+                                  "id long, w double")
+    tp = {r["id"]: r["value"]
+          for r in pagerank.teleport_pagerank(e, w_uni, max_iter=8)
+          .state.collect()}
+    assert set(tp) == set(pr)
+    assert all(abs(pr[k] - tp[k]) < 1e-12 for k in pr)
+
+    seeds = spark.createDataFrame([(2,), (4,)], "id long")
+    ppr = {r["id"]: r["value"]
+           for r in pagerank.personalized_pagerank(e, seeds, max_iter=8)
+           .state.collect()}
+    # any equal positive weight on the seed set normalizes to the same τ
+    w_ind = spark.createDataFrame([(2, 7.0), (4, 7.0)], "id long, w double")
+    tpi = {r["id"]: r["value"]
+           for r in pagerank.teleport_pagerank(e, w_ind, max_iter=8)
+           .state.collect()}
+    assert set(tpi) == set(ppr)
+    assert all(abs(ppr[k] - tpi[k]) < 1e-12 for k in ppr)
+
+
+def test_teleport_pagerank_guards_and_bias(spark):
+    """Weights outside the vertex set are dropped (and all-outside
+    raises); biased teleport moves rank toward the weighted vertex."""
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)],
+                              "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank.teleport_pagerank(
+            e, spark.createDataFrame([(99, 1.0)], "id long, w double"),
+            max_iter=2)
+    # weight on 2 plus an ignored out-of-graph id; the 3-cycle needs
+    # ~25 iterations for the concentrated start r_0 = τ to stop
+    # oscillating around the fixed point r(2) = 0.15/(1-0.85³) ≈ 0.389
+    w = spark.createDataFrame([(2, 3.0), (99, 5.0)], "id long, w double")
+    biased = {r["id"]: r["value"]
+              for r in pagerank.teleport_pagerank(e, w, max_iter=25)
+              .state.collect()}
+    uniform = {r["id"]: r["value"]
+               for r in pagerank.pagerank(e, max_iter=8).state.collect()}
+    assert biased[2] > uniform[2]

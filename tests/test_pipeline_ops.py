@@ -1872,3 +1872,61 @@ def test_containment_catches_short_inside_long(spark):
         ta = sset(docs.where(F.col("doc_id") == a).first()["text"])
         tb = sset(docs.where(F.col("doc_id") == b).first()["text"])
         assert abs(c - round(len(ta & tb) / min(len(ta), len(tb)), 6)) < 1e-9
+
+
+def test_url_normalize_rules_and_idempotence(spark):
+    """Hand-written messy urls: each canonicalization rule checked
+    against the expected string, and normalize(normalize(u)) is a
+    fixed point."""
+    from ugfraud_spark.operators import crawl
+
+    cases = [
+        # fragment + default port + WWW + case + dot segments + utm
+        ("HTTP://WWW.Ex.COM:80/a//b/./c.html?utm_x=1&b=2&a=1#frag",
+         "http://ex.com/a/b/c.html?a=1&b=2"),
+        # non-default port survives; trailing slash stripped
+        ("https://Ex.com:8443/a/", "https://ex.com:8443/a"),
+        # root path: trailing slash kept; empty path becomes /
+        ("https://ex.com", "https://ex.com/"),
+        ("http://ex.com/", "http://ex.com/"),
+        # https default port stripped; only utm params -> no '?'
+        ("https://ex.com:443/x.html?utm_a=1&utm_b=2",
+         "https://ex.com/x.html"),
+        # nested dot segments need the doubled replace
+        ("http://ex.com/a/././b", "http://ex.com/a/b"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "doc_id long, url string")
+    got = {r["url"]: r["url_norm"]
+           for r in crawl.normalize_urls(df).collect()}
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)
+    # idempotence: re-normalizing the canonical forms changes nothing
+    df2 = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(got.values())],
+        "doc_id long, url string")
+    again = {r["url"]: r["url_norm"]
+             for r in crawl.normalize_urls(df2).collect()}
+    assert all(k == v for k, v in again.items())
+
+
+def test_url_normalize_demo_finds_aliases(spark, sf_small):
+    """The synthetic corpus must contain genuine alias groups (distinct
+    raw urls, one canonical form) — the structure the gate counts."""
+    from ugfraud_spark.operators import crawl
+    from ugfraud_spark.sources import tables
+
+    out = crawl.url_normalize_demo(
+        tables.load(spark, sf_small, "documents"))
+    rows = out.collect()
+    assert len(rows) == 500 and all(r["n_aliases"] >= 1 for r in rows)
+    groups = {}
+    for r in rows:
+        groups.setdefault(r["url_norm"], set()).add(r["url"])
+    multi = {k: v for k, v in groups.items() if len(v) > 1}
+    assert multi, "no alias group planted"
+    # within a group the RAW urls differ (that's the point of the op)
+    assert all(len(v) > 1 for v in multi.values())
+    # and n_aliases matches the group size exactly
+    for r in rows:
+        assert r["n_aliases"] == len(groups[r["url_norm"]])

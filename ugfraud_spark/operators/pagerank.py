@@ -171,6 +171,80 @@ def personalized_pagerank(
     return res
 
 
+def teleport_pagerank(
+    edges: DataFrame,
+    weights: DataFrame,
+    *,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float | None = None,
+    checkpoint_every: int = 1,
+    checkpoint_dir: str | None = None,
+) -> SuperstepResult:
+    """PageRank with an ARBITRARY non-negative teleport distribution:
+    ``weights(id, w)`` → τ(v) = w(v) / Σw, and
+
+        r_0(v)     = τ(v)
+        r_{t+1}(v) = (1-d)·τ(v) + d · Σ_{(u,v)∈E} r_t(u)/outdeg(u)
+
+    The general form between ``pagerank`` (w ≡ 1) and
+    ``personalized_pagerank`` (w = seed indicator): any upstream signal
+    — document quality, crawl priority, host reputation — becomes a
+    rank bias without touching the superstep plan. Same physical shape
+    as ``pagerank``: the weight column rides the persisted vertex base,
+    so the teleport term is a map-side expression, never a join.
+
+    Weights for ids outside the graph's vertex set are dropped (their
+    mass would vanish); vertices with no weight row get τ = 0. The
+    normalizer Σw rides a broadcast 1-row crossJoin — no driver-side
+    float re-enters the plan."""
+    edges = colocate_edges(edges.select("src", "dst"))
+    vb = _vertex_base(edges).localCheckpoint(eager=True)
+    w = (weights.select("id", F.col("w").cast("double").alias("w"))
+         .join(vb.select("id"), "id", "left_semi"))
+    if w.where(F.col("w") > 0).limit(1).count() == 0:
+        raise ValueError("teleport_pagerank: no positive weight "
+                         "intersects the graph's vertex set")
+    tot = w.agg(F.sum("w").alias("_tot"))
+    base = (
+        vb.join(w, "id", "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("wn", F.coalesce(F.col("w"), F.lit(0.0)) / F.col("_tot"))
+        .drop("w", "_tot")
+        .repartition("id")
+        .persist()
+    )
+    base.count()
+    state0 = base.withColumn("value", F.col("wn"))
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        contribs = (
+            edges.join(
+                state.where(F.col("out_deg").isNotNull())
+                .select(F.col("id").alias("src"),
+                        (F.col("value") / F.col("out_deg")).alias("c"))
+                .hint("shuffle_hash"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("mass"))
+        )
+        return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
+            "id", "out_deg", "wn",
+            (F.lit(1.0 - damping) * F.col("wn")
+             + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias("value"),
+        )
+
+    res = iterate(
+        state0, step,
+        residual_fn=(None if tol is None else l1_residual),
+        max_iter=max_iter, tol=tol or 0.0,
+        checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
+    )
+    res.state = res.state.select("id", "value")
+    return res
+
+
 def topic_ppr(
     edges: DataFrame,
     topics: DataFrame,

@@ -3773,18 +3773,12 @@ def sql_remove_boilerplate(w: int = 10, min_docs: int = 2) -> str:
     )
 
 
-def sql_quality_filter(min_tokens: int = 15, avg_lo: float = 3.0,
-                       avg_hi: float = 10.0, max_dupw: float = 0.68,
-                       max_dupb: float = 0.08) -> str:
-    """Mirror of quality.quality_filter: every metric rounded to 6 dp
-    BEFORE its threshold comparison (verdicts can't flip on float low
-    bits); fail_rules via CONCAT_WS, which skips passing rules' NULLs
-    identically on both engines."""
-    from .functions.text import (STOPWORDS, sql_token_count,
-                                 sql_word_occurrences)
-
-    stop = " + ".join(sql_word_occurrences("text", w) for w in STOPWORDS)
-    rules = [
+def _quality_rules(min_tokens: int = 15, avg_lo: float = 3.0,
+                   avg_hi: float = 10.0, max_dupw: float = 0.68,
+                   max_dupb: float = 0.08) -> list[tuple[str, str]]:
+    """(name, pass-condition over the `q` metrics CTE) in the fixed
+    declaration order quality.quality_filter uses."""
+    return [
         ("min_tokens", f"n_tokens >= {min_tokens}"),
         ("stopwords", "stopr > 0.0"),
         ("avg_token_len",
@@ -3792,6 +3786,42 @@ def sql_quality_filter(min_tokens: int = 15, avg_lo: float = 3.0,
         ("dup_words", f"dupw <= {_d(max_dupw)}"),
         ("dup_bigrams", f"dupb <= {_d(max_dupb)}"),
     ]
+
+
+def _quality_metric_ctes() -> list[tuple[str, str]]:
+    """[sp, q]: the per-document quality metrics CTE chain (every
+    metric rounded to 6 dp BEFORE any threshold comparison, so verdicts
+    can't flip on float low bits) — shared by sql_quality_filter and
+    the quality-weighted rank oracles."""
+    from .functions.text import (STOPWORDS, sql_token_count,
+                                 sql_word_occurrences)
+
+    stop = " + ".join(sql_word_occurrences("text", w) for w in STOPWORDS)
+    return [
+        ("sp",
+         "SELECT doc_id, text, string_split(text, ' ') AS w "
+         "FROM documents"),
+        ("q",
+         f"SELECT doc_id, {sql_token_count('text')} AS n_tokens, "
+         f"ROUND((LENGTH(text) - ({sql_token_count('text')} - 1)) "
+         f"/ CAST({sql_token_count('text')} AS DOUBLE), 6) AS avg_tok, "
+         f"ROUND(({stop}) / CAST({sql_token_count('text')} AS DOUBLE), 6) "
+         f"AS stopr, "
+         f"ROUND(1 - LEN(list_distinct(w)) / CAST(LEN(w) AS DOUBLE), 6) "
+         f"AS dupw, "
+         f"CASE WHEN LEN(w) > 1 THEN "
+         f"ROUND(1 - LEN(list_distinct(list_transform(range(1, LEN(w)), "
+         f"i -> w[i] || ' ' || w[i + 1]))) / CAST(LEN(w) - 1 AS DOUBLE), 6) "
+         f"ELSE CAST(0.0 AS DOUBLE) END AS dupb FROM sp"),
+    ]
+
+
+def sql_quality_filter(min_tokens: int = 15, avg_lo: float = 3.0,
+                       avg_hi: float = 10.0, max_dupw: float = 0.68,
+                       max_dupb: float = 0.08) -> str:
+    """Mirror of quality.quality_filter: fail_rules via CONCAT_WS,
+    which skips passing rules' NULLs identically on both engines."""
+    rules = _quality_rules(min_tokens, avg_lo, avg_hi, max_dupw, max_dupb)
     n_failed = " + ".join(
         f"CASE WHEN {cond} THEN 0 ELSE 1 END" for _, cond in rules
     )
@@ -3799,24 +3829,134 @@ def sql_quality_filter(min_tokens: int = 15, avg_lo: float = 3.0,
         f"CASE WHEN NOT ({cond}) THEN '{name}' END" for name, cond in rules
     )
     return _with(
-        [("sp",
-          "SELECT doc_id, text, string_split(text, ' ') AS w "
-          "FROM documents"),
-         ("q",
-          f"SELECT doc_id, {sql_token_count('text')} AS n_tokens, "
-          f"ROUND((LENGTH(text) - ({sql_token_count('text')} - 1)) "
-          f"/ CAST({sql_token_count('text')} AS DOUBLE), 6) AS avg_tok, "
-          f"ROUND(({stop}) / CAST({sql_token_count('text')} AS DOUBLE), 6) "
-          f"AS stopr, "
-          f"ROUND(1 - LEN(list_distinct(w)) / CAST(LEN(w) AS DOUBLE), 6) "
-          f"AS dupw, "
-          f"CASE WHEN LEN(w) > 1 THEN "
-          f"ROUND(1 - LEN(list_distinct(list_transform(range(1, LEN(w)), "
-          f"i -> w[i] || ' ' || w[i + 1]))) / CAST(LEN(w) - 1 AS DOUBLE), 6) "
-          f"ELSE CAST(0.0 AS DOUBLE) END AS dupb FROM sp")],
+        _quality_metric_ctes(),
         f"SELECT doc_id, n_tokens, CAST({n_failed} AS BIGINT) AS n_failed, "
         f"CONCAT_WS(',', {fail_rules}) AS fail_rules, "
         f"({n_failed}) = 0 AS keep FROM q",
+    )
+
+
+def sql_quality_pagerank(iters: int = 5, damping: float = 0.85,
+                         mod: int = UNI_MOD,
+                         alias: str = "quality_pagerank") -> str:
+    """Mirror of registry.q_quality_pagerank: PageRank whose teleport
+    distribution is proportional to each vertex's count of
+    quality-filter-PASSING documents (doc_id % mod → vertex id).
+    Vertices hosting no kept doc get zero teleport; weights for ids
+    outside the graph's vertex set are dropped, exactly like the Spark
+    side's left-semi join. r_0 = τ; each step is the standard
+    recurrence with (1-d)·τ(v) in place of (1-d)/N."""
+    keep_cond = " AND ".join(cond for _, cond in _quality_rules())
+    ctes = [
+        ("uni", uni_frag(mod)),
+        ("v", VERTS),
+        ("od", "SELECT src AS id, COUNT(*) AS out_deg FROM uni GROUP BY src"),
+    ] + _quality_metric_ctes() + [
+        ("keepd", f"SELECT doc_id FROM q WHERE {keep_cond}"),
+        ("tw",
+         f"SELECT v.id, COUNT(k.id) AS w FROM v LEFT JOIN "
+         f"(SELECT doc_id % {mod} AS id FROM keepd) k ON k.id = v.id "
+         f"GROUP BY v.id"),
+        ("wt", "SELECT CAST(SUM(w) AS DOUBLE) AS tot FROM tw"),
+        ("tw2",
+         "SELECT tw.id, CAST(tw.w AS DOUBLE) / wt.tot AS wn FROM tw, wt"),
+        ("r0", "SELECT id, wn AS pr FROM tw2"),
+    ]
+    d = f"CAST({damping!r} AS DOUBLE)"
+    for t in range(1, iters + 1):
+        prev = f"r{t-1}"
+        ctes.append(
+            (
+                f"r{t}",
+                f"SELECT tw2.id, (CAST(1.0 AS DOUBLE) - {d}) * tw2.wn "
+                f"+ {d} * COALESCE(s.mass, CAST(0.0 AS DOUBLE)) AS pr\n"
+                f"FROM tw2 LEFT JOIN (\n"
+                f"  SELECT uni.dst AS id, SUM({prev}.pr / od.out_deg) AS mass\n"
+                f"  FROM uni JOIN {prev} ON {prev}.id = uni.src "
+                f"JOIN od ON od.id = uni.src GROUP BY uni.dst\n"
+                f") s ON s.id = tw2.id",
+            )
+        )
+    return _with(ctes, f"SELECT id, ROUND(pr, 6) AS {alias} FROM r{iters}")
+
+
+def sql_url_normalize() -> str:
+    """Mirror of crawl.url_normalize_demo: the deterministic messy-url
+    synthesis, the fixed-order canonicalization rules, and the
+    per-canonical-form alias count. Every regexp_replace carries the
+    'g' flag so DuckDB matches Spark's replace-ALL semantics; DuckDB's
+    regexp_extract returns '' on no match exactly like Spark's."""
+    url = (
+        "(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' "
+        "|| (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) "
+        "|| 'Host' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM' "
+        "|| (CASE WHEN doc_id % 4 = 0 THEN "
+        "(CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) "
+        "ELSE '' END) "
+        "|| '/cat' || CAST(doc_id % 3 AS VARCHAR) || '//item/./page' "
+        "|| CAST(doc_id % 10 AS VARCHAR) "
+        "|| (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '.html' END) "
+        "|| (CASE WHEN doc_id % 5 = 0 THEN "
+        "'?utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR) "
+        "|| '&utm_campaign=x&b=2&a=1' "
+        "WHEN doc_id % 5 = 1 THEN '?utm_medium=rss' ELSE '' END) "
+        "|| (CASE WHEN doc_id % 7 = 0 THEN "
+        "'#sec' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END)"
+    )
+    ctes = [
+        ("u0", f"SELECT doc_id, {url} AS url FROM documents"),
+        ("n1",
+         "SELECT doc_id, url, "
+         "regexp_replace(url, '#.*$', '', 'g') AS u1 FROM u0"),
+        ("n2",
+         "SELECT *, "
+         "lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) "
+         "AS scheme, "
+         "regexp_replace(u1, '^[A-Za-z][A-Za-z0-9+.-]*://', '', 'g') "
+         "AS rest FROM n1"),
+        ("n3",
+         "SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS hostport, "
+         "regexp_replace(rest, '^[^/?]*', '', 'g') AS pathq FROM n2"),
+        ("n4",
+         "SELECT *, "
+         "regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), "
+         "'^www\\.', '', 'g') AS host, "
+         "regexp_extract(hostport, ':([0-9]+)$', 1) AS port FROM n3"),
+        ("n5",
+         "SELECT *, "
+         "CASE WHEN port = '' OR (scheme = 'http' AND port = '80') "
+         "OR (scheme = 'https' AND port = '443') THEN '' "
+         "ELSE ':' || port END AS port_norm, "
+         "regexp_replace(regexp_replace(regexp_replace("
+         "regexp_extract(pathq, '^([^?]*)', 1), "
+         "'//+', '/', 'g'), '/\\./', '/', 'g'), '/\\./', '/', 'g') AS p1, "
+         "regexp_extract(pathq, '\\?(.*)$', 1) AS q0 FROM n4"),
+        ("n6",
+         "SELECT *, "
+         "CASE WHEN p2 <> '/' THEN regexp_replace(p2, '/+$', '', 'g') "
+         "ELSE p2 END AS path_norm, "
+         # COALESCE: DuckDB's array_to_string([]) is NULL where
+         # Spark's array_join([]) is '' — normalize to the Spark value
+         "COALESCE(array_to_string(list_sort(list_filter("
+         "string_split(q0, '&'), "
+         "x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&'), '') "
+         "AS qnorm "
+         "FROM (SELECT *, CASE WHEN p1 = '' THEN '/' ELSE p1 END AS p2 "
+         "FROM n5)"),
+        ("normed",
+         "SELECT doc_id, url, host, "
+         "scheme || '://' || host || port_norm || path_norm || "
+         "(CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END) "
+         "AS url_norm FROM n6"),
+        ("aliases",
+         "SELECT url_norm, COUNT(DISTINCT url) AS n_aliases FROM normed "
+         "GROUP BY url_norm"),
+    ]
+    return _with(
+        ctes,
+        "SELECT doc_id, url, url_norm, host, "
+        "CAST(n_aliases AS BIGINT) AS n_aliases "
+        "FROM normed JOIN aliases USING (url_norm)",
     )
 
 

@@ -147,6 +147,38 @@ def q_topic_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for t in range(TOPIC_PPR_K)])
 
 
+def q_quality_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted PageRank: teleport mass ∝ each vertex's count
+    of quality-filter-PASSING documents (doc_id % uni_mod → vertex) —
+    the curation-biased rank a webtext pipeline uses to prefer link
+    authority flowing through pages whose content survives the Gopher
+    rules. Composition of two existing kernels: quality.quality_filter
+    feeds pagerank.teleport_pagerank; the filter is a zero-shuffle
+    projection, the weight rollup one groupBy, and the rank itself the
+    standard superstep plan."""
+    from .operators import quality
+
+    mod = tables.uni_mod_for(sf_dir)
+    docs = tables.load(spark, sf_dir, "documents")
+    w = (quality.quality_filter(docs).where(F.col("keep"))
+         .select((F.col("doc_id") % mod).alias("id"))
+         .groupBy("id").agg(F.count(F.lit(1)).alias("w")))
+    e = tables.uni_edges_directed(spark, sf_dir)
+    res = pagerank.teleport_pagerank(e, w, max_iter=PR_ITERS)
+    return _round6(res.state.withColumnRenamed("value", "quality_pagerank"),
+                   "quality_pagerank")
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + alias detection over deterministic messy
+    urls: fragment/default-port/www/utm stripping, slash and
+    dot-segment cleanup, sorted query params — then the per-canonical
+    alias count the crawl frontier dedups on (crawl.url_normalize_demo)."""
+    from .operators import crawl
+
+    return crawl.url_normalize_demo(tables.load(spark, sf_dir, "documents"))
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-set max-containment |A∩B|/min(|A|,|B|) over the LSH
     candidate pairs — catches short-inside-long near-dups Jaccard
@@ -2057,6 +2089,10 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
             oracle.sql_pagerank_residuals(PR_ITERS, mod=m)),
         "redirect_resolution": (q_redirect_resolution,
                                 oracle.sql_redirect_resolution()),
+        "quality_pagerank": _uni(
+            q_quality_pagerank,
+            oracle.sql_quality_pagerank(PR_ITERS, mod=m)),
+        "url_normalize": (q_url_normalize, oracle.sql_url_normalize()),
         "robots_admission": (q_robots_admission,
                              oracle.sql_robots_admission()),
         "skipgram_pairs": (q_skipgram_pairs, oracle.sql_skipgram_pairs()),
