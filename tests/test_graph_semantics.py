@@ -1621,3 +1621,81 @@ def test_teleport_pagerank_guards_and_bias(spark):
     uniform = {r["id"]: r["value"]
                for r in pagerank.pagerank(e, max_iter=8).state.collect()}
     assert biased[2] > uniform[2]
+
+
+def test_pagerank_from_uniform_init_equals_cold_start(spark):
+    """pagerank_from seeded with the uniform vector IS plain pagerank
+    (same recurrence, same iteration count) — exact to the bit."""
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (4, 0), (3, 4)],
+        "src long, dst long")
+    cold = {r["id"]: r["value"]
+            for r in pagerank.pagerank(e, max_iter=4).state.collect()}
+    init = spark.createDataFrame([(v, 1.0 / 5) for v in range(5)],
+                                 "id long, value double")
+    warm = {r["id"]: r["value"]
+            for r in pagerank.pagerank_from(e, init, max_iter=4)
+            .state.collect()}
+    assert warm == cold
+
+
+def test_pagerank_warm_start_converges_faster_and_seeds_new_pages(spark):
+    """The recrawl pattern: k warm supersteps from yesterday's converged
+    vector land closer to today's fixed point than k cold supersteps;
+    vertices absent from init start at 1/N_new; init rows for vanished
+    pages are dropped."""
+    # 60-vertex ring + chords; today's delta: one new chord and one new
+    # page (60) — small relative to the graph, the recrawl regime
+    old_edges = [(i, (i + 1) % 60) for i in range(60)] + [
+        (i, (i * 7 + 3) % 60) for i in range(0, 60, 5)
+        if i != (i * 7 + 3) % 60]
+    new_edges = old_edges + [(7, 23), (60, 0), (0, 60)]
+    e_old = spark.createDataFrame(old_edges, "src long, dst long")
+    e_new = spark.createDataFrame(new_edges, "src long, dst long")
+
+    old_rank = pagerank.pagerank(e_old, max_iter=40).state
+    # stale row for a vanished page must not leak into the output
+    stale = old_rank.unionAll(
+        spark.createDataFrame([(999, 0.5)], "id long, value double"))
+    fixed = {r["id"]: r["value"]
+             for r in pagerank.pagerank(e_new, max_iter=60).state.collect()}
+
+    k = 3
+    warm = {r["id"]: r["value"]
+            for r in pagerank.pagerank_from(e_new, stale, max_iter=k)
+            .state.collect()}
+    cold = {r["id"]: r["value"]
+            for r in pagerank.pagerank(e_new, max_iter=k).state.collect()}
+    assert set(warm) == set(fixed) and 999 not in warm
+    d_warm = sum(abs(warm[v] - fixed[v]) for v in fixed)
+    d_cold = sum(abs(cold[v] - fixed[v]) for v in fixed)
+    assert d_warm < d_cold / 2
+
+    # zero warm supersteps exposes the init itself: new page 60 at 1/N_new
+    seeded = {r["id"]: r["value"]
+              for r in pagerank.pagerank_from(e_new, stale, max_iter=0)
+              .state.collect()}
+    assert abs(seeded[60] - 1.0 / 61) < 1e-15
+
+
+def test_inlink_concentration_hand_case(spark):
+    """Single-source host (hhi = top_share = 1) vs diversified host;
+    intra-host self-links excluded from every ratio."""
+    from ugfraud_spark.operators import quotient
+
+    rows = [
+        # farm -> target: one source host supplies everything
+        (7, 1, 40),
+        (1, 1, 99),          # self-links: must not count
+        # diversified: three sources with 2/1/1 links
+        (5, 2, 2), (6, 2, 1), (7, 2, 1),
+    ]
+    he = spark.createDataFrame(
+        rows, "src_host long, dst_host long, n_links long")
+    got = {r["host"]: r for r in quotient.inlink_concentration(he).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["in_links"] == 40 and got[1]["n_src_hosts"] == 1
+    assert got[1]["top_share"] == 1.0 and got[1]["hhi"] == 1.0
+    assert got[2]["in_links"] == 4 and got[2]["n_src_hosts"] == 3
+    assert got[2]["top_share"] == 0.5
+    assert abs(got[2]["hhi"] - round((4 + 1 + 1) / 16, 6)) < 1e-12

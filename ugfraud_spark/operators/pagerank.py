@@ -245,6 +245,70 @@ def teleport_pagerank(
     return res
 
 
+def pagerank_from(
+    edges: DataFrame,
+    init: DataFrame,
+    *,
+    damping: float = 0.85,
+    max_iter: int = 3,
+    tol: float | None = None,
+    checkpoint_every: int = 1,
+    checkpoint_dir: str | None = None,
+) -> SuperstepResult:
+    """PageRank WARM-STARTED from ``init(id, value)`` — the incremental
+    recrawl pattern: yesterday's converged rank vector seeds today's
+    graph (new edges added, some pages gone) and a handful of supersteps
+    re-converge it, instead of paying the full cold-start iteration
+    count on every crawl cycle. Power iteration's error contracts by the
+    damping factor per step regardless of the start vector, so starting
+    ~ε from the new fixed point needs log(tol/ε)/log(d) steps — at a
+    daily-delta ε this is 2-4 supersteps versus tens from uniform.
+
+    Vertices absent from ``init`` (pages first seen this crawl) start at
+    1/N of the NEW vertex count; init rows for vanished pages are
+    dropped by the left join against the new vertex base. The recurrence
+    and physical plan are ``pagerank``'s verbatim — one edges⋈state join
+    + one groupBy(dst) shuffle per superstep over the colocated edge
+    frame; the init join happens ONCE, outside the loop."""
+    edges = colocate_edges(edges.select("src", "dst"))
+    base = _vertex_base(edges).persist()
+    n = base.count()
+    teleport = (1.0 - damping) / n
+
+    state0 = (
+        base.join(init.select("id", F.col("value").cast("double")
+                              .alias("value")), "id", "left")
+        .withColumn("value", F.coalesce(F.col("value"), F.lit(1.0 / n)))
+    )
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        contribs = (
+            edges.join(
+                state.where(F.col("out_deg").isNotNull())
+                .select(F.col("id").alias("src"),
+                        (F.col("value") / F.col("out_deg")).alias("c"))
+                .hint("shuffle_hash"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("mass"))
+        )
+        return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
+            "id", "out_deg",
+            (F.lit(teleport)
+             + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias("value"),
+        )
+
+    res = iterate(
+        state0, step,
+        residual_fn=(None if tol is None else l1_residual),
+        max_iter=max_iter, tol=tol or 0.0,
+        checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
+    )
+    res.state = res.state.select("id", "value")
+    return res
+
+
 def topic_ppr(
     edges: DataFrame,
     topics: DataFrame,

@@ -129,3 +129,37 @@ def host_lang_entropy(docs: DataFrame, n_hosts: int = 37) -> DataFrame:
         term = t if term is None else term + t
     return g.select("host_id", "n_docs",
                     F.round(-term, 6).alias("entropy"))
+
+
+def inlink_concentration(host_edges: DataFrame) -> DataFrame:
+    """Host quotient edges → per-DESTINATION-host in-link source
+    concentration: (host, in_links, n_src_hosts, top_share, hhi).
+
+    The nepotistic-link / link-farm signal (Fetterly et al.'s spam
+    heuristics; the TrustRank paper's motivating structure): a host
+    whose in-link mass comes overwhelmingly from one or two source
+    hosts is propped up, not endorsed. ``hhi`` is the Herfindahl index
+    Σ share_i² of the source-host shares (1 = single-source; → 0 =
+    diversified), ``top_share`` the largest single source's share.
+    Intra-host self-links are excluded — a host linking to itself is
+    navigation, not endorsement, and would otherwise dominate both
+    ratios for every large site.
+
+    Scale shape: input is the already-collapsed host graph (≤ |hosts|²
+    rows), so this is one map-side-combinable groupBy(dst_host) over a
+    frame many orders smaller than |E|; shares and HHI are single
+    fixed-order expressions over exact BIGINT link counts, rounded to
+    6 dp for cross-engine gating."""
+    inter = host_edges.where(F.col("src_host") != F.col("dst_host"))
+    g = inter.groupBy(F.col("dst_host").alias("host")).agg(
+        F.sum("n_links").alias("in_links"),
+        F.count(F.lit(1)).alias("n_src_hosts"),
+        F.max("n_links").alias("_top"),
+        F.sum(F.col("n_links") * F.col("n_links")).alias("_sq"),
+    )
+    tot = F.col("in_links").cast("double")
+    return g.select(
+        "host", "in_links", "n_src_hosts",
+        F.round(F.col("_top").cast("double") / tot, 6).alias("top_share"),
+        F.round(F.col("_sq").cast("double") / (tot * tot), 6).alias("hhi"),
+    )

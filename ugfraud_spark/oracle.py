@@ -3880,6 +3880,98 @@ def sql_quality_pagerank(iters: int = 5, damping: float = 0.85,
     return _with(ctes, f"SELECT id, ROUND(pr, 6) AS {alias} FROM r{iters}")
 
 
+def sql_pagerank_warm_start(old_iters: int = 5, warm_iters: int = 3,
+                            damping: float = 0.85, mod: int = UNI_MOD,
+                            drop_mod: int = 17) -> str:
+    """Mirror of registry.q_pagerank_warm_start: rank yesterday's graph
+    (edges with (src·31+dst) % drop_mod == 0 withheld) from a cold
+    uniform start for ``old_iters`` rounds, then warm-start the FULL
+    graph from that unrounded vector for ``warm_iters`` rounds —
+    pages first seen today (absent from the old vertex set) start at
+    1/N_new via the same COALESCE the Spark side's init left-join
+    runs. Both recurrences are sql_pagerank's verbatim; the old rank
+    crosses into the warm chain at full double precision (rounding
+    happens once, at the end)."""
+    d = f"CAST({damping!r} AS DOUBLE)"
+    ctes = [
+        ("uni", uni_frag(mod)),
+        ("uni_old",
+         f"SELECT src, dst FROM uni WHERE (src * 31 + dst) % {drop_mod} <> 0"),
+        ("v_old", "SELECT src AS id FROM uni_old UNION SELECT dst FROM uni_old"),
+        ("od_old",
+         "SELECT src AS id, COUNT(*) AS out_deg FROM uni_old GROUP BY src"),
+        ("nn_old", "SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v_old"),
+        ("o0",
+         "SELECT v_old.id, CAST(1.0 AS DOUBLE) / nn_old.n AS pr "
+         "FROM v_old, nn_old"),
+    ]
+    for t in range(1, old_iters + 1):
+        prev = f"o{t-1}"
+        ctes.append((
+            f"o{t}",
+            f"SELECT v_old.id, (CAST(1.0 AS DOUBLE) - {d}) / nn_old.n "
+            f"+ {d} * COALESCE(s.mass, CAST(0.0 AS DOUBLE)) AS pr\n"
+            f"FROM v_old CROSS JOIN nn_old LEFT JOIN (\n"
+            f"  SELECT uni_old.dst AS id, "
+            f"SUM({prev}.pr / od_old.out_deg) AS mass\n"
+            f"  FROM uni_old JOIN {prev} ON {prev}.id = uni_old.src "
+            f"JOIN od_old ON od_old.id = uni_old.src GROUP BY uni_old.dst\n"
+            f") s ON s.id = v_old.id",
+        ))
+    ctes += [
+        ("v", VERTS),
+        ("od", "SELECT src AS id, COUNT(*) AS out_deg FROM uni GROUP BY src"),
+        ("nn", "SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v"),
+        ("w0",
+         f"SELECT v.id, COALESCE(o.pr, CAST(1.0 AS DOUBLE) / nn.n) AS pr "
+         f"FROM v CROSS JOIN nn LEFT JOIN o{old_iters} o ON o.id = v.id"),
+    ]
+    for t in range(1, warm_iters + 1):
+        prev = f"w{t-1}"
+        ctes.append((
+            f"w{t}",
+            f"SELECT v.id, (CAST(1.0 AS DOUBLE) - {d}) / nn.n "
+            f"+ {d} * COALESCE(s.mass, CAST(0.0 AS DOUBLE)) AS pr\n"
+            f"FROM v CROSS JOIN nn LEFT JOIN (\n"
+            f"  SELECT uni.dst AS id, SUM({prev}.pr / od.out_deg) AS mass\n"
+            f"  FROM uni JOIN {prev} ON {prev}.id = uni.src "
+            f"JOIN od ON od.id = uni.src GROUP BY uni.dst\n"
+            f") s ON s.id = v.id",
+        ))
+    return _with(
+        ctes,
+        f"SELECT id, ROUND(pr, 6) AS pagerank_warm FROM w{warm_iters}")
+
+
+def sql_inlink_hhi(mod: int = UNI_MOD, n_hosts: int | None = None) -> str:
+    """Mirror of quotient.host_graph |> quotient.inlink_concentration:
+    per-destination-host in-link source concentration (intra-host
+    self-links excluded), shares and Herfindahl over exact BIGINT link
+    counts in the Spark side's expression order."""
+    if n_hosts is None:
+        from .operators.quotient import N_HOSTS
+        n_hosts = N_HOSTS
+    return _with(
+        [("uni", uni_frag(mod)),
+         ("hg",
+          f"SELECT (src % {n_hosts}) AS src_host, "
+          f"(dst % {n_hosts}) AS dst_host, "
+          f"CAST(COUNT(*) AS BIGINT) AS n_links FROM uni GROUP BY 1, 2"),
+         ("g",
+          "SELECT dst_host AS host, "
+          "CAST(SUM(n_links) AS BIGINT) AS in_links, "
+          "CAST(COUNT(*) AS BIGINT) AS n_src_hosts, "
+          "CAST(MAX(n_links) AS BIGINT) AS top_l, "
+          "CAST(SUM(n_links * n_links) AS BIGINT) AS sq "
+          "FROM hg WHERE src_host <> dst_host GROUP BY 1")],
+        "SELECT host, in_links, n_src_hosts, "
+        "ROUND(CAST(top_l AS DOUBLE) / CAST(in_links AS DOUBLE), 6) "
+        "AS top_share, "
+        "ROUND(CAST(sq AS DOUBLE) / (CAST(in_links AS DOUBLE) "
+        "* CAST(in_links AS DOUBLE)), 6) AS hhi FROM g",
+    )
+
+
 def sql_url_normalize() -> str:
     """Mirror of crawl.url_normalize_demo: the deterministic messy-url
     synthesis, the fixed-order canonicalization rules, and the

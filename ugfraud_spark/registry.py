@@ -169,6 +169,35 @@ def q_quality_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "quality_pagerank")
 
 
+WARM_DROP_MOD = 17   # edges with (src*31+dst) % 17 == 0 arrive "today"
+WARM_ITERS = 3
+
+
+def q_pagerank_warm_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental recrawl rank refresh: converge PageRank on
+    yesterday's graph (a deterministic ~1/17 of edges withheld), then
+    warm-start the FULL graph from that vector for just WARM_ITERS
+    supersteps (pagerank.pagerank_from) — the production pattern that
+    replaces a full cold-start per crawl cycle. Pages first seen today
+    start at 1/N_new; vanished pages' old rank rows drop out in the
+    init join."""
+    e = tables.uni_edges_directed(spark, sf_dir)
+    old = e.where((F.col("src") * 31 + F.col("dst")) % WARM_DROP_MOD != 0)
+    old_rank = pagerank.pagerank(old, max_iter=PR_ITERS).state
+    res = pagerank.pagerank_from(e, old_rank, max_iter=WARM_ITERS)
+    return _round6(res.state.withColumnRenamed("value", "pagerank_warm"),
+                   "pagerank_warm")
+
+
+def q_inlink_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-farm signal: per-destination-host Herfindahl concentration
+    of in-link source hosts (+ top single-source share) over the host
+    quotient graph, intra-host self-links excluded
+    (quotient.inlink_concentration)."""
+    return quotient.inlink_concentration(
+        quotient.host_graph(tables.uni_edges_directed(spark, sf_dir)))
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + alias detection over deterministic messy
     urls: fragment/default-port/www/utm stripping, slash and
@@ -2093,6 +2122,11 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
             q_quality_pagerank,
             oracle.sql_quality_pagerank(PR_ITERS, mod=m)),
         "url_normalize": (q_url_normalize, oracle.sql_url_normalize()),
+        "pagerank_warm_start": _uni(
+            q_pagerank_warm_start,
+            oracle.sql_pagerank_warm_start(
+                PR_ITERS, WARM_ITERS, mod=m, drop_mod=WARM_DROP_MOD)),
+        "inlink_hhi": _uni(q_inlink_hhi, oracle.sql_inlink_hhi(mod=m)),
         "robots_admission": (q_robots_admission,
                              oracle.sql_robots_admission()),
         "skipgram_pairs": (q_skipgram_pairs, oracle.sql_skipgram_pairs()),
