@@ -1930,3 +1930,75 @@ def test_url_normalize_demo_finds_aliases(spark, sf_small):
     # and n_aliases matches the group size exactly
     for r in rows:
         assert r["n_aliases"] == len(groups[r["url_norm"]])
+
+
+def test_phrase_match_counts_adjacent_bigrams_only(spark):
+    """Phrase = first bigram of doc 0 ('a b'): adjacent occurrences
+    counted, reversed/"gapped" occurrences and zero-match docs excluded;
+    overlapping runs ('a a a' vs query 'a a') count per-position."""
+    from ugfraud_spark.operators.tfidf import phrase_match
+
+    docs = spark.createDataFrame(
+        [(0, "a b x a b"),        # query doc: 2 matches of "a b"
+         (1, "b a b a"),          # 1 match (pos 1)
+         (2, "a x b a"),          # gapped only -> excluded
+         (3, "a a b"),            # 1 match
+         (4, "x y z")],           # no query terms
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_matches"] for r in phrase_match(docs).collect()}
+    assert got == {0: 2, 1: 1, 3: 1}
+
+    # overlapping-run semantics: query "a a" over "a a a" = 2 positions
+    docs2 = spark.createDataFrame(
+        [(0, "a a"), (1, "a a a"), (2, "b b")], "doc_id long, text string")
+    got2 = {r["doc_id"]: r["n_matches"] for r in phrase_match(docs2).collect()}
+    assert got2 == {0: 1, 1: 2}
+
+
+def test_anchor_text_topk_aggregates_inlink_titles(spark):
+    """Anchor terms counted across ALL in-links per target; top-k cut
+    on (n DESC, term ASC); pages whose sources have no document drop
+    out (inner join)."""
+    from ugfraud_spark.operators.crawl import anchor_text_topk
+
+    # mod=10: doc i -> vertex i. Edges: 1->9, 2->9, 3->9, 4->8; vertex 7
+    # links to 9 but has no doc (doc 17 would map there -- absent).
+    edges = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (4, 8), (7, 9)], "src long, dst long")
+    docs = spark.createDataFrame(
+        [(1, "buy cheap pills now"), (2, "buy cheap watches"),
+         (3, "review of pills here"), (4, "home page")],
+        "doc_id long, text string")
+    out = anchor_text_topk(edges, docs, mod=10, title_len=3, k=2)
+    rows = {(r["dst"], r["rnk"]): (r["term"], r["n"]) for r in out.collect()}
+    # dst 9 titles: [buy cheap pills] x2? no -- doc1+doc2 share buy/cheap,
+    # doc3 contributes review/of. Counts: buy=2 cheap=2 pills=1 review=1 of=1
+    assert rows[(9, 1)] == ("buy", 2)      # tie buy/cheap at 2 -> term ASC
+    assert rows[(9, 2)] == ("cheap", 2)
+    assert rows[(8, 1)] == ("home", 1)
+    assert len([k for k in rows if k[0] == 9]) == 2   # k-cut applied
+
+
+def test_mine_tracking_params_hand_case(spark):
+    """neutral requires EVIDENCE (a multi-fetch group) and zero dirty
+    groups; one hash disagreement poisons the param; no-evidence params
+    stay non-neutral."""
+    from ugfraud_spark.operators.crawl import mine_tracking_params
+
+    fetches = spark.createDataFrame(
+        [
+            # s varies under fixed content -> clean multi-group for s
+            ("http://x/p?id=1&s=a", "H1"),
+            ("http://x/p?id=1&s=b", "H1"),
+            # id varies and content follows it -> dirty group for id
+            ("http://x/p?id=2&s=a", "H2"),
+            # lone=7 appears once: no multi-group evidence
+            ("http://y/q?id=3&lone=7", "H3"),
+        ],
+        "url string, h string")
+    got = {r["param"]: r for r in mine_tracking_params(fetches).collect()}
+    assert got["s"]["neutral"] is True
+    assert got["s"]["n_multi"] == 1 and got["s"]["n_dirty"] == 0
+    # id: group (http://x/p?s=a) holds fetches 1 and 3 with H1 vs H2
+    assert got["id"]["neutral"] is False and got["id"]["n_dirty"] == 1
+    assert got["lone"]["neutral"] is False and got["lone"]["n_multi"] == 0

@@ -465,3 +465,131 @@ def url_normalize_demo(docs: DataFrame) -> DataFrame:
         F.countDistinct("url").alias("n_aliases"))
     return normed.join(aliases, "url_norm").select(
         "doc_id", "url", "url_norm", "host", "n_aliases")
+
+
+# ------------------------------------------------------- anchor text rollup
+
+def anchor_text_topk(edges_dir: DataFrame, docs: DataFrame, *,
+                     mod: int, title_len: int = 3, k: int = 5) -> DataFrame:
+    """(dst, rnk, term, n): each target page's top-``k`` anchor terms,
+    aggregated over ALL pages linking to it — the web-index primitive
+    (how search engines describe a page by what its in-links say, and
+    how Common-Crawl-style anchor corpora are built). The anchor text
+    for an edge (src, dst) stands in as the first ``title_len`` tokens
+    of the src page's document (synthetic substrate: doc → vertex via
+    ``doc_id % mod``; on a real crawl it's the <a> text — everything
+    downstream of the title projection is identical).
+
+    Scale shape: the |E|-row edges⋈titles hash join is the dominant
+    cost and shuffles on ``src`` (title side is |docs| rows, typically
+    broadcast); the per-(dst, term) count gets map-side partials; the
+    top-k window partitions by DST — a page's distinct in-link
+    vocabulary bounds the partition, never a global order. Tie-break
+    (n DESC, term ASC) is total, so the k-cut is engine-independent."""
+    titles = docs.select(
+        (F.col("doc_id") % mod).alias("src"),
+        F.slice(F.split(F.col("text"), " "), 1, title_len).alias("_terms"),
+    )
+    counts = (
+        edges_dir.join(titles, "src")
+        .select("dst", F.explode("_terms").alias("term"))
+        .groupBy("dst", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("dst", "rnk", "term", "n")
+    )
+
+
+# ------------------------------------------- learned tracking-param mining
+
+def synthetic_fetches(docs: DataFrame, *, n_hosts: int = 20,
+                      n_paths: int = 7, sess_mod: int = 5) -> DataFrame:
+    """(url, h): a deterministic fetch log over the documents table —
+    every doc fetched once, even docs re-fetched with a DIFFERENT
+    session param but identical content (h = md5(text) stands in for
+    the page checksum). Constructed so the mining below has positive
+    AND negative evidence: ``sess`` varies under fixed content
+    (content-neutral), while urls differing only in ``id`` carry
+    different docs' content (content-bearing). Mirrored verbatim in
+    the DuckDB oracle."""
+    d = F.col("doc_id")
+    path = F.concat(F.lit("http://h"), (d % n_hosts).cast("string"),
+                    F.lit(".ex/p"), (d % n_paths).cast("string"))
+    h = F.md5(F.col("text"))
+    a = docs.select(
+        F.concat(path, F.lit("?id="), d.cast("string"),
+                 F.lit("&sess="), (d % sess_mod).cast("string")).alias("url"),
+        h.alias("h"))
+    b = docs.where(d % 2 == 0).select(
+        F.concat(path, F.lit("?id="), d.cast("string"),
+                 F.lit("&sess="),
+                 ((d + 1) % sess_mod).cast("string")).alias("url"),
+        h.alias("h"))
+    return a.unionAll(b)
+
+
+def mine_tracking_params(fetches: DataFrame) -> DataFrame:
+    """(param, n_groups, n_multi, n_dirty, neutral): LEARN which URL
+    query params are content-neutral from a fetch log — the data-driven
+    generalization of ``normalize_urls``'s hardcoded ``utm_*`` rule
+    (DustBuster-style "different URLs, same text" rule mining). For
+    each fetch and each param p it carries, the fetch is keyed by the
+    URL WITH p REMOVED (path + the other params, sorted). Fetches
+    agreeing on that key differ only in p; a key-group with >1 fetch is
+    EVIDENCE about p: all content hashes equal → p didn't matter
+    (clean), any disagreement → p selects content (dirty). A param is
+    ``neutral`` iff it has at least one multi-fetch group and zero
+    dirty ones — "no evidence" is not "neutral", so unseen params
+    never get stripped.
+
+    Scale shape: one narrow projection explodes each fetch into its
+    ≤|params| rows (bounded small per URL); the only shuffles are the
+    groupBy on (param, base_key) — partial-aggregated, key cardinality
+    ≤ the fetch count × params — and the tiny per-param rollup.
+    ``base_key`` is built by an array filter CAPTURING the exploded
+    param (no positional self-join), identical lambda semantics on
+    both engines."""
+    f = fetches.select(
+        "url", "h",
+        F.split(F.col("url"), r"\?").getItem(0).alias("path"),
+        F.split(F.split(F.col("url"), r"\?").getItem(1), "&").alias("params"),
+    )
+    t = f.select(
+        "h", "path", "params", F.explode("params").alias("p"),
+    ).select(
+        F.split(F.col("p"), "=").getItem(0).alias("param"),
+        F.concat(
+            F.col("path"), F.lit("?"),
+            F.array_join(
+                F.array_sort(F.filter(
+                    F.col("params"), lambda q: q != F.col("p"))),
+                "&"),
+        ).alias("base_key"),
+        "h",
+    )
+    groups = t.groupBy("param", "base_key").agg(
+        F.count(F.lit(1)).alias("n_fetch"),
+        F.countDistinct("h").alias("n_hash"),
+    )
+    return groups.groupBy("param").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("n_fetch") > 1).cast("bigint")).alias("n_multi"),
+        F.sum(((F.col("n_fetch") > 1) & (F.col("n_hash") > 1))
+              .cast("bigint")).alias("n_dirty"),
+    ).select(
+        "param", "n_groups", "n_multi", "n_dirty",
+        ((F.col("n_multi") > 0) & (F.col("n_dirty") == 0)).alias("neutral"),
+    )
+
+
+def param_mining_demo(docs: DataFrame) -> DataFrame:
+    """Gate composition: mine the synthetic fetch log — ``sess`` must
+    come out neutral (re-fetches under fixed content), ``id`` dirty
+    (same-path-same-sess url groups carry different docs)."""
+    return mine_tracking_params(synthetic_fetches(docs))

@@ -286,3 +286,36 @@ def rrf_fusion(docs: DataFrame, query_terms: list[str],
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def phrase_match(docs: DataFrame, *, query_doc: int = 0) -> DataFrame:
+    """(doc_id, n_matches): exact-phrase retrieval through a POSITIONAL
+    postings join — the inverted-index phrase-query plan (Manning et
+    al., IR ch. 2): postings for each query term are filtered out of
+    the token stream FIRST (tiny frames), then joined on
+    (doc, adjacent positions). The query phrase is the first bigram of
+    ``query_doc``'s text, carried as a broadcast 1-row frame so no
+    driver string re-enters the plan.
+
+    Scale shape: the |corpus|-row token explode is scanned once; both
+    postings frames are filtered BEFORE any shuffle to just the query
+    terms' occurrences (Zipf: a vanishing fraction of the stream), and
+    the equi-join on (doc_id, pos) runs between those two small frames
+    — never a corpus self-join. Docs with no match drop out (inner
+    semantics), matching the oracle's n_matches > 0 filter."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term"),
+    )
+    arr = F.split(F.col("text"), " ")
+    qrow = (docs.where(F.col("doc_id") == query_doc)
+            .select(arr.getItem(0).alias("w1"), arr.getItem(1).alias("w2")))
+    p1 = (toks.join(F.broadcast(qrow), F.col("term") == F.col("w1"))
+          .select("doc_id", "pos"))
+    p2 = (toks.join(F.broadcast(qrow), F.col("term") == F.col("w2"))
+          .select("doc_id", (F.col("pos") - 1).alias("pos")))
+    return (
+        p1.join(p2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )

@@ -3972,6 +3972,90 @@ def sql_inlink_hhi(mod: int = UNI_MOD, n_hosts: int | None = None) -> str:
     )
 
 
+def sql_anchor_text_topk(mod: int = UNI_MOD, title_len: int = 3,
+                         k: int = 5) -> str:
+    """Mirror of crawl.anchor_text_topk: per-target-page top-k anchor
+    terms over all in-links, title = first ``title_len`` tokens of the
+    linking page's document, tie-break (n DESC, term ASC)."""
+    return _with(
+        [("uni", uni_frag(mod)),
+         ("t",
+          f"SELECT (doc_id % {mod}) AS src, "
+          f"list_slice(string_split(text, ' '), 1, {title_len}) AS terms "
+          f"FROM documents"),
+         ("a",
+          "SELECT uni.dst, unnest(t.terms) AS term "
+          "FROM uni JOIN t ON t.src = uni.src"),
+         ("c",
+          "SELECT dst, term, CAST(COUNT(*) AS BIGINT) AS n "
+          "FROM a GROUP BY 1, 2"),
+         ("r",
+          "SELECT dst, term, n, CAST(ROW_NUMBER() OVER "
+          "(PARTITION BY dst ORDER BY n DESC, term ASC) AS INTEGER) AS rnk "
+          "FROM c")],
+        f"SELECT dst, rnk, term, n FROM r WHERE rnk <= {k}",
+    )
+
+
+def sql_phrase_match(query_doc: int = 0) -> str:
+    """Mirror of tfidf.phrase_match via the equivalent array-expression
+    count (the engine runs the positional-postings JOIN; value identity
+    across the two formulations is exactly what the gate proves):
+    n_matches = #{i : w[i] = q.w1 AND w[i+1] = q.w2}, 1-based DuckDB
+    list indexing, docs with zero matches dropped."""
+    return _with(
+        [("d", "SELECT doc_id, string_split(text, ' ') AS w FROM documents"),
+         ("q",
+          f"SELECT w[1] AS w1, w[2] AS w2 FROM d WHERE doc_id = {query_doc}"),
+         ("m",
+          "SELECT d.doc_id, CAST(LEN(list_filter(range(1, LEN(d.w)), "
+          "i -> d.w[i] = q.w1 AND d.w[i + 1] = q.w2)) AS BIGINT) "
+          "AS n_matches FROM d, q")],
+        "SELECT doc_id, n_matches FROM m WHERE n_matches > 0",
+    )
+
+
+def sql_param_mining(n_hosts: int = 20, n_paths: int = 7,
+                     sess_mod: int = 5) -> str:
+    """Mirror of crawl.param_mining_demo: the synthetic fetch log
+    (md5(text) as the content checksum — both engines emit lowercase
+    hex) and the strip-one-param group/rollup. The base_key lambda
+    captures the unnested param exactly like the Spark side's
+    F.filter closure."""
+    path = (f"'http://h' || CAST(doc_id % {n_hosts} AS VARCHAR) "
+            f"|| '.ex/p' || CAST(doc_id % {n_paths} AS VARCHAR)")
+    return _with(
+        [("fa",
+          f"SELECT {path} || '?id=' || CAST(doc_id AS VARCHAR) "
+          f"|| '&sess=' || CAST(doc_id % {sess_mod} AS VARCHAR) AS url, "
+          f"md5(text) AS h FROM documents"),
+         ("fb",
+          f"SELECT {path} || '?id=' || CAST(doc_id AS VARCHAR) "
+          f"|| '&sess=' || CAST((doc_id + 1) % {sess_mod} AS VARCHAR) "
+          f"AS url, md5(text) AS h FROM documents WHERE doc_id % 2 = 0"),
+         ("f",
+          "SELECT url, h, string_split(url, '?')[1] AS path, "
+          "string_split(string_split(url, '?')[2], '&') AS params "
+          "FROM (SELECT * FROM fa UNION ALL SELECT * FROM fb)"),
+         ("e", "SELECT h, path, params, unnest(params) AS p FROM f"),
+         ("t",
+          "SELECT split_part(p, '=', 1) AS param, "
+          "path || '?' || array_to_string(list_sort(list_filter(params, "
+          "q -> q <> p)), '&') AS base_key, h FROM e"),
+         ("g",
+          "SELECT param, base_key, COUNT(*) AS n_fetch, "
+          "COUNT(DISTINCT h) AS n_hash FROM t GROUP BY 1, 2")],
+        "SELECT param, CAST(COUNT(*) AS BIGINT) AS n_groups, "
+        "CAST(SUM(CASE WHEN n_fetch > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_multi, "
+        "CAST(SUM(CASE WHEN n_fetch > 1 AND n_hash > 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_dirty, "
+        "(SUM(CASE WHEN n_fetch > 1 THEN 1 ELSE 0 END) > 0 AND "
+        "SUM(CASE WHEN n_fetch > 1 AND n_hash > 1 THEN 1 ELSE 0 END) = 0) "
+        "AS neutral FROM g GROUP BY param",
+    )
+
+
 def sql_url_normalize() -> str:
     """Mirror of crawl.url_normalize_demo: the deterministic messy-url
     synthesis, the fixed-order canonicalization rules, and the

@@ -198,6 +198,36 @@ def q_inlink_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         quotient.host_graph(tables.uni_edges_directed(spark, sf_dir)))
 
 
+def q_anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target-page top-5 anchor terms aggregated over all in-links
+    (crawl.anchor_text_topk) — the web-index primitive that describes a
+    page by what its linking pages say."""
+    from .operators import crawl
+
+    mod = tables.uni_mod_for(sf_dir)
+    return crawl.anchor_text_topk(
+        tables.uni_edges_directed(spark, sf_dir),
+        tables.load(spark, sf_dir, "documents"), mod=mod)
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval via the positional-postings join; query =
+    the first bigram of doc 0, broadcast as a 1-row frame
+    (tfidf.phrase_match). Oracle recomputes via the equivalent array
+    count — value identity across formulations is the gate."""
+    return tfidf.phrase_match(tables.load(spark, sf_dir, "documents"))
+
+
+def q_param_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned tracking-param detection over a deterministic fetch log:
+    strip-one-param grouping + content-hash agreement decides which URL
+    query params are content-neutral (crawl.param_mining_demo) — the
+    data-driven generalization of url_normalize's hardcoded utm rule."""
+    from .operators import crawl
+
+    return crawl.param_mining_demo(tables.load(spark, sf_dir, "documents"))
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + alias detection over deterministic messy
     urls: fragment/default-port/www/utm stripping, slash and
@@ -2127,6 +2157,10 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
             oracle.sql_pagerank_warm_start(
                 PR_ITERS, WARM_ITERS, mod=m, drop_mod=WARM_DROP_MOD)),
         "inlink_hhi": _uni(q_inlink_hhi, oracle.sql_inlink_hhi(mod=m)),
+        "anchor_text_topk": _uni(
+            q_anchor_text_topk, oracle.sql_anchor_text_topk(mod=m)),
+        "phrase_match": (q_phrase_match, oracle.sql_phrase_match()),
+        "param_mining": (q_param_mining, oracle.sql_param_mining()),
         "robots_admission": (q_robots_admission,
                              oracle.sql_robots_admission()),
         "skipgram_pairs": (q_skipgram_pairs, oracle.sql_skipgram_pairs()),
