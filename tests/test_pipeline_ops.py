@@ -2002,3 +2002,42 @@ def test_mine_tracking_params_hand_case(spark):
     # id: group (http://x/p?s=a) holds fetches 1 and 3 with H1 vs H2
     assert got["id"]["neutral"] is False and got["id"]["n_dirty"] == 1
     assert got["lone"]["neutral"] is False and got["lone"]["n_multi"] == 0
+
+
+def test_politeness_schedule_rounds_and_order(spark):
+    """Rate-2 host: rounds go 1,1,2,2,3 down the priority order; a
+    second host schedules independently; doc_id breaks score ties."""
+    from ugfraud_spark.operators.crawl import politeness_schedule
+
+    scored = spark.createDataFrame(
+        [(10, 1, 0.9), (11, 1, 0.8), (12, 1, 0.8), (13, 1, 0.2),
+         (14, 1, 0.1), (20, 2, 0.5)],
+        "doc_id long, host_id long, score double")
+    got = {r["doc_id"]: (r["rnk_in_host"], r["fetch_round"])
+           for r in politeness_schedule(scored, rate=2).collect()}
+    assert got[10] == (1, 1)
+    assert got[11] == (2, 1)      # 0.8 tie -> doc_id ASC
+    assert got[12] == (3, 2)
+    assert got[13] == (4, 2)
+    assert got[14] == (5, 3)
+    assert got[20] == (1, 1)      # other host unaffected
+
+
+def test_crawl_budget_hamilton_apportionment(spark):
+    """floor quotas + largest-remainder top-up; equal fractions break
+    by host ASC; Σalloc == total exactly."""
+    from ugfraud_spark.operators.crawl import crawl_budget
+
+    w = spark.createDataFrame([(0, 1.0), (1, 1.0), (2, 1.0)],
+                              "host long, w double")
+    got = {r["host"]: r["alloc"] for r in
+           crawl_budget(w, total=10).collect()}
+    assert got == {0: 4, 1: 3, 2: 3}     # 10/3: fracs equal -> host 0
+
+    w2 = spark.createDataFrame([(0, 5.0), (1, 3.0), (2, 1.0), (3, 1.0)],
+                               "host long, w double")
+    got2 = {r["host"]: r["alloc"] for r in
+            crawl_budget(w2, total=7).collect()}
+    # quotas 3.5/2.1/0.7/0.7 -> base 3/2/0/0, R=2 -> hosts 2,3 (frac .7)
+    assert got2 == {0: 3, 1: 2, 2: 1, 3: 1}
+    assert sum(got2.values()) == 7

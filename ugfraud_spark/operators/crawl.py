@@ -593,3 +593,92 @@ def param_mining_demo(docs: DataFrame) -> DataFrame:
     come out neutral (re-fetches under fixed content), ``id`` dirty
     (same-path-same-sess url groups carry different docs)."""
     return mine_tracking_params(synthetic_fetches(docs))
+
+
+# --------------------------------------------------- crawl scheduling ops
+
+def politeness_schedule(scored: DataFrame, *, rate: int = 3) -> DataFrame:
+    """(doc_id, host_id, rnk_in_host, fetch_round): turn a prioritized
+    frontier into a POLITE schedule — every host serves at most
+    ``rate`` fetches per round, highest-priority pages first, so the
+    crawler never hammers one origin however big its backlog. Input is
+    ``scored(doc_id, host_id, score)``; within a host the order is
+    (score DESC, doc_id ASC) — a total order, so round assignment is
+    engine-independent. ``fetch_round`` = ceil(rnk/rate) via integer
+    arithmetic (no float ceil).
+
+    Scale shape: ONE window partitioned by HOST — a host's backlog
+    bounds the partition, never a global sort; everything else is
+    narrow arithmetic. The round-robin interleaving across hosts is
+    implicit (equal rounds run concurrently), so no global coordination
+    state exists at all."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    rnk = F.row_number().over(w)
+    return scored.select(
+        "doc_id", "host_id", rnk.alias("rnk_in_host"),
+        ((rnk + rate - 1) / rate).cast("bigint").alias("fetch_round"),
+    )
+
+
+def politeness_schedule_demo(docs: DataFrame, *, rate: int = 3,
+                             n_hosts: int = 37) -> DataFrame:
+    """Gate composition: quality-scored docs, host = doc_id % n_hosts,
+    scheduled at ``rate`` fetches per host per round."""
+    from .quality import quality_score
+
+    scored = quality_score(docs).select(
+        "doc_id", (F.col("doc_id") % n_hosts).alias("host_id"),
+        F.col("quality_score").alias("score"))
+    return politeness_schedule(scored, rate=rate)
+
+
+def crawl_budget(weights: DataFrame, *, total: int = 10000) -> DataFrame:
+    """(host, w, alloc): apportion ``total`` fetch slots across hosts
+    proportionally to a non-negative weight column by the
+    LARGEST-REMAINDER (Hamilton) method — the deterministic budget
+    split a crawl coordinator hands each fetcher fleet per cycle:
+    alloc_i = floor(total·w_i/Σw) + 1 for the R = total − Σfloor hosts
+    with the largest fractional parts (tie: host ASC). Σalloc == total
+    exactly, by construction.
+
+    Scale shape: the weight frame is host-cardinality (small by
+    definition — it's the output of a quotient rollup), so the single
+    full-frame window ordering fractional parts is bounded by |hosts|,
+    and both scalar aggregates (Σw, Σfloor) ride broadcast 1-row
+    crossJoins — no driver float re-enters the plan. The floor of
+    identical doubles is engine-independent; fractional-part ordering
+    compares identical doubles, so the R-cut is too."""
+    from pyspark.sql import Window
+
+    w = weights.select("host", F.col("w").cast("double").alias("w"))
+    tot = w.agg(F.sum("w").alias("_s"))
+    quota = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("_q", F.lit(float(total)) * F.col("w") / F.col("_s"))
+        .withColumn("_base", F.floor("_q").cast("bigint"))
+        .withColumn("_frac", F.col("_q") - F.col("_base"))
+    )
+    rsum = quota.agg((F.lit(total) - F.sum("_base")).alias("_r"))
+    win = Window.orderBy(F.desc("_frac"), F.asc("host"))
+    return (
+        quota.crossJoin(F.broadcast(rsum))
+        .withColumn("_rnk", F.row_number().over(win))
+        .select(
+            "host", "w",
+            (F.col("_base")
+             + (F.col("_rnk") <= F.col("_r")).cast("bigint")).alias("alloc"),
+        )
+    )
+
+
+def crawl_budget_demo(edges_dir: DataFrame, *, total: int = 10000) -> DataFrame:
+    """Gate composition: weights = each host's outgoing link budget
+    from the quotient rollup (quotient.host_stats.out_links)."""
+    from .quotient import host_graph, host_stats
+
+    w = host_stats(host_graph(edges_dir)).select(
+        "host", F.col("out_links").cast("double").alias("w"))
+    return crawl_budget(w, total=total)

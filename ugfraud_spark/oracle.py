@@ -4056,6 +4056,60 @@ def sql_param_mining(n_hosts: int = 20, n_paths: int = 7,
     )
 
 
+def sql_politeness_schedule(rate: int = 3, n_hosts: int = 37) -> str:
+    """Mirror of crawl.politeness_schedule_demo: quality-scored docs,
+    per-host (score DESC, doc_id ASC) ranking, integer-arithmetic round
+    assignment (FLOOR on identical doubles — engine-independent)."""
+    return _with(
+        [("qs", sql_quality_score()),
+         ("s",
+          f"SELECT doc_id, doc_id % {n_hosts} AS host_id, "
+          f"quality_score AS score FROM qs"),
+         ("r",
+          "SELECT doc_id, host_id, CAST(ROW_NUMBER() OVER "
+          "(PARTITION BY host_id ORDER BY score DESC, doc_id ASC) "
+          "AS INTEGER) AS rnk_in_host FROM s")],
+        f"SELECT doc_id, host_id, rnk_in_host, "
+        f"CAST(FLOOR((rnk_in_host + {rate - 1}) "
+        f"/ CAST({rate} AS DOUBLE)) AS BIGINT) AS fetch_round FROM r",
+    )
+
+
+def sql_crawl_budget(total: int = 10000, mod: int = UNI_MOD,
+                     n_hosts: int | None = None) -> str:
+    """Mirror of crawl.crawl_budget_demo: host out-link weights from
+    the quotient rollup, Hamilton largest-remainder apportionment.
+    Weights are integer-valued doubles, so Σw is exact under ANY
+    summation order — the one precondition that makes the
+    cross-engine fractional-part ordering safe."""
+    if n_hosts is None:
+        from .operators.quotient import N_HOSTS
+        n_hosts = N_HOSTS
+    return _with(
+        [("uni", uni_frag(mod)),
+         ("hg",
+          f"SELECT (src % {n_hosts}) AS src_host, "
+          f"(dst % {n_hosts}) AS dst_host, "
+          f"CAST(COUNT(*) AS BIGINT) AS n_links FROM uni GROUP BY 1, 2"),
+         ("w",
+          "SELECT src_host AS host, "
+          "CAST(SUM(n_links) AS DOUBLE) AS w FROM hg GROUP BY 1"),
+         ("s", "SELECT SUM(w) AS s FROM w"),
+         ("q",
+          f"SELECT host, w, CAST({total} AS DOUBLE) * w / s.s AS q "
+          f"FROM w, s"),
+         ("b",
+          "SELECT host, w, q, CAST(FLOOR(q) AS BIGINT) AS base, "
+          "q - FLOOR(q) AS frac FROM q"),
+         ("r", f"SELECT {total} - SUM(base) AS r FROM b"),
+         ("rk",
+          "SELECT host, w, base, frac, ROW_NUMBER() OVER "
+          "(ORDER BY frac DESC, host ASC) AS rnk FROM b")],
+        "SELECT host, w, CAST(base + CASE WHEN rnk <= r.r THEN 1 ELSE 0 END "
+        "AS BIGINT) AS alloc FROM rk, r",
+    )
+
+
 def sql_url_normalize() -> str:
     """Mirror of crawl.url_normalize_demo: the deterministic messy-url
     synthesis, the fixed-order canonicalization rules, and the

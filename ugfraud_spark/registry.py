@@ -228,6 +228,25 @@ def q_param_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl.param_mining_demo(tables.load(spark, sf_dir, "documents"))
 
 
+def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polite frontier schedule: per-host rate-limited fetch rounds
+    over quality-prioritized docs (crawl.politeness_schedule_demo) —
+    one window partitioned by host, never a global sort."""
+    from .operators import crawl
+
+    return crawl.politeness_schedule_demo(
+        tables.load(spark, sf_dir, "documents"))
+
+
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment of 10k fetch slots
+    across hosts proportional to out-link weight; Σalloc == total
+    exactly (crawl.crawl_budget_demo)."""
+    from .operators import crawl
+
+    return crawl.crawl_budget_demo(tables.uni_edges_directed(spark, sf_dir))
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + alias detection over deterministic messy
     urls: fragment/default-port/www/utm stripping, slash and
@@ -2161,6 +2180,9 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
             q_anchor_text_topk, oracle.sql_anchor_text_topk(mod=m)),
         "phrase_match": (q_phrase_match, oracle.sql_phrase_match()),
         "param_mining": (q_param_mining, oracle.sql_param_mining()),
+        "politeness_schedule": (q_politeness_schedule,
+                                oracle.sql_politeness_schedule()),
+        "crawl_budget": _uni(q_crawl_budget, oracle.sql_crawl_budget(mod=m)),
         "robots_admission": (q_robots_admission,
                              oracle.sql_robots_admission()),
         "skipgram_pairs": (q_skipgram_pairs, oracle.sql_skipgram_pairs()),
