@@ -165,3 +165,36 @@ def test_sessionize_stream_equals_batch_and_flushes_tail(spark, sf_small):
     last = ev.orderBy(F.desc("ts")).select("user_id", "ts").first()
     tail_sessions = {r for r in batch if r[0] == last["user_id"]}
     assert tail_sessions & stream == tail_sessions
+
+
+def test_frontier_stream_microbatch_invariant(spark, sf_small):
+    """Streaming frontier admission == the batch anti join under a
+    forced 3-micro-batch split, and both admission branches carry
+    rows (some urls admitted, some deduped as aliases)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ugfraud_spark.operators.crawl import normalize_urls, synthetic_urls
+    from ugfraud_spark.streaming.corpus import run_stream_frontier
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    src_dir = tempfile.mkdtemp(prefix="frontier_multi_src_")
+    try:
+        docs.repartition(3).write.mode("overwrite").parquet(src_dir)
+        streamed = run_stream_frontier(
+            spark, src_dir, mod=9, seen_mod=7, max_files_per_trigger=1)
+        d = F.col("doc_id")
+        seen = (normalize_urls(synthetic_urls(
+                    docs.where((d % 9 != 0) & (d % 7 == 0))))
+                .select("url_norm").distinct())
+        arriving = normalize_urls(synthetic_urls(docs.where(d % 9 == 0)))
+        batch = arriving.join(seen, "url_norm", "left_anti") \
+            .select("doc_id", "url", "url_norm", "host")
+        s_rows = sorted(tuple(r) for r in streamed.collect())
+        b_rows = sorted(tuple(r) for r in batch.collect())
+        n_arriving = arriving.count()
+        assert s_rows == b_rows
+        assert 0 < len(s_rows) < n_arriving   # both branches non-empty
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)

@@ -4110,12 +4110,14 @@ def sql_crawl_budget(total: int = 10000, mod: int = UNI_MOD,
     )
 
 
-def sql_url_normalize() -> str:
-    """Mirror of crawl.url_normalize_demo: the deterministic messy-url
-    synthesis, the fixed-order canonicalization rules, and the
-    per-canonical-form alias count. Every regexp_replace carries the
-    'g' flag so DuckDB matches Spark's replace-ALL semantics; DuckDB's
-    regexp_extract returns '' on no match exactly like Spark's."""
+def _url_norm_ctes() -> list[tuple[str, str]]:
+    """CTE chain ending in ``normed(doc_id, url, host, url_norm)``: the
+    deterministic messy-url synthesis + the fixed-order
+    canonicalization rules — shared by sql_url_normalize and the
+    streaming frontier-admission oracle. Every regexp_replace carries
+    the 'g' flag so DuckDB matches Spark's replace-ALL semantics;
+    DuckDB's regexp_extract returns '' on no match exactly like
+    Spark's."""
     url = (
         "(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' "
         "|| (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) "
@@ -4178,6 +4180,15 @@ def sql_url_normalize() -> str:
          "scheme || '://' || host || port_norm || path_norm || "
          "(CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END) "
          "AS url_norm FROM n6"),
+    ]
+    return ctes
+
+
+def sql_url_normalize() -> str:
+    """Mirror of crawl.url_normalize_demo: canonicalize the synthetic
+    messy urls (_url_norm_ctes) and count DISTINCT raw spellings per
+    canonical form."""
+    ctes = _url_norm_ctes() + [
         ("aliases",
          "SELECT url_norm, COUNT(DISTINCT url) AS n_aliases FROM normed "
          "GROUP BY url_norm"),
@@ -4187,6 +4198,29 @@ def sql_url_normalize() -> str:
         "SELECT doc_id, url, url_norm, host, "
         "CAST(n_aliases AS BIGINT) AS n_aliases "
         "FROM normed JOIN aliases USING (url_norm)",
+    )
+
+
+def sql_frontier_stream(mod: int = 9, seen_mod: int = 7) -> str:
+    """Mirror of streaming.corpus.run_stream_frontier's BATCH
+    equivalent: docs with doc_id % mod == 0 play the arriving
+    discovery stream, the non-stream docs with doc_id % seen_mod == 0
+    the already-crawled seen set; an arriving url is admitted iff its
+    CANONICAL form matches no seen canonical form (anti join on
+    url_norm). Per-row function of (row, static seen set) — exactly
+    why the streamed union over any micro-batching equals this
+    one-shot answer."""
+    ctes = _url_norm_ctes() + [
+        ("seen",
+         f"SELECT DISTINCT url_norm FROM normed "
+         f"WHERE doc_id % {mod} <> 0 AND doc_id % {seen_mod} = 0"),
+        ("arriving", f"SELECT * FROM normed WHERE doc_id % {mod} = 0"),
+    ]
+    return _with(
+        ctes,
+        "SELECT a.doc_id, a.url, a.url_norm, a.host FROM arriving a "
+        "WHERE NOT EXISTS (SELECT 1 FROM seen s "
+        "WHERE s.url_norm = a.url_norm)",
     )
 
 

@@ -247,6 +247,22 @@ def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl.crawl_budget_demo(tables.uni_edges_directed(spark, sf_dir))
 
 
+FRONTIER_STREAM_MOD = 9
+
+
+def q_frontier_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl-frontier admission: newly discovered urls arrive
+    through a real readStream, are canonicalized in the streaming plan,
+    and pass a stream-static LEFT ANTI join against the already-crawled
+    canonical set; admission is a per-row function of (row, seen set),
+    so the streamed union equals the one-shot batch answer — the
+    oracle runs the batch anti join."""
+    from .streaming import corpus as streaming_corpus
+
+    return streaming_corpus.run_stream_frontier(
+        spark, f"{sf_dir}/documents.parquet", mod=FRONTIER_STREAM_MOD)
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + alias detection over deterministic messy
     urls: fragment/default-port/www/utm stripping, slash and
@@ -2183,6 +2199,9 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "politeness_schedule": (q_politeness_schedule,
                                 oracle.sql_politeness_schedule()),
         "crawl_budget": _uni(q_crawl_budget, oracle.sql_crawl_budget(mod=m)),
+        "frontier_stream": (
+            q_frontier_stream,
+            oracle.sql_frontier_stream(mod=FRONTIER_STREAM_MOD)),
         "robots_admission": (q_robots_admission,
                              oracle.sql_robots_admission()),
         "skipgram_pairs": (q_skipgram_pairs, oracle.sql_skipgram_pairs()),

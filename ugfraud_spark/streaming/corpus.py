@@ -160,3 +160,64 @@ def run_stream_incremental_dedup(spark: SparkSession, parquet_path: str,
         rows,
         "new_id long, old_id long, jaccard double",
     )
+
+
+def run_stream_frontier(spark: SparkSession, parquet_path: str,
+                        mod: int = 9, seen_mod: int = 7,
+                        max_files_per_trigger: int | None = None,
+                        ) -> DataFrame:
+    """(doc_id, url, url_norm, host): streaming crawl-frontier
+    admission — newly DISCOVERED urls arrive as a stream (docs with
+    ``doc_id % mod == 0``), are canonicalized IN the streaming plan
+    (`crawl.normalize_urls` is a pure row-local projection), and are
+    admitted iff their canonical form collides with nothing in the
+    STATIC already-crawled set (cycle-0's crawl: the non-stream docs
+    with ``doc_id % seen_mod == 0``) — a stream-static LEFT ANTI join
+    on ``url_norm``, the frontier's "have we fetched this resource
+    under any spelling?" check. The default split admits 11 of 56
+    arriving urls at the gate scales (45 are canonical aliases of
+    already-fetched resources) — both branches of the check carry
+    real mass.
+
+    Decomposability (what the gate proves): admission is a per-row
+    function of (row, static seen set) — no cross-batch state — so
+    the union of per-micro-batch outputs equals the one-shot batch
+    answer under ANY micro-batching. At scale the seen set is the
+    frontier store bucketed by url_norm; each micro-batch pays one
+    hash join sized by the batch, never by history."""
+    from ..operators.crawl import normalize_urls, synthetic_urls
+
+    parquet_path = os.path.abspath(parquet_path)
+    seen = (
+        normalize_urls(synthetic_urls(
+            spark.read.schema(DOC_SCHEMA).parquet(parquet_path)
+            .where((F.col("doc_id") % mod != 0)
+                   & (F.col("doc_id") % seen_mod == 0))))
+        .select("url_norm").distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_frontier_")
+    sink = os.path.join(out_dir, "admitted")
+    try:
+        src_dir = stage_stream_src(parquet_path, out_dir)
+        reader = spark.readStream.schema(DOC_SCHEMA)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        src = reader.parquet(src_dir).where(F.col("doc_id") % mod == 0)
+        admitted = (
+            normalize_urls(synthetic_urls(src))
+            .join(seen, "url_norm", "left_anti")
+            .select("doc_id", "url", "url_norm", "host")
+        )
+        q = (
+            admitted.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
