@@ -2041,3 +2041,25 @@ def test_crawl_budget_hamilton_apportionment(spark):
     # quotas 3.5/2.1/0.7/0.7 -> base 3/2/0/0, R=2 -> hosts 2,3 (frac .7)
     assert got2 == {0: 3, 1: 2, 2: 1, 3: 1}
     assert sum(got2.values()) == 7
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    """Hand case: mixed doc (email + phone), email-only, clean doc;
+    redaction replaces every occurrence and counts match; scrubbed
+    text verified via its md5."""
+    import hashlib
+
+    from ugfraud_spark.operators.quality import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(0, "mail a@b.com and c.d+x@e.org call +1-555-1234 end"),
+         (1, "just a@b.co here"),
+         (2, "no pii at all")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (got[0]["n_emails"], got[0]["n_phones"]) == (2, 1)
+    assert (got[1]["n_emails"], got[1]["n_phones"]) == (1, 0)
+    assert (got[2]["n_emails"], got[2]["n_phones"]) == (0, 0)
+    want0 = "mail <EMAIL> and <EMAIL> call <PHONE> end"
+    assert got[0]["scrubbed_md5"] == hashlib.md5(want0.encode()).hexdigest()
+    assert got[2]["scrubbed_md5"] == hashlib.md5(b"no pii at all").hexdigest()

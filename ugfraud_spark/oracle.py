@@ -4184,6 +4184,33 @@ def _url_norm_ctes() -> list[tuple[str, str]]:
     return ctes
 
 
+def sql_pii_scrub() -> str:
+    """Mirror of quality.pii_scrub_demo: plant the same deterministic
+    emails/phones, count with regexp_extract_all (== Spark's
+    regexp_count), redact with 'g'-flagged regexp_replace, md5 the
+    scrubbed text. Patterns are RE2-safe so both engines run the
+    IDENTICAL strings."""
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    return _with(
+        [("p",
+          "SELECT doc_id, text || "
+          "(CASE WHEN doc_id % 6 = 0 THEN ' contact user' "
+          "|| CAST(doc_id AS VARCHAR) || '@mail' "
+          "|| CAST(doc_id % 9 AS VARCHAR) || '.example' ELSE '' END) || "
+          "(CASE WHEN doc_id % 10 = 0 THEN ' call +1-555-' "
+          "|| CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END) AS text "
+          "FROM documents")],
+        f"SELECT doc_id, "
+        f"CAST(LEN(regexp_extract_all(text, '{email_re}')) AS BIGINT) "
+        f"AS n_emails, "
+        f"CAST(LEN(regexp_extract_all(text, '{phone_re}')) AS BIGINT) "
+        f"AS n_phones, "
+        f"md5(regexp_replace(regexp_replace(text, '{email_re}', '<EMAIL>', "
+        f"'g'), '{phone_re}', '<PHONE>', 'g')) AS scrubbed_md5 FROM p",
+    )
+
+
 def sql_url_normalize() -> str:
     """Mirror of crawl.url_normalize_demo: canonicalize the synthetic
     messy urls (_url_norm_ctes) and count DISTINCT raw spellings per

@@ -263,6 +263,15 @@ def q_frontier_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/documents.parquet", mod=FRONTIER_STREAM_MOD)
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over deterministically planted
+    emails/phones (quality.pii_scrub_demo): counts for the audit trail
+    plus md5 of the scrubbed text (byte-identity proof)."""
+    from .operators import quality
+
+    return quality.pii_scrub_demo(tables.load(spark, sf_dir, "documents"))
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + alias detection over deterministic messy
     urls: fragment/default-port/www/utm stripping, slash and
@@ -2199,6 +2208,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "politeness_schedule": (q_politeness_schedule,
                                 oracle.sql_politeness_schedule()),
         "crawl_budget": _uni(q_crawl_budget, oracle.sql_crawl_budget(mod=m)),
+        "pii_scrub": (q_pii_scrub, oracle.sql_pii_scrub()),
         "frontier_stream": (
             q_frontier_stream,
             oracle.sql_frontier_stream(mod=FRONTIER_STREAM_MOD)),
