@@ -2063,3 +2063,28 @@ def test_pii_scrub_redacts_and_counts(spark):
     want0 = "mail <EMAIL> and <EMAIL> call <PHONE> end"
     assert got[0]["scrubbed_md5"] == hashlib.md5(want0.encode()).hexdigest()
     assert got[2]["scrubbed_md5"] == hashlib.md5(b"no pii at all").hexdigest()
+
+
+def test_lsh_recall_measures_band_misses(spark):
+    """Hand corpus: an identical pair (always a candidate) and a
+    low-overlap pair that shares shingles but can only collide if a
+    band agrees — recall counts exactly the threshold-crossing pairs
+    LSH verified. At threshold 0 with shared shingles everywhere,
+    n_true counts every overlapping pair."""
+    from ugfraud_spark.operators.dedup import lsh_recall
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta"),
+         (1, "alpha beta gamma delta epsilon zeta eta"),   # exact dup of 0
+         (2, "alpha beta gamma nine ten eleven twelve"),   # weak overlap
+         (3, "one two three four five six seven")],        # disjoint
+        "doc_id long, text string")
+    row = lsh_recall(docs, threshold=0.9).collect()[0]
+    # only the exact dup crosses 0.9; identical docs share all bands
+    assert (row["n_true"], row["n_lsh"], row["recall"]) == (1, 1, 1.0)
+
+    row2 = lsh_recall(docs, threshold=0.01).collect()[0]
+    # pairs (0,1), (0,2), (1,2) share shingles; (3,*) never appears
+    assert row2["n_true"] == 3
+    assert row2["n_lsh"] <= row2["n_true"]
+    assert row2["recall"] == round(row2["n_lsh"] / 3, 6)

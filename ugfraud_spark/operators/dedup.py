@@ -663,3 +663,52 @@ def dedup_training_pairs(docs: DataFrame,
         .select("doc_a", "doc_b", F.lit(0).alias("label"))
     )
     return pos.unionByName(neg)
+
+
+def lsh_recall(docs: DataFrame, threshold: float = 0.2,
+               max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """(n_true, n_lsh, recall): measured candidate recall of the banded
+    MinHash-LSH pipeline against exact ground truth — the number a
+    dedup-pipeline owner actually reports when asked "what does the
+    band/row config miss at this threshold?".
+
+    Ground truth = every pair with exact shingle-set Jaccard ≥
+    ``threshold``, generated by a shingle POSTINGS join (two docs with
+    Jaccard > 0 share ≥ 1 shingle, so the postings join loses nothing);
+    LSH side = the production path (capped band buckets → candidate
+    join → exact verify → same threshold). LSH-verified pairs are a
+    subset of ground truth by construction, so recall = n_lsh/n_true ∈
+    [0, 1]; with 4 bands × 3 rows the expected candidate probability at
+    j is 1-(1-j³)⁴, and the measured recall curve is what calibrates
+    band/row choices (`minhash_calibration` gives the model; this gives
+    the measurement).
+
+    Scale note — this is the EVALUATION harness, not the production
+    path: the uncapped postings join is quadratic in posting-list
+    length and is meant to run on a bounded sample (the production
+    pipeline never runs it; that asymmetry is the whole reason recall
+    must be *measured*). The shingle frame is computed once and shared
+    by both sides."""
+    sh_raw = shingles(docs).localCheckpoint(eager=True)
+    dsh = sh_raw.distinct().localCheckpoint(eager=True)
+    cand = (
+        dsh.withColumnRenamed("doc_id", "doc_a")
+        .join(dsh.withColumnRenamed("doc_id", "doc_b"), "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    true_pairs = _jaccard_verify(cand, sh_raw, sh_raw, "doc_a", "doc_b") \
+        .where(F.col("jaccard") >= threshold)
+    lsh_pairs = _jaccard_verify(
+        lsh_candidate_pairs(docs, max_bucket=max_bucket, sh=sh_raw),
+        sh_raw, sh_raw, "doc_a", "doc_b",
+    ).where(F.col("jaccard") >= threshold)
+    nt = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
+    nl = lsh_pairs.agg(F.count(F.lit(1)).alias("n_lsh"))
+    return nt.crossJoin(F.broadcast(nl)).select(
+        "n_true", "n_lsh",
+        F.when(F.col("n_true") > 0,
+               F.round(F.col("n_lsh") / F.col("n_true").cast("double"), 6))
+        .otherwise(F.lit(1.0)).alias("recall"),
+    )

@@ -4184,6 +4184,47 @@ def _url_norm_ctes() -> list[tuple[str, str]]:
     return ctes
 
 
+def sql_lsh_recall(threshold: float = 0.2, h: int = 12, bands: int = 4,
+                   rows: int = 3, max_bucket: int = 512) -> str:
+    """Mirror of dedup.lsh_recall: LSH-verified pair count (the
+    _ngram_jaccard_ctes pipeline + threshold) over the exact
+    postings-join ground-truth count at the same threshold. Both
+    jaccards are 6-dp-rounded before the >= compare, so the threshold
+    cut is engine-independent."""
+    t = f"CAST({threshold!r} AS DOUBLE)"
+    ctes, final = _ngram_jaccard_ctes(h, bands, rows, max_bucket)
+    ctes += [
+        ("lj", final),
+        ("nl",
+         f"SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM lj "
+         f"WHERE jaccard >= {t}"),
+        ("tc",
+         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+         "FROM dsh a JOIN dsh b ON b.sh = a.sh AND a.doc_id < b.doc_id"),
+        ("ti",
+         "SELECT tc.doc_a, tc.doc_b, COUNT(*) AS i FROM tc "
+         "JOIN dsh a ON a.doc_id = tc.doc_a "
+         "JOIN dsh b ON b.doc_id = tc.doc_b AND b.sh = a.sh "
+         "GROUP BY 1, 2"),
+        ("tj",
+         "SELECT tc.doc_a, tc.doc_b, ROUND(COALESCE(ti.i, 0) "
+         "/ CAST(ca.n + cb.n - COALESCE(ti.i, 0) AS DOUBLE), 6) AS jaccard "
+         "FROM tc LEFT JOIN ti ON ti.doc_a = tc.doc_a "
+         "AND ti.doc_b = tc.doc_b "
+         "JOIN cnt ca ON ca.doc_id = tc.doc_a "
+         "JOIN cnt cb ON cb.doc_id = tc.doc_b"),
+        ("nt",
+         f"SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tj "
+         f"WHERE jaccard >= {t}"),
+    ]
+    return _with(
+        ctes,
+        "SELECT n_true, n_lsh, CASE WHEN n_true > 0 THEN "
+        "ROUND(n_lsh / CAST(n_true AS DOUBLE), 6) "
+        "ELSE CAST(1.0 AS DOUBLE) END AS recall FROM nt, nl",
+    )
+
+
 def sql_pii_scrub() -> str:
     """Mirror of quality.pii_scrub_demo: plant the same deterministic
     emails/phones, count with regexp_extract_all (== Spark's

@@ -263,6 +263,19 @@ def q_frontier_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/documents.parquet", mod=FRONTIER_STREAM_MOD)
 
 
+LSH_RECALL_T = 0.05
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH candidate recall vs exact postings-join ground
+    truth at threshold 0.05 (dedup.lsh_recall) — the evaluation
+    harness that calibrates band/row choices against what the bands
+    actually miss: at this threshold the 4x3 band config finds 25 of
+    29 true pairs (the 4 borderline misses are the measurement)."""
+    return dedup.lsh_recall(tables.load(spark, sf_dir, "documents"),
+                            threshold=LSH_RECALL_T)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction over deterministically planted
     emails/phones (quality.pii_scrub_demo): counts for the audit trail
@@ -2209,6 +2222,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                                 oracle.sql_politeness_schedule()),
         "crawl_budget": _uni(q_crawl_budget, oracle.sql_crawl_budget(mod=m)),
         "pii_scrub": (q_pii_scrub, oracle.sql_pii_scrub()),
+        "lsh_recall": (q_lsh_recall,
+                       oracle.sql_lsh_recall(threshold=LSH_RECALL_T)),
         "frontier_stream": (
             q_frontier_stream,
             oracle.sql_frontier_stream(mod=FRONTIER_STREAM_MOD)),
