@@ -2088,3 +2088,23 @@ def test_lsh_recall_measures_band_misses(spark):
     assert row2["n_true"] == 3
     assert row2["n_lsh"] <= row2["n_true"]
     assert row2["recall"] == round(row2["n_lsh"] / 3, 6)
+
+
+def test_recrawl_rate_policy_and_degenerate_ends(spark):
+    """lambda = -ln(1-p)/epoch; monotone: faster-churning hosts get
+    shorter revisit intervals; p=0 -> max cap with lambda 0-free NULL
+    path untouched; p=1 -> min cap with NULL lambda."""
+    import math
+
+    from ugfraud_spark.operators.crawl import recrawl_rate
+
+    hc = spark.createDataFrame(
+        [(0, 0.0), (1, 0.1), (2, 0.5), (3, 1.0)],
+        "host_id long, churn double")
+    got = {r["host_id"]: r for r in recrawl_rate(hc).collect()}
+    assert got[0]["revisit_days"] == 90.0 and got[0]["lambda_hat"] == 0.0
+    assert got[3]["revisit_days"] == 1.0 and got[3]["lambda_hat"] is None
+    lam1 = round(-math.log(0.9) / 7.0, 6)
+    assert abs(got[1]["lambda_hat"] - lam1) < 1e-12
+    assert got[1]["revisit_days"] == round(min(max(1 / lam1, 1.0), 90.0), 6)
+    assert got[2]["revisit_days"] < got[1]["revisit_days"]

@@ -682,3 +682,46 @@ def crawl_budget_demo(edges_dir: DataFrame, *, total: int = 10000) -> DataFrame:
     w = host_stats(host_graph(edges_dir)).select(
         "host", F.col("out_links").cast("double").alias("w"))
     return crawl_budget(w, total=total)
+
+
+def recrawl_rate(churn_frame: DataFrame, *, epoch_days: float = 7.0,
+                 min_interval: float = 1.0,
+                 max_interval: float = 90.0) -> DataFrame:
+    """(host_id, churn, lambda_hat, revisit_days): per-host Poisson
+    change-rate estimation and revisit-interval assignment — the
+    Cho–Garcia-Molina refresh policy a crawl scheduler closes the loop
+    with: observing fraction p of a host's pages changed over an epoch
+    of ``epoch_days``, the MLE of the per-page Poisson change rate is
+    λ̂ = −ln(1−p)/epoch_days, and the uniform-freshness revisit
+    interval is 1/λ̂ clamped to [min_interval, max_interval] days.
+    Degenerate ends: p = 0 → λ̂ = 0 → revisit at the max cap; p = 1 →
+    λ̂ undefined (carried as NULL) → revisit at the min cap (every
+    observation changed: revisit as fast as allowed).
+
+    Float discipline: churn is an exact-integer ratio (identical
+    doubles on both engines); λ̂ is ROUNDED to 6 dp straight off the
+    log (the house LN convention — Spark's and DuckDB's LN can differ
+    by 1 ulp), and the interval is computed FROM the rounded λ̂ so
+    every downstream comparison sees identical doubles. One narrow
+    projection over the |hosts|-row churn frame — no shuffle."""
+    p = F.col("churn")
+    lam = F.when(
+        p < 1.0,
+        F.round(-F.log(F.lit(1.0) - p) / F.lit(epoch_days), 6))
+    revisit = (
+        F.when(p >= 1.0, F.lit(min_interval))
+        .when(p <= 0.0, F.lit(max_interval))
+        .otherwise(F.round(
+            F.least(F.greatest(F.lit(1.0) / lam, F.lit(min_interval)),
+                    F.lit(max_interval)), 6))
+    )
+    return churn_frame.select(
+        "host_id", F.round(p, 6).alias("churn"),
+        lam.alias("lambda_hat"), revisit.alias("revisit_days"),
+    )
+
+
+def recrawl_rate_demo(docs: DataFrame) -> DataFrame:
+    """Gate composition: crawl delta → per-host churn → refresh
+    policy."""
+    return recrawl_rate(host_churn(crawl_delta_demo(docs)))

@@ -4184,6 +4184,31 @@ def _url_norm_ctes() -> list[tuple[str, str]]:
     return ctes
 
 
+def sql_recrawl_rate(epoch_days: float = 7.0, min_interval: float = 1.0,
+                     max_interval: float = 90.0,
+                     n_hosts: int = 37) -> str:
+    """Mirror of crawl.recrawl_rate_demo: churn from sql_host_churn,
+    λ̂ 6-dp-rounded off the LN (house convention), interval computed
+    FROM the rounded λ̂, degenerate p ∈ {0, 1} pinned to the caps
+    (λ̂ NULL at p = 1)."""
+    e = f"CAST({epoch_days!r} AS DOUBLE)"
+    lo = f"CAST({min_interval!r} AS DOUBLE)"
+    hi = f"CAST({max_interval!r} AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    return _with(
+        [("hc", sql_host_churn(n_hosts)),
+         ("lam",
+          f"SELECT host_id, churn, CASE WHEN churn < {one} THEN "
+          f"ROUND(-LN({one} - churn) / {e}, 6) END AS lambda_hat "
+          f"FROM hc")],
+        f"SELECT host_id, ROUND(churn, 6) AS churn, lambda_hat, "
+        f"CASE WHEN churn >= {one} THEN {lo} "
+        f"WHEN churn <= CAST(0.0 AS DOUBLE) THEN {hi} "
+        f"ELSE ROUND(LEAST(GREATEST({one} / lambda_hat, {lo}), {hi}), 6) "
+        f"END AS revisit_days FROM lam",
+    )
+
+
 def sql_lsh_recall(threshold: float = 0.2, h: int = 12, bands: int = 4,
                    rows: int = 3, max_bucket: int = 512) -> str:
     """Mirror of dedup.lsh_recall: LSH-verified pair count (the

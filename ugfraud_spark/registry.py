@@ -276,6 +276,15 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                             threshold=LSH_RECALL_T)
 
 
+def q_recrawl_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho-Garcia-Molina refresh policy: per-host Poisson change-rate
+    MLE from observed churn, revisit interval 1/lambda clamped to
+    [1, 90] days (crawl.recrawl_rate_demo)."""
+    from .operators import crawl
+
+    return crawl.recrawl_rate_demo(tables.load(spark, sf_dir, "documents"))
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction over deterministically planted
     emails/phones (quality.pii_scrub_demo): counts for the audit trail
@@ -2222,6 +2231,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                                 oracle.sql_politeness_schedule()),
         "crawl_budget": _uni(q_crawl_budget, oracle.sql_crawl_budget(mod=m)),
         "pii_scrub": (q_pii_scrub, oracle.sql_pii_scrub()),
+        "recrawl_rate": (q_recrawl_rate, oracle.sql_recrawl_rate()),
         "lsh_recall": (q_lsh_recall,
                        oracle.sql_lsh_recall(threshold=LSH_RECALL_T)),
         "frontier_stream": (
