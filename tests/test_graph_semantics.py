@@ -1699,3 +1699,45 @@ def test_inlink_concentration_hand_case(spark):
     assert got[2]["in_links"] == 4 and got[2]["n_src_hosts"] == 3
     assert got[2]["top_share"] == 0.5
     assert abs(got[2]["hhi"] - round((4 + 1 + 1) / 16, 6)) < 1e-12
+
+
+def test_oddball_egonet_vs_numpy(spark):
+    """OddBall on a star + clique + path composite, cross-checked
+    against an independent numpy OLS with the identical 6dp-rounding
+    schedule: the clique core and the star hub must carry the largest
+    EDPL deviations in the expected direction."""
+    import numpy as np
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    star = [(10, v) for v in range(11, 17)]          # hub 10, 6 leaves
+    path = [(20, 21), (21, 22), (22, 23)]
+    bridge = [(3, 10), (16, 20)]                      # keep it connected
+    edges = clique + star + path + bridge
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = {r["id"]: r for r in
+           triangles.oddball_egonet(df).collect()}
+
+    deg, tri = {}, {}
+    verts = sorted({v for e in edges for v in e})
+    for v in verts:
+        nb = {b for a, b in edges if a == v} | {a for a, b in edges if b == v}
+        deg[v] = len(nb)
+        tri[v] = sum(1 for a, b in edges if a in nb and b in nb)
+    x = np.round(np.log([deg[v] + 1 for v in verts]), 6)
+    y = np.round(np.log([deg[v] + tri[v] for v in verts]), 6)
+    n = float(len(verts))
+    sx, sy = x.sum(), y.sum()
+    sxy = np.round(x * y, 6).sum()
+    sxx = np.round(x * x, 6).sum()
+    b = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    a = round((sy - b * sx) / n, 6)
+    for i, v in enumerate(verts):
+        assert out[v]["n_ego"] == deg[v] + 1
+        assert out[v]["e_ego"] == deg[v] + tri[v]
+        assert out[v]["score"] == pytest.approx(
+            round(abs(y[i] - (a + b * x[i])), 6), abs=2e-6)
+    # clique members sit ABOVE the line (dense egonet), star leaves on
+    # the sparse side; both anomaly families must out-score the path
+    # interior, whose egonet is exactly tree-like
+    assert out[0]["score"] > out[21]["score"]
+    assert out[10]["score"] > out[21]["score"]

@@ -484,3 +484,81 @@ def butterflies(bip: DataFrame, max_deg: int = BFLY_MAX_DEG) -> DataFrame:
         .groupBy("user")
         .agg(F.sum("bf").alias("n_butterflies"))
     )
+
+
+def oddball_egonet(edges_ab: DataFrame) -> DataFrame:
+    """(id, n_ego, e_ego, score): OddBall egonet-density anomaly score
+    per vertex (Akoglu-Chau-Faloutsos, *OddBall: Spotting Anomalies in
+    Weighted Graphs*, PAKDD 2010 — the EDPL law). For the unweighted
+    undirected graph the egonet of u has N_u = deg(u)+1 vertices and
+    E_u = deg(u) + tri(u) edges (each neighbor contributes its edge to
+    u; edges among neighbors are exactly the triangles through u). A
+    power law E ∝ C·N^b holds for normal vertices; near-cliques and
+    near-stars sit off the line. Score = |ln E_u − (a + b·ln N_u)|,
+    the log-space distance to the OLS fit — a monotone transform of
+    the paper's ratio factor max/min = e^dist (the paper multiplies by
+    a second log-distance term; rankings agree, and pure log-space
+    keeps the cross-engine float contract exact).
+
+    Float discipline (house LN convention): x=ln N and y=ln E are
+    rounded to 6 dp FIRST; the OLS moments sum 6dp-rounded products as
+    exact DECIMAL(28,6) (associative — partitioning-independent); the
+    slope b and intercept a are rounded to 6 dp and every per-vertex
+    score is computed FROM the rounded scalars. Degenerate all-equal-x
+    inputs pin b = 0.
+
+    Scale shape: one degree groupBy + the O(sqrt(E))-bounded oriented
+    triangle join + a 1-row moment aggregate broadcast back — no new
+    shuffle class beyond clustering_coefficient. Fraud relevance:
+    near-clique egonets (score high, E→N²) are review-farm cores; the
+    reference's Fraudar blocks light up the same vertices."""
+    und = edges_ab.select("a", "b")
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangles_per_vertex(edges_ab)
+    ego = (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            (F.col("degree") + F.lit(1)).alias("n_ego"),
+            (F.col("degree") + F.coalesce(F.col("triangles"), F.lit(0))
+             ).alias("e_ego"),
+        )
+    )
+    xy = ego.select(
+        "id", "n_ego", "e_ego",
+        F.round(F.log(F.col("n_ego").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("e_ego").cast("double")), 6).alias("y"),
+    )
+
+    def dec(c):
+        return F.round(c, 6).cast("decimal(28,6)")
+
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    fit = s.select(
+        "n", "sx", "sy",
+        F.when(den == F.lit(0.0), F.lit(0.0))
+        .otherwise(
+            F.round((F.col("n") * F.col("sxy")
+                     - F.col("sx") * F.col("sy")) / den, 6)
+        ).alias("b"),
+    ).select(
+        "b",
+        F.round((F.col("sy") - F.col("b") * F.col("sx")) / F.col("n"), 6)
+        .alias("a"),
+    )
+    return xy.crossJoin(F.broadcast(fit)).select(
+        "id", "n_ego", "e_ego",
+        F.round(F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x"))),
+                6).alias("score"),
+    )

@@ -604,6 +604,53 @@ def sql_assortativity(mod: int = UNI_MOD) -> str:
     )
 
 
+def sql_oddball(mod: int = UNI_MOD) -> str:
+    """Mirror of triangles.oddball_egonet: egonet sizes from degree +
+    per-vertex triangles, OLS fit in 6dp-rounded log-log space with
+    DECIMAL-summed moments, per-vertex |y − (a + b·x)| computed FROM
+    the 6dp-rounded a and b (downstream-from-rounded convention)."""
+    tri = (
+        "SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1 "
+        "JOIN und e2 ON e2.a = e1.b "
+        "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+    dec = "CAST(ROUND({0}, 6) AS DECIMAL(28,6))"
+    return _with(
+        [("uni", uni_frag(mod)), ("und", UND), ("tri", tri),
+         ("m", "SELECT x AS id FROM tri UNION ALL SELECT y FROM tri "
+               "UNION ALL SELECT z FROM tri"),
+         ("tcnt", "SELECT id, COUNT(*) AS triangles FROM m GROUP BY id"),
+         ("deg",
+          "SELECT id, COUNT(*) AS degree FROM ("
+          "SELECT a AS id FROM und UNION ALL SELECT b FROM und"
+          ") GROUP BY id"),
+         ("ego",
+          "SELECT d.id, d.degree + 1 AS n_ego, "
+          "d.degree + COALESCE(t.triangles, 0) AS e_ego "
+          "FROM deg d LEFT JOIN tcnt t ON t.id = d.id"),
+         ("xy",
+          "SELECT id, n_ego, e_ego, "
+          "ROUND(LN(CAST(n_ego AS DOUBLE)), 6) AS x, "
+          "ROUND(LN(CAST(e_ego AS DOUBLE)), 6) AS y FROM ego"),
+         ("s",
+          f"SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+          f"CAST(SUM({dec.format('x')}) AS DOUBLE) AS sx, "
+          f"CAST(SUM({dec.format('y')}) AS DOUBLE) AS sy, "
+          f"CAST(SUM({dec.format('x * y')}) AS DOUBLE) AS sxy, "
+          f"CAST(SUM({dec.format('x * x')}) AS DOUBLE) AS sxx FROM xy"),
+         ("fit0",
+          "SELECT n, sx, sy, CASE WHEN n * sxx - sx * sx = 0 "
+          "THEN CAST(0.0 AS DOUBLE) "
+          "ELSE ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) "
+          "END AS b FROM s"),
+         ("fit",
+          "SELECT b, ROUND((sy - b * sx) / n, 6) AS a FROM fit0")],
+        "SELECT xy.id, xy.n_ego, xy.e_ego, "
+        "ROUND(ABS(xy.y - (f.a + f.b * xy.x)), 6) AS score "
+        "FROM xy, fit f",
+    )
+
+
 def sql_host_graph(mod: int = UNI_MOD, n_hosts: int | None = None) -> str:
     """Mirror of quotient.host_graph: collapse the directed page-level
     edge set onto host buckets and count page links per host pair."""

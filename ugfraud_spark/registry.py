@@ -1224,6 +1224,14 @@ def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles.clustering_coefficient(e)
 
 
+def q_oddball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OddBall egonet-density anomaly score per vertex: egonet sizes
+    from degree + triangles, log-log OLS fit broadcast back, score =
+    distance to the EDPL line (near-clique/near-star detector)."""
+    e = tables.uni_edges_undirected(spark, sf_dir)
+    return triangles.oddball_egonet(e)
+
+
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman degree-assortativity scalar over the undirected link
     graph — explicit population moments, identical closed form on both
@@ -2291,6 +2299,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                                        oracle.sql_clustering(mod=m)),
         "degree_assortativity": _uni(q_assortativity,
                                      oracle.sql_assortativity(mod=m)),
+        "oddball_egonet": _uni(q_oddball, oracle.sql_oddball(mod=m)),
         "ktruss_edges": _uni(q_ktruss, oracle.sql_ktruss(k=4, rounds=6,
                                                          mod=m)),
         "hyperball_nf": _uni(q_hyperball, oracle.sql_hyperball(t=3, mod=m)),
