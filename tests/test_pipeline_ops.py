@@ -2108,3 +2108,34 @@ def test_recrawl_rate_policy_and_degenerate_ends(spark):
     assert abs(got[1]["lambda_hat"] - lam1) < 1e-12
     assert got[1]["revisit_days"] == round(min(max(1 / lam1, 1.0), 90.0), 6)
     assert got[2]["revisit_days"] < got[1]["revisit_days"]
+
+
+def test_repeated_spans_hand_corpus(spark):
+    """Lee-style repeated-span scrub on a hand corpus: a 6-token
+    phrase shared by two docs collapses to ONE merged span in each
+    (its two duplicated 5-grams overlap); a within-doc repeat 6 apart
+    stays TWO spans; a sub-L doc passes through byte-identical."""
+    import hashlib
+
+    phrase = "p1 p2 p3 p4 p5 p6"
+    rows = [
+        (1, "a b c d e f g h i j " + phrase),
+        (2, "z y x " + phrase + " w v"),
+        (3, "r1 r2 r3 r4 r5 q r1 r2 r3 r4 r5"),
+        (4, "s t u"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.repeated_spans(docs).collect()}
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert out[1]["n_dup_spans"] == 1 and out[1]["tokens_removed"] == 6
+    assert out[1]["scrubbed_md5"] == h("a b c d e f g h i j")
+    assert out[2]["n_dup_spans"] == 1 and out[2]["tokens_removed"] == 6
+    assert out[2]["scrubbed_md5"] == h("z y x w v")
+    # starts 1 and 7: 7 > 1 + L(=5), so the islands do NOT fuse
+    assert out[3]["n_dup_spans"] == 2 and out[3]["tokens_removed"] == 10
+    assert out[3]["scrubbed_md5"] == h("q")
+    assert out[4]["n_dup_spans"] == 0 and out[4]["tokens_removed"] == 0
+    assert out[4]["scrubbed_md5"] == h("s t u")

@@ -712,3 +712,98 @@ def lsh_recall(docs: DataFrame, threshold: float = 0.2,
                F.round(F.col("n_lsh") / F.col("n_true").cast("double"), 6))
         .otherwise(F.lit(1.0)).alias("recall"),
     )
+
+
+# repeated-span scrubbing (Lee et al., *Deduplicating Training Data
+# Makes Language Models Better*, ACL 2022): remove every token span
+# whose SPAN_L-gram occurs >= SPAN_MIN_COUNT times corpus-wide. The
+# paper builds a suffix array; the standard distributed re-expression
+# is the k-gram-hash postings count used here — any duplicated
+# substring of length >= SPAN_L contains a duplicated SPAN_L-gram, so
+# the scrub removes a superset of the paper's >=SPAN_L-token clones.
+SPAN_L = 5
+SPAN_MIN_COUNT = 2
+
+
+def repeated_spans(docs: DataFrame, L: int = SPAN_L,
+                   min_count: int = SPAN_MIN_COUNT) -> DataFrame:
+    """(doc_id, n_dup_spans, tokens_removed, scrubbed_md5): cross-doc
+    repeated-span detection and removal over the token stream.
+
+    Plan: per-position L-gram hashes are built with the same
+    zero-shuffle ``transform``+``slice`` map as ``shingles`` (positions
+    kept this time); ONE wide shuffle counts gram occurrences
+    corpus-wide; duplicated grams (count >= min_count, within-doc
+    repeats included — the paper's 'occurs more than once in the
+    corpus') join back to their (doc, pos) sites. Span accounting
+    merges overlapping/adjacent hits (two starts p, q fuse iff
+    q <= p + L) with a per-doc lag window over DUPLICATED STARTS ONLY
+    — O(hits per doc) state, never the token stream. The scrub is a
+    pure array expression: covered = distinct flatten of [s, s+L-1]
+    per start, kept tokens re-joined and md5'd for the byte-identity
+    gate (the pages_text_byte_identity trick).
+
+    Scale shape: the gram-count groupBy is the canonical shuffle
+    (key = md5 hex — uniform, unskewable); the dup-site join is
+    hash-keyed with NO self-join anywhere, so a boilerplate gram
+    shared by millions of docs costs its posting list once, linearly
+    — this is exactly why the k-gram relaxation distributes where the
+    paper's monolithic suffix array does not. Docs shorter than L
+    tokens pass through untouched by construction."""
+    toks = F.split("text", " ")
+    n_pos = F.size(toks) - (L - 1)
+    gram_arr = F.when(
+        n_pos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, L))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sites = docs.select(
+        "doc_id", F.posexplode(gram_arr).alias("p0", "h")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+
+    dup_h = (
+        sites.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    hits = sites.join(dup_h, "h", "left_semi").select("doc_id", "pos")
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = hits.withColumn(
+        "is_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + L),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.sum("is_new").cast("long").alias("n_dup_spans"),
+        F.sort_array(F.collect_list("pos")).alias("starts"),
+    )
+
+    joined = docs.join(per_doc, "doc_id", "left").select(
+        "doc_id", "text",
+        F.coalesce(F.col("n_dup_spans"), F.lit(0).cast("long"))
+        .alias("n_dup_spans"),
+        F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+        .alias("starts"),
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(F.col("starts"),
+                        lambda s: F.sequence(s, s + (L - 1)))
+        )
+    )
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.array_contains(covered, (i + F.lit(1)).cast("int")),
+    )
+    return joined.select(
+        "doc_id", "n_dup_spans",
+        (F.size(toks) - F.size(kept)).cast("long").alias("tokens_removed"),
+        F.md5(F.concat_ws(" ", kept)).alias("scrubbed_md5"),
+    )

@@ -4324,6 +4324,56 @@ def sql_pii_scrub() -> str:
     )
 
 
+def sql_repeated_spans(L: int | None = None,
+                       min_count: int | None = None) -> str:
+    """Mirror of dedup.repeated_spans: per-position L-gram md5s via
+    unnest(generate_series) + list_slice, corpus-wide HAVING count
+    filter, identical lag-window span fusion, and the same pure-list
+    scrub re-joined and md5'd (byte-identity). DuckDB lambda indices
+    are 1-based = the Spark side's pos convention."""
+    from .operators.dedup import SPAN_L, SPAN_MIN_COUNT
+    L = SPAN_L if L is None else L
+    min_count = SPAN_MIN_COUNT if min_count is None else min_count
+    lag = "LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)"
+    return _with(
+        [("t",
+          "SELECT doc_id, string_split(text, ' ') AS toks FROM documents"),
+         ("posn",
+          f"SELECT doc_id, toks, unnest(generate_series(1, "
+          f"GREATEST(len(toks) - {L - 1}, 0))) AS pos FROM t"),
+         ("g",
+          f"SELECT doc_id, pos, md5(array_to_string("
+          f"list_slice(toks, pos, pos + {L - 1}), ' ')) AS h FROM posn"),
+         ("duph",
+          f"SELECT h FROM g GROUP BY h HAVING COUNT(*) >= {min_count}"),
+         ("hits",
+          "SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM duph)"),
+         ("marked",
+          f"SELECT doc_id, pos, CASE WHEN {lag} IS NULL "
+          f"OR pos > {lag} + {L} THEN 1 ELSE 0 END AS is_new FROM hits"),
+         ("per_doc",
+          "SELECT doc_id, CAST(SUM(is_new) AS BIGINT) AS n_dup_spans, "
+          "list(pos ORDER BY pos) AS starts FROM marked GROUP BY doc_id"),
+         ("j",
+          "SELECT t.doc_id, t.toks, "
+          "COALESCE(p.n_dup_spans, 0) AS n_dup_spans, "
+          "COALESCE(p.starts, CAST([] AS BIGINT[])) AS starts "
+          "FROM t LEFT JOIN per_doc p ON p.doc_id = t.doc_id"),
+         ("cov",
+          f"SELECT doc_id, toks, n_dup_spans, list_distinct(flatten("
+          f"list_transform(starts, s -> generate_series(s, s + {L - 1})"
+          f"))) AS covered FROM j"),
+         ("kept",
+          "SELECT doc_id, toks, n_dup_spans, "
+          "list_filter(toks, (x, i) -> NOT list_contains(covered, i)) "
+          "AS keep FROM cov")],
+        "SELECT doc_id, CAST(n_dup_spans AS BIGINT) AS n_dup_spans, "
+        "CAST(len(toks) - len(keep) AS BIGINT) AS tokens_removed, "
+        "md5(COALESCE(array_to_string(keep, ' '), '')) AS scrubbed_md5 "
+        "FROM kept",
+    )
+
+
 def sql_url_normalize() -> str:
     """Mirror of crawl.url_normalize_demo: canonicalize the synthetic
     messy urls (_url_norm_ctes) and count DISTINCT raw spellings per

@@ -839,6 +839,13 @@ def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_dup_pairs(tables.load(spark, sf_dir, "documents"))
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al-style repeated-span scrub: corpus-wide duplicated
+    L-gram sites merged into spans per doc, covered tokens removed,
+    gated on the md5 of the scrubbed byte stream."""
+    return dedup.repeated_spans(tables.load(spark, sf_dir, "documents"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → exact connected components → canonical doc per
     cluster: the keep-one dedup decision a training-data pipeline
@@ -2189,6 +2196,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
         "events_stream_dedup": (q_events_stream_dedup,
                                 SQL_EVENTS_STREAM_DEDUP),
+        "repeated_spans": (q_repeated_spans, oracle.sql_repeated_spans()),
         "winnow_dup_pairs": (q_winnow_dup_pairs,
                              oracle.sql_winnow_dup_pairs()),
         "corpus_sample_mix": (
