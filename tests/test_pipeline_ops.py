@@ -2139,3 +2139,31 @@ def test_repeated_spans_hand_corpus(spark):
     assert out[3]["scrubbed_md5"] == h("q")
     assert out[4]["n_dup_spans"] == 0 and out[4]["tokens_removed"] == 0
     assert out[4]["scrubbed_md5"] == h("s t u")
+
+
+def test_semdedup_keeps_lowest_centroid_similarity(spark):
+    """SemDeDup hand case: three near-parallel vectors share a cluster
+    (every pairwise cosine above tau); ONLY the member farthest from
+    the cluster centroid (lowest cent_sim) survives — the paper's
+    keep-for-diversity policy — while the lone member of the other
+    cluster is untouched."""
+    from ugfraud_spark.operators import kmeans
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [0.9, 0.1]),
+        (4, [0.95, 0.05]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           kmeans.semdedup(emb, k=2, iters=1).collect()}
+
+    assert {v: out[v]["cluster"] for v in (1, 3, 4)} == {1: 0, 3: 0, 4: 0}
+    assert out[2]["cluster"] == 1 and out[2]["kept"] == 1
+    # centroid of cluster 0 is (0.95, 0.05) ∝ v4, so v4 has cent_sim
+    # 1.0 and v3 the smallest — v3 is the kept representative
+    assert out[4]["cent_sim"] == 1.0
+    assert out[3]["cent_sim"] < out[1]["cent_sim"] < out[4]["cent_sim"]
+    assert out[3]["kept"] == 1
+    assert out[1]["kept"] == 0 and out[4]["kept"] == 0

@@ -103,3 +103,116 @@ def kmeans_assign(emb: DataFrame, k: int = K_CLUSTERS,
             for c, prev in cents
         ]
     return assigned.select("vec_id", "cluster")
+
+
+# SemDeDup (Abbas et al., *SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication*, 2023): k-means the
+# embedding space, then prune within-cluster semantic duplicates —
+# pairs above a cosine threshold — keeping, per the paper's released
+# policy, the example with the LOWEST similarity to its cluster
+# centroid (maximizing retained diversity). Clusters above
+# SEMDEDUP_MAX_CLUSTER skip pruning (kept=1) and are logged: the
+# paper's own contract is that k is sized so n/k bounds the
+# within-cluster quadratic, and a blown cluster should be re-clustered,
+# not silently O(n²)-joined.
+SEMDEDUP_TAU = 0.35
+SEMDEDUP_MAX_CLUSTER = 4096
+
+
+def semdedup(emb: DataFrame, k: int = K_CLUSTERS, iters: int = KM_ITERS,
+             tau: float = SEMDEDUP_TAU,
+             max_cluster: int = SEMDEDUP_MAX_CLUSTER) -> DataFrame:
+    """emb(vec_id, embedding) → (vec_id, cluster, cent_sim, kept):
+    kept=0 iff some same-cluster neighbor with cosine >= tau has a
+    strictly smaller (cent_sim, vec_id) key — i.e. a more-diverse
+    representative of the same semantic point exists, so this row is
+    the duplicate. Deterministic by construction: cent_sim is rounded
+    to 6 dp before every comparison, ties break on vec_id, and the
+    dominance rule needs no iterative connected components (the
+    minimal element of every cosine-linked group is always kept).
+
+    Scale shape: Lloyd assignment (see kmeans_assign) + one
+    O(k·dim)-row centroid aggregate broadcast back + ONE self-join
+    shuffled on the cluster key, quadratic only within a cluster —
+    which SemDeDup's k-selection contract bounds; the max_cluster
+    guard makes the bound explicit and auditable instead of silent."""
+    import logging
+
+    spark = emb.sparkSession
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = kmeans_assign(emb, k=k, iters=iters).join(e, "vec_id")
+
+    sums = (
+        a.select("cluster", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(
+            F.sum(F.round(F.col("x") * F.lit(1000000.0), 0)
+                  .cast("bigint")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    cent = sums.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "s", "n"))),
+            lambda t: t["s"].cast("double")
+            / (t["n"].cast("double") * F.lit(1000000.0)),
+        ).alias("cent")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0), lambda acc, z: acc + z,
+        )
+
+    cs = (
+        a.join(F.broadcast(cent), "cluster")
+        .select(
+            "vec_id", "cluster", "v",
+            F.round(
+                dot(F.col("v"), F.col("cent"))
+                / (F.sqrt(dot(F.col("v"), F.col("v")))
+                   * F.sqrt(dot(F.col("cent"), F.col("cent")))), 6
+            ).alias("cent_sim"),
+        )
+    )
+    sizes = cs.groupBy("cluster").agg(F.count(F.lit(1)).alias("csize"))
+    over = [r["cluster"] for r in
+            sizes.where(F.col("csize") > max_cluster).collect()]
+    if over:
+        logging.getLogger(__name__).warning(
+            "semdedup: clusters %s exceed max_cluster=%d — pruning "
+            "skipped there (kept=1); re-cluster with larger k", over,
+            max_cluster)
+    prunable = cs.join(
+        sizes.where(F.col("csize") <= max_cluster).select("cluster"),
+        "cluster", "left_semi")
+    x, y = prunable.alias("x"), prunable.alias("y")
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("y.vec_id") != F.col("x.vec_id"))
+            & (F.round(
+                dot(F.col("x.v"), F.col("y.v"))
+                / (F.sqrt(dot(F.col("x.v"), F.col("x.v")))
+                   * F.sqrt(dot(F.col("y.v"), F.col("y.v")))), 6)
+               >= F.lit(float(tau)))
+            & ((F.col("y.cent_sim") < F.col("x.cent_sim"))
+               | ((F.col("y.cent_sim") == F.col("x.cent_sim"))
+                  & (F.col("y.vec_id") < F.col("x.vec_id")))),
+        )
+        .select(F.col("x.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        cs.join(dropped.withColumn("is_drop", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id", "cluster", "cent_sim",
+            F.when(F.col("is_drop").isNotNull(), F.lit(0))
+            .otherwise(F.lit(1)).cast("long").alias("kept"),
+        )
+    )

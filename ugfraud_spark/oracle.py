@@ -1816,12 +1816,10 @@ def sql_host_mirror_pairs(n_hosts: int = 37, max_group: int = 64,
     )
 
 
-def sql_kmeans_assign(k: int = 8, iters: int = 3) -> str:
-    """Mirror of kmeans.kmeans_assign: init = k smallest vec_ids,
-    per-iteration argmin with the identical sequential fold
-    (list_transform + list_reduce; seed difference 0.0+e1 vs e1 is
-    float-identical), centroid update via scaled-int64 sums and ONE
-    double division, empty clusters keeping their previous centroid."""
+def _kmeans_ctes(k: int = 8, iters: int = 3) -> list[tuple[str, str]]:
+    """Shared CTE chain ending in a{iters-1}(vec_id, v, cluster) —
+    the Lloyd assignment both sql_kmeans_assign and sql_semdedup
+    consume."""
     dist = ("list_reduce(list_transform(e.v, (x, i) -> "
             "(x - c.cent[i]) * (x - c.cent[i])), (a, b) -> a + b)")
     ctes = [
@@ -1859,9 +1857,66 @@ def sql_kmeans_assign(k: int = 8, iters: int = 3) -> str:
             f"ORDER BY dim) AS cent FROM u{t} GROUP BY cluster\n"
             f") m USING (cluster)",
         ))
+    return ctes
+
+
+def sql_kmeans_assign(k: int = 8, iters: int = 3) -> str:
+    """Mirror of kmeans.kmeans_assign: init = k smallest vec_ids,
+    per-iteration argmin with the identical sequential fold
+    (list_transform + list_reduce; seed difference 0.0+e1 vs e1 is
+    float-identical), centroid update via scaled-int64 sums and ONE
+    double division, empty clusters keeping their previous centroid."""
+    return _with(
+        _kmeans_ctes(k, iters),
+        f"SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a{iters-1}")
+
+
+def sql_semdedup(k: int = 8, iters: int = 3, tau: float = 0.35,
+                 max_cluster: int = 4096) -> str:
+    """Mirror of kmeans.semdedup: final-assignment cluster centroids
+    via the same scaled-int64 mean, 6dp-rounded centroid similarity,
+    and the dominance rule — drop x iff a same-cluster y with
+    ROUND(cos,6) >= tau has a smaller (cent_sim, vec_id) key; clusters
+    above max_cluster skip pruning."""
+    last = f"a{iters-1}"
+
+    def cos(x, y):
+        return (f"list_dot_product({x}, {y}) / "
+                f"(SQRT(list_dot_product({x}, {x})) * "
+                f"SQRT(list_dot_product({y}, {y})))")
+
+    ctes = _kmeans_ctes(k, iters) + [
+        ("csum",
+         f"SELECT cluster, dim, SUM(CAST(ROUND(x * 1000000.0, 0) "
+         f"AS BIGINT)) AS s, COUNT(*) AS n FROM (\n"
+         f"  SELECT cluster, UNNEST(v) AS x, "
+         f"UNNEST(range(len(v))) AS dim FROM {last}\n"
+         f") GROUP BY cluster, dim"),
+        ("cent",
+         "SELECT cluster, list(CAST(s AS DOUBLE) / (n * 1000000.0) "
+         "ORDER BY dim) AS cent FROM csum GROUP BY cluster"),
+        ("cs",
+         f"SELECT a.vec_id, a.cluster, a.v, "
+         f"ROUND({cos('a.v', 'c.cent')}, 6) AS cent_sim "
+         f"FROM {last} a JOIN cent c USING (cluster)"),
+        ("sizes",
+         "SELECT cluster, COUNT(*) AS csize FROM cs GROUP BY cluster"),
+        ("pr",
+         f"SELECT cs.* FROM cs JOIN sizes USING (cluster) "
+         f"WHERE csize <= {max_cluster}"),
+        ("drops",
+         f"SELECT DISTINCT x.vec_id FROM pr x JOIN pr y "
+         f"ON x.cluster = y.cluster AND y.vec_id <> x.vec_id "
+         f"AND ROUND({cos('x.v', 'y.v')}, 6) >= {_d(tau)} "
+         f"AND (y.cent_sim < x.cent_sim OR (y.cent_sim = x.cent_sim "
+         f"AND y.vec_id < x.vec_id))"),
+    ]
     return _with(
         ctes,
-        f"SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a{iters-1}")
+        "SELECT cs.vec_id, CAST(cs.cluster AS INT) AS cluster, "
+        "cs.cent_sim, CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END "
+        "AS BIGINT) AS kept FROM cs LEFT JOIN drops d "
+        "ON d.vec_id = cs.vec_id")
 
 
 def sql_grouped_split(test_permille: int = 100) -> str:

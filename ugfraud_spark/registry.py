@@ -1208,6 +1208,15 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans.kmeans_assign(tables.load(spark, sf_dir, "embeddings"))
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: k-means the embedding space, prune
+    within-cluster cosine duplicates keeping the lowest-centroid-
+    similarity representative (max retained diversity)."""
+    from .operators import kmeans
+
+    return kmeans.semdedup(tables.load(spark, sf_dir, "embeddings"))
+
+
 def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe holdout: the train/test decision is a function of
     the source domain, so near-dup boilerplate within a domain can't
@@ -2205,6 +2214,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         ),
         "grouped_split": (q_grouped_split, oracle.sql_grouped_split()),
         "kmeans_assign": (q_kmeans_assign, oracle.sql_kmeans_assign()),
+        "semdedup": (q_semdedup, oracle.sql_semdedup()),
         "approx_distinct_stream": (
             q_approx_distinct_stream,
             oracle.sql_windowed_approx_distinct(60)),
