@@ -2167,3 +2167,22 @@ def test_semdedup_keeps_lowest_centroid_similarity(spark):
     assert out[3]["cent_sim"] < out[1]["cent_sim"] < out[4]["cent_sim"]
     assert out[3]["kept"] == 1
     assert out[1]["kept"] == 0 and out[4]["kept"] == 0
+
+
+def test_dsir_weights_orders_by_target_likeness(spark):
+    """DSIR hand corpus: target-language docs made of target-exclusive
+    n-grams must out-weigh a mixed doc, which must out-weigh a doc of
+    raw-only n-grams; selection keeps exactly the top keep_n."""
+    rows = [
+        (1, "good good good", "en"),
+        (2, "good good good", "en"),
+        (3, "bad bad bad", "xx"),
+        (4, "good bad bad", "xx"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in mix.dsir_weights(docs, keep_n=2).collect()}
+
+    assert out[1]["n_feats"] == 5  # 3 unigrams + 2 bigrams
+    assert out[1]["log_w"] == out[2]["log_w"]
+    assert out[1]["log_w"] > out[4]["log_w"] > out[3]["log_w"]
+    assert {d for d in out if out[d]["selected"] == 1} == {1, 2}

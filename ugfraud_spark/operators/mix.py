@@ -108,3 +108,97 @@ def importance_sample(ranked: DataFrame, k_expected: float = 2000.0,
     thr = (F.lit(float(k_expected)) * F.col("pagerank")
            * F.lit(float(SAMPLE_P)))
     return ranked.where(h.cast("double") < thr).select("id", "pagerank")
+
+
+# DSIR (Xie et al., *Data Selection for Language Models via Importance
+# Resampling*, NeurIPS 2023): score every raw document by the
+# log-likelihood ratio of a hashed-n-gram bag-of-features model of the
+# TARGET distribution vs the RAW distribution, then keep the top-N.
+# The paper resamples with Gumbel noise; the deterministic top-N
+# variant keeps the gate replayable (same selection given same data).
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+DSIR_KEEP_N = 200
+
+
+def dsir_weights(docs: DataFrame, target_lang: str = DSIR_TARGET_LANG,
+                 n_buckets: int = DSIR_BUCKETS,
+                 keep_n: int = DSIR_KEEP_N) -> DataFrame:
+    """(doc_id, n_feats, log_w, selected): hashed unigram+bigram
+    importance weights. Features hash through the portable md5 bucket
+    (features._md5_int % n_buckets); the per-bucket log-ratio
+    ln[(c_t+1)/(N_t+B)] − ln[(c_r+1)/(N_r+B)] (add-one smoothing) is
+    ONE LN of an exact-int64-derived double, rounded to 6 dp, and each
+    doc's log_w sums cnt·ratio as exact DECIMAL(28,6) (associative —
+    partitioning-independent), so the ranking that drives selection is
+    bit-stable across engines. selected = membership in the top-keep_n
+    by (log_w DESC, doc_id) — a bounded TakeOrdered, never a global
+    sort.
+
+    Scale shape: one (doc, bucket) count shuffle with map-side combine
+    + two O(B)-row distribution aggregates broadcast back + the top-N.
+    The model state is O(B) — DSIR's entire point is that importance
+    estimation stays a bag-of-hashed-counts problem at any corpus
+    size."""
+    from .features import _md5_int
+
+    toks = F.split("text", " ")
+    bi_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", "lang", toks.alias("t"), bi_arr.alias("b"))
+    feats = (
+        base.select("doc_id", "lang", F.explode("t").alias("f"))
+        .unionAll(base.select("doc_id", "lang", F.explode("b").alias("f")))
+        .select("doc_id", "lang",
+                (_md5_int(F.col("f")) % F.lit(n_buckets)).alias("bucket"))
+    ).localCheckpoint(eager=True)  # feeds 4 aggregates
+
+    cnts = feats.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    ct = (feats.where(F.col("lang") == target_lang)
+          .groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t")))
+    cr = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    nt = (feats.where(F.col("lang") == target_lang)
+          .agg(F.count(F.lit(1)).cast("double").alias("n_t")))
+    nr = feats.agg(F.count(F.lit(1)).cast("double").alias("n_r"))
+
+    spark = docs.sparkSession
+    buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    B = float(n_buckets)
+    lr = (
+        buckets.join(ct, "bucket", "left").join(cr, "bucket", "left")
+        .crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            F.round(F.log(
+                ((F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
+                 * (F.col("n_r") + F.lit(B)))
+                / ((F.coalesce(F.col("c_r"), F.lit(0)) + 1).cast("double")
+                   * (F.col("n_t") + F.lit(B)))
+            ), 6).alias("lr"),
+        )
+    )
+    w = (
+        cnts.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.round(
+                F.sum(F.round(F.col("cnt") * F.col("lr"), 6)
+                      .cast("decimal(28,6)")).cast("double"), 6
+            ).alias("log_w"),
+        )
+    )
+    sel = (w.orderBy(F.desc("log_w"), F.asc("doc_id")).limit(keep_n)
+           .select("doc_id", F.lit(1).alias("is_sel")))
+    return (
+        w.join(sel, "doc_id", "left")
+        .select("doc_id", "n_feats", "log_w",
+                F.coalesce(F.col("is_sel"), F.lit(0)).cast("long")
+                .alias("selected"))
+    )

@@ -1935,6 +1935,61 @@ def sql_grouped_split(test_permille: int = 100) -> str:
     )
 
 
+def sql_dsir_weights(target_lang: str = "en", n_buckets: int = 256,
+                     keep_n: int = 200) -> str:
+    """Mirror of mix.dsir_weights: identical md5 bucket hash, single-LN
+    6dp-rounded per-bucket log-ratio, DECIMAL-summed per-doc weights,
+    top-keep_n selection by (log_w DESC, doc_id)."""
+    B = float(n_buckets)
+    return _with(
+        [("t",
+          "SELECT doc_id, lang, string_split(text, ' ') AS toks "
+          "FROM documents"),
+         ("fs",
+          "SELECT doc_id, lang, unnest(toks) AS f FROM t "
+          "UNION ALL "
+          "SELECT doc_id, lang, unnest(list_transform("
+          "generate_series(1, len(toks) - 1), "
+          "i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS f "
+          "FROM t"),
+         ("feats",
+          f"SELECT doc_id, lang, "
+          f"('0x' || substr(md5(f), 1, 8))::BIGINT % {n_buckets} "
+          f"AS bucket FROM fs"),
+         ("cnts",
+          "SELECT doc_id, bucket, COUNT(*) AS cnt FROM feats "
+          "GROUP BY doc_id, bucket"),
+         ("ct",
+          f"SELECT bucket, COUNT(*) AS c_t FROM feats "
+          f"WHERE lang = '{target_lang}' GROUP BY bucket"),
+         ("cr", "SELECT bucket, COUNT(*) AS c_r FROM feats GROUP BY bucket"),
+         ("nt",
+          f"SELECT CAST(COUNT(*) AS DOUBLE) AS n_t FROM feats "
+          f"WHERE lang = '{target_lang}'"),
+         ("nr", "SELECT CAST(COUNT(*) AS DOUBLE) AS n_r FROM feats"),
+         ("bk",
+          f"SELECT unnest(generate_series(0, {n_buckets - 1})) AS bucket"),
+         ("lr",
+          f"SELECT bk.bucket, ROUND(LN("
+          f"(CAST(COALESCE(ct.c_t, 0) + 1 AS DOUBLE) * (nr.n_r + {_d(B)}))"
+          f" / (CAST(COALESCE(cr.c_r, 0) + 1 AS DOUBLE) "
+          f"* (nt.n_t + {_d(B)}))), 6) AS lr "
+          f"FROM bk LEFT JOIN ct USING (bucket) "
+          f"LEFT JOIN cr USING (bucket), nt, nr"),
+         ("w",
+          "SELECT c.doc_id, CAST(SUM(c.cnt) AS BIGINT) AS n_feats, "
+          "ROUND(CAST(SUM(CAST(ROUND(c.cnt * l.lr, 6) "
+          "AS DECIMAL(28,6))) AS DOUBLE), 6) AS log_w "
+          "FROM cnts c JOIN lr l USING (bucket) GROUP BY c.doc_id"),
+         ("sel",
+          f"SELECT doc_id FROM w ORDER BY log_w DESC, doc_id "
+          f"LIMIT {keep_n}")],
+        "SELECT w.doc_id, w.n_feats, w.log_w, "
+        "CAST(CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) "
+        "AS selected FROM w LEFT JOIN sel s ON s.doc_id = w.doc_id",
+    )
+
+
 def sql_corpus_sample_mix(rates: dict[str, float],
                           default_rate: float) -> str:
     """Mirror of mix.corpus_sample: keep a doc iff its Knuth hash falls

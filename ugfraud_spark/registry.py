@@ -1008,6 +1008,15 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl.crawl_delta_demo(tables.load(spark, sf_dir, "documents"))
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: hashed unigram+bigram importance weights
+    (target = English slice vs raw corpus), deterministic top-N keep
+    flag — O(buckets) model state regardless of corpus size."""
+    from .operators import mix
+
+    return mix.dsir_weights(tables.load(spark, sf_dir, "documents"))
+
+
 def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic rank-proportional Poisson sample of the vertex
     set: hash(v) < k·pr(v)·P over the certified 6dp PageRank — one
@@ -2266,6 +2275,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "robots_admission": (q_robots_admission,
                              oracle.sql_robots_admission()),
         "skipgram_pairs": (q_skipgram_pairs, oracle.sql_skipgram_pairs()),
+        "dsir_weights": (q_dsir_weights, oracle.sql_dsir_weights()),
         "importance_sample": _uni(q_importance_sample,
                                   oracle.sql_importance_sample(mod=m)),
         "host_churn": (q_host_churn, oracle.sql_host_churn()),
