@@ -1741,3 +1741,45 @@ def test_oddball_egonet_vs_numpy(spark):
     # interior, whose egonet is exactly tree-like
     assert out[0]["score"] > out[21]["score"]
     assert out[10]["score"] > out[21]["score"]
+
+
+def test_coreness_vs_bruteforce_with_cap(spark):
+    """Coreness on nested cliques + a path, against an independent
+    brute-force peel: K10's core number 9 is CAPPED to k_max=8 (the
+    documented contract), K4's is exact (3), path vertices are 1."""
+    from ugfraud_spark.operators import hits as H
+
+    k10 = [(a, b) for a in range(10) for b in range(a + 1, 10)]
+    k4 = [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]
+    path = [(30, 31), (31, 32)]
+    edges = k10 + k4 + path
+    und = spark.createDataFrame(edges, "a long, b long")
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")) \
+             .unionAll(und.select(F.col("b").alias("src"),
+                                  F.col("a").alias("dst")))
+    out = {r["id"]: r["coreness"] for r in H.coreness(sym).collect()}
+
+    import collections
+    alive = {v for e in edges for v in e}
+    es = set(edges)
+    true_core = {v: 1 for v in alive}
+    k = 1
+    while alive:
+        k += 1
+        while True:
+            deg = collections.Counter()
+            for a, b in es:
+                deg[a] += 1
+                deg[b] += 1
+            rem = {v for v in alive if deg[v] < k}
+            if not rem:
+                break
+            alive -= rem
+            es = {(a, b) for a, b in es if a in alive and b in alive}
+        if not alive:
+            break
+        for v in alive:
+            true_core[v] = k
+    assert out == {v: min(c, H.CORENESS_K_MAX)
+                   for v, c in true_core.items()}
+    assert out[0] == 8 and out[20] == 3 and out[31] == 1

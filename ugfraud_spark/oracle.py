@@ -2836,6 +2836,41 @@ def sql_kcore(k: int, iters: int = 10, mod: int = UNI_MOD) -> str:
     return _with(ctes, f"SELECT DISTINCT src AS id FROM e{iters}")
 
 
+def sql_coreness(k_max: int = 8, iters: int = 4,
+                 mod: int = UNI_MOD) -> str:
+    """Mirror of hits.coreness: the monotone peel sweep unrolled as a
+    (k_max × iters) CTE grid — level k's rounds start from level
+    k−1's surviving edge frame; coreness = MAX level containing the
+    vertex (level 1 = the full vertex set)."""
+    ctes = [("uni", uni_frag(mod)), ("und", UND), ("l1", SYM)]
+    prev_level = "l1"
+    members = ["SELECT DISTINCT src AS id, 1 AS c FROM l1"]
+    for k in range(2, k_max + 1):
+        prev = prev_level
+        for t in range(1, iters + 1):
+            ctes.append((
+                f"a{k}_{t}",
+                f"SELECT src FROM {prev} GROUP BY src "
+                f"HAVING COUNT(*) >= {k}",
+            ))
+            ctes.append((
+                f"e{k}_{t}",
+                f"SELECT e.src, e.dst FROM {prev} e "
+                f"JOIN a{k}_{t} s ON s.src = e.src "
+                f"JOIN a{k}_{t} d ON d.src = e.dst",
+            ))
+            prev = f"e{k}_{t}"
+        prev_level = prev
+        members.append(
+            f"SELECT DISTINCT src AS id, {k} AS c FROM {prev_level}")
+    union = " UNION ALL ".join(members)
+    return _with(
+        ctes,
+        f"SELECT id, CAST(MAX(c) AS INT) AS coreness FROM ({union}) "
+        f"GROUP BY id",
+    )
+
+
 def sql_sessionize(gap_minutes: int = 30) -> str:
     """Gaps-and-islands mirror of F.session_window: a new session starts
     when the previous event of the same user is more than the gap away."""
