@@ -1783,3 +1783,29 @@ def test_coreness_vs_bruteforce_with_cap(spark):
     assert out == {v: min(c, H.CORENESS_K_MAX)
                    for v, c in true_core.items()}
     assert out[0] == 8 and out[20] == 3 and out[31] == 1
+
+
+def test_bloom_admission_one_sided_error(spark):
+    """Bloom admission on a synthetic doc range: the filter may claim
+    unseen urls are seen (false positives — present by construction at
+    the pinned m) but NEVER the converse; flags are internally
+    consistent and the run is deterministic."""
+    from ugfraud_spark.operators import crawl
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text"),
+        F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.lit(1).alias("n_chars"))
+    rows = crawl.bloom_admission_demo(docs).collect()
+    assert rows
+    for r in rows:
+        # one-sidedness: exact-seen urls always pass the Bloom probe
+        if r["exact_seen"] == 1:
+            assert r["bloom_seen"] == 1
+        assert r["false_pos"] == (
+            1 if (r["bloom_seen"] == 1 and r["exact_seen"] == 0) else 0)
+    n_fp = sum(r["false_pos"] for r in rows)
+    n_new = sum(1 for r in rows if r["exact_seen"] == 0)
+    assert 0 < n_fp < n_new  # both error branches carry mass
+    again = crawl.bloom_admission_demo(docs).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

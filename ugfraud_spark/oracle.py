@@ -4302,6 +4302,47 @@ def sql_crawl_budget(total: int = 10000, mod: int = UNI_MOD,
     )
 
 
+def sql_bloom_admission(m_bits: int = 64, k_hashes: int = 2,
+                        mod: int = 9, seen_mod: int = 7) -> str:
+    """Mirror of crawl.bloom_admission_demo: same url synthesis +
+    canonicalization, same md5-low-32 bit positions, bloom_seen iff
+    every distinct position of the url is occupied by the seen set."""
+    pos = (f"list_distinct(list_transform(generate_series(0, "
+           f"{k_hashes - 1}), j -> ('0x' || substr(md5(url_norm || '#' "
+           f"|| CAST(j AS VARCHAR)), 1, 8))::BIGINT % {m_bits}))")
+    ctes = _url_norm_ctes() + [
+        ("seenp",
+         f"SELECT DISTINCT url_norm FROM normed "
+         f"WHERE doc_id % {mod} <> 0 AND doc_id % {seen_mod} = 0"),
+        ("occ",
+         f"SELECT DISTINCT unnest({pos}) AS pos FROM seenp"),
+        ("arr",
+         f"SELECT doc_id, url_norm, {pos} AS ps FROM normed "
+         f"WHERE doc_id % {mod} = 0"),
+        ("probe",
+         "SELECT doc_id, url_norm, len(ps) AS n_pos, unnest(ps) AS pos "
+         "FROM arr"),
+        ("hitcnt",
+         "SELECT doc_id, url_norm, COUNT(*) AS n_hit FROM probe "
+         "WHERE pos IN (SELECT pos FROM occ) GROUP BY doc_id, url_norm"),
+        ("flags",
+         "SELECT a.doc_id, a.url_norm, "
+         "CAST(CASE WHEN s.url_norm IS NULL THEN 0 ELSE 1 END AS BIGINT) "
+         "AS exact_seen, "
+         "CAST(CASE WHEN COALESCE(h.n_hit, 0) = len(a.ps) THEN 1 ELSE 0 "
+         "END AS BIGINT) AS bloom_seen "
+         "FROM arr a LEFT JOIN hitcnt h "
+         "ON h.doc_id = a.doc_id AND h.url_norm = a.url_norm "
+         "LEFT JOIN seenp s ON s.url_norm = a.url_norm"),
+    ]
+    return _with(
+        ctes,
+        "SELECT doc_id, url_norm, exact_seen, bloom_seen, "
+        "CAST(CASE WHEN bloom_seen = 1 AND exact_seen = 0 THEN 1 ELSE 0 "
+        "END AS BIGINT) AS false_pos FROM flags",
+    )
+
+
 def _url_norm_ctes() -> list[tuple[str, str]]:
     """CTE chain ending in ``normed(doc_id, url, host, url_norm)``: the
     deterministic messy-url synthesis + the fixed-order

@@ -304,6 +304,16 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl.url_normalize_demo(tables.load(spark, sf_dir, "documents"))
 
 
+def q_bloom_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter frontier admission vs the exact anti-join, row by
+    row: the constant-size seen-set sidecar with its one-sided false
+    positives flagged (crawl.bloom_admission_demo)."""
+    from .operators import crawl
+
+    return crawl.bloom_admission_demo(
+        tables.load(spark, sf_dir, "documents"))
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-set max-containment |A∩B|/min(|A|,|B|) over the LSH
     candidate pairs — catches short-inside-long near-dups Jaccard
@@ -2260,6 +2270,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
             q_quality_pagerank,
             oracle.sql_quality_pagerank(PR_ITERS, mod=m)),
         "url_normalize": (q_url_normalize, oracle.sql_url_normalize()),
+        "bloom_admission": (q_bloom_admission,
+                            oracle.sql_bloom_admission()),
         "pagerank_warm_start": _uni(
             q_pagerank_warm_start,
             oracle.sql_pagerank_warm_start(
