@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from ugfraud_spark.operators.tfidf import BM25_B, BM25_K1, tfidf_topk
 
 
@@ -177,3 +179,34 @@ def test_rrf_fusion_hand_replay(spark):
                        key=lambda kv: (-kv[1], kv[0]))[:3])
     assert got == top3
     assert 4 not in got  # no query term, in neither list
+
+
+def test_heaps_law_hand_curve(spark):
+    """Two-bucket hand corpus: trigram types counted once at their
+    FIRST bucket, prefix sums over bucket totals, and the OLS slope
+    matching the two-point closed form under the 6dp schedule."""
+    import math
+
+    from ugfraud_spark.operators import tfidf as T
+
+    rows = [
+        (0, "a b c d"),   # types: "a b c", "b c d"
+        (1, "a b c e"),   # new type: "b c e"
+        (2, "a b c d"),   # nothing new
+        (3, "x y z w"),   # new: "x y z", "y z w"
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bucket"]: r for r in
+           T.heaps_law(docs, bucket_docs=2).collect()}
+    assert out[0]["cum_tokens"] == 4 and out[0]["cum_vocab"] == 3
+    assert out[1]["cum_tokens"] == 8 and out[1]["cum_vocab"] == 5
+    x = [round(math.log(4), 6), round(math.log(8), 6)]
+    y = [round(math.log(3), 6), round(math.log(5), 6)]
+    n = 2.0
+    sx, sy = sum(x), sum(y)
+    sxy = sum(round(a * b, 6) for a, b in zip(x, y))
+    sxx = sum(round(a * a, 6) for a in x)
+    beta = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    ln_k = round((sy - beta * sx) / n, 6)
+    assert out[0]["beta"] == pytest.approx(beta, abs=2e-6)
+    assert out[0]["ln_k"] == pytest.approx(ln_k, abs=2e-6)

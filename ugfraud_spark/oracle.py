@@ -1644,6 +1644,60 @@ def sql_quantize_embeddings(bits: int = 8) -> str:
     )
 
 
+def sql_heaps_law(bucket_docs: int = 50) -> str:
+    """Mirror of tfidf.heaps_law: word-trigram types (the shingle
+    stream), first-bucket-per-type vocabulary increments, bucket-level
+    prefix sums, and the identical 6dp/DECIMAL OLS fit of ln V vs
+    ln N."""
+    return _with(
+        [("t",
+          "SELECT doc_id, string_split(text, ' ') AS toks "
+          "FROM documents"),
+         ("tok",
+          "SELECT doc_id, unnest(list_transform(generate_series(1, "
+          "GREATEST(len(toks) - 2, 0)), i -> array_to_string("
+          "list_slice(toks, i, i + 2), ' '))) AS term FROM t"),
+         ("newv",
+          f"SELECT CAST(FLOOR(d0 / {bucket_docs}) AS BIGINT) "
+          f"AS bucket, COUNT(*) AS nv FROM ("
+          f"SELECT term, MIN(doc_id) AS d0 FROM tok GROUP BY term"
+          f") GROUP BY 1"),
+         ("ntok",
+          f"SELECT CAST(FLOOR(doc_id / {bucket_docs}) AS BIGINT) "
+          f"AS bucket, COUNT(*) AS nt FROM tok GROUP BY 1"),
+         ("perb",
+          "SELECT ntok.bucket, nt, COALESCE(nv, 0) AS nv "
+          "FROM ntok LEFT JOIN newv USING (bucket)"),
+         ("curve",
+          "SELECT bucket, CAST(SUM(nt) OVER (ORDER BY bucket "
+          "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens, "
+          "CAST(SUM(nv) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) "
+          "AS BIGINT) AS cum_vocab FROM perb"),
+         ("xy",
+          "SELECT bucket, cum_tokens, cum_vocab, "
+          "ROUND(LN(CAST(cum_tokens AS DOUBLE)), 6) AS x, "
+          "ROUND(LN(CAST(cum_vocab AS DOUBLE)), 6) AS y FROM curve"),
+         ("s",
+          "SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+          "CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx, "
+          "CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy, "
+          "CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) "
+          "AS sxy, "
+          "CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) "
+          "AS sxx FROM xy"),
+         ("fit0",
+          "SELECT n, sx, sy, CASE WHEN n * sxx - sx * sx = 0 "
+          "THEN CAST(0.0 AS DOUBLE) "
+          "ELSE ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) "
+          "END AS beta FROM s"),
+         ("fit",
+          "SELECT beta, ROUND((sy - beta * sx) / n, 6) AS ln_k "
+          "FROM fit0")],
+        "SELECT xy.bucket, xy.cum_tokens, xy.cum_vocab, f.beta, f.ln_k "
+        "FROM xy, fit f",
+    )
+
+
 def sql_vocab_topk(k: int = 50) -> str:
     """Mirror of tfidf.vocab_topk: the (count DESC, term ASC) total
     order makes the k-cut deterministic on both engines."""

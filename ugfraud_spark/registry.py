@@ -1754,6 +1754,13 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf.vocab_topk(tables.load(spark, sf_dir, "documents"))
 
 
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve V(N) ≈ K·N^β with its
+    log-log OLS fit: first-bucket-per-term increments, prefix sums
+    over bucket totals only (tfidf.heaps_law)."""
+    return tfidf.heaps_law(tables.load(spark, sf_dir, "documents"))
+
+
 def q_ann_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs → exact connected components →
     canonical vector per cluster (the embedding-side keep-one rule)."""
@@ -2342,6 +2349,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "ann_neardup_clusters": (q_ann_neardup_clusters,
                                  oracle.sql_ann_neardup_clusters(0.35)),
         "vocab_topk": (q_vocab_topk, oracle.sql_vocab_topk()),
+        "heaps_law": (q_heaps_law, oracle.sql_heaps_law()),
         "clustering_coefficient": _uni(q_clustering,
                                        oracle.sql_clustering(mod=m)),
         "degree_assortativity": _uni(q_assortativity,
