@@ -1809,3 +1809,26 @@ def test_bloom_admission_one_sided_error(spark):
     assert 0 < n_fp < n_new  # both error branches carry mass
     again = crawl.bloom_admission_demo(docs).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hrw_minimal_disruption_and_balance(spark):
+    """Rendezvous hashing: removing the last node moves EXACTLY that
+    node's hosts (no collateral reassignment), movers land only on
+    surviving nodes, and the load spread is hash-uniform (no node
+    holds more than 2x the fair share at 200 hosts / 5 nodes)."""
+    import collections
+
+    from ugfraud_spark.operators import crawl
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    rows = crawl.hrw_sharding_demo(docs).collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert (r["moved"] == 1) == (r["node"] == crawl.HRW_NODES - 1)
+        if r["moved"] == 1:
+            assert 0 <= r["node_after"] < crawl.HRW_NODES - 1
+        else:
+            assert r["node_after"] == r["node"]
+    load = collections.Counter(r["node"] for r in rows)
+    assert set(load) == set(range(crawl.HRW_NODES))
+    assert max(load.values()) <= 2 * (200 // crawl.HRW_NODES)

@@ -2186,3 +2186,24 @@ def test_dsir_weights_orders_by_target_likeness(spark):
     assert out[1]["log_w"] == out[2]["log_w"]
     assert out[1]["log_w"] > out[4]["log_w"] > out[3]["log_w"]
     assert {d for d in out if out[d]["selected"] == 1} == {1, 2}
+
+
+def test_capture_recapture_content_universe(spark):
+    """Lincoln-Petersen over a corpus with planted exact duplicates:
+    the universe is DISTINCT content (400, not the 500 rows), both
+    captures land near the 30% rate, and N̂ equals the closed form on
+    the realized capture counts."""
+    from ugfraud_spark.operators import sketch
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), (F.col("id") % 400).cast("string"))
+        .alias("text"))
+    r = sketch.capture_recapture(docs).collect()[0]
+    assert r["n_true"] == 400
+    assert 0 < r["n_both"] < min(r["n_a"], r["n_b"])
+    assert r["n_hat"] == round(r["n_a"] * r["n_b"] / r["n_both"], 6)
+    assert r["rel_err"] == round(abs(r["n_hat"] - 400) / 400, 6)
+    # a 30% double capture on 400 units concentrates well inside
+    # these bounds (the planted corpus is fixed, so this is exact)
+    assert 80 <= r["n_a"] <= 160 and 80 <= r["n_b"] <= 160

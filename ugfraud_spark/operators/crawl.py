@@ -816,3 +816,52 @@ def bloom_admission_demo(docs: DataFrame, m_bits: int = BLOOM_M_BITS,
             .cast("long"),
         )
     )
+
+
+# rendezvous (highest-random-weight) hashing, Thaler-Ravishankar 1996:
+# the stateless shard router crawl fleets use for host→fetcher
+# assignment. Its defining guarantee — removing a node moves ONLY the
+# hosts that lived on it — is what the demo proves row by row.
+HRW_NODES = 5
+HRW_HOSTS = 200  # url_normalize's 5 canonical hosts are too few to
+# evidence balance/disruption; the demo hashes doc_ids into a 200-host
+# universe instead (same derivation both engines)
+
+
+def hrw_sharding_demo(docs: DataFrame, n_nodes: int = HRW_NODES,
+                      n_hosts: int = HRW_HOSTS) -> DataFrame:
+    """(host, node, node_after, moved): each host's rendezvous
+    assignment under ``n_nodes`` fetcher nodes and under the same
+    fleet with the LAST node removed. weight(host, j) =
+    md5-low-32(host + '#' + j); the winner is the max weight with
+    first-index tie-break, all computed as one narrow array expression
+    per host — no shuffle, no routing table, no coordination state,
+    which is exactly why a 10^9-host frontier can route map-side.
+    moved=1 rows must be precisely the node == n_nodes-1 rows (HRW's
+    minimal-disruption property; the paired test asserts it)."""
+    from .features import _md5_int
+
+    hosts = docs.select(
+        F.concat(F.lit("host"), (F.col("doc_id") % n_hosts).cast("string"),
+                 F.lit(".example")).alias("host")
+    ).distinct()
+
+    def weights(upto):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(upto - 1)),
+            lambda j: _md5_int(
+                F.concat(F.col("host"), F.lit("#"), j.cast("string"))),
+        )
+
+    ws = weights(n_nodes)
+    ws_after = weights(n_nodes - 1)
+    return hosts.select(
+        "host",
+        (F.array_position(ws, F.array_max(ws)) - 1).cast("long")
+        .alias("node"),
+        (F.array_position(ws_after, F.array_max(ws_after)) - 1)
+        .cast("long").alias("node_after"),
+    ).withColumn(
+        "moved",
+        (F.col("node") != F.col("node_after")).cast("long"),
+    )

@@ -1565,6 +1565,34 @@ def sql_user_gap_stats() -> str:
     )
 
 
+def sql_capture_recapture(permille: int = 300) -> str:
+    """Mirror of sketch.capture_recapture: distinct text-md5 universe,
+    two independent low-32-bit hash-range captures, Lincoln-Petersen
+    N̂ with one double division, rel_err FROM the rounded N̂."""
+    cut = ((1 << 32) * permille) // 1000
+    h = "('0x' || substr(md5({0}), 1, 8))::BIGINT"
+    salted = h.format("fp || '#2'")
+    return _with(
+        [("fp", "SELECT DISTINCT md5(text) AS fp FROM documents"),
+         ("marked",
+          f"SELECT fp, ({h.format('fp')} < {cut}) AS in_a, "
+          f"({salted} < {cut}) AS in_b FROM fp"),
+         ("agg",
+          "SELECT CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) "
+          "AS n_a, "
+          "CAST(SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b, "
+          "CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) "
+          "AS n_both, CAST(COUNT(*) AS BIGINT) AS n_true FROM marked"),
+         ("est",
+          "SELECT n_a, n_b, n_both, n_true, "
+          "ROUND(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) "
+          "/ CAST(n_both AS DOUBLE), 6) AS n_hat FROM agg")],
+        "SELECT n_a, n_b, n_both, n_true, n_hat, "
+        "ROUND(ABS(n_hat - CAST(n_true AS DOUBLE)) "
+        "/ CAST(n_true AS DOUBLE), 6) AS rel_err FROM est",
+    )
+
+
 def sql_cms_heavy_hitters(d: int = 4, w: int = 64, k: int = 20) -> str:
     """Mirror of sketch.cms_heavy_hitters over events.user_id: same
     scramble-hash grid, elementwise sum, min-over-rows estimate,
@@ -4394,6 +4422,37 @@ def sql_bloom_admission(m_bits: int = 64, k_hashes: int = 2,
         "SELECT doc_id, url_norm, exact_seen, bloom_seen, "
         "CAST(CASE WHEN bloom_seen = 1 AND exact_seen = 0 THEN 1 ELSE 0 "
         "END AS BIGINT) AS false_pos FROM flags",
+    )
+
+
+def sql_hrw_sharding(n_nodes: int = 5, n_hosts: int = 200) -> str:
+    """Mirror of crawl.hrw_sharding_demo: same 200-host universe and
+    md5-low-32 weights, list_position-of-max winner (first index
+    breaks ties exactly like Spark's array_position), last node
+    removed for the after view."""
+    def w(upto):
+        return (f"list_transform(generate_series(0, {upto - 1}), "
+                f"j -> ('0x' || substr(md5(host || '#' || "
+                f"CAST(j AS VARCHAR)), 1, 8))::BIGINT)")
+
+    ctes = [
+        ("hosts",
+         f"SELECT DISTINCT 'host' || CAST(doc_id % {n_hosts} AS VARCHAR) "
+         f"|| '.example' AS host FROM documents"),
+        ("assigned",
+         f"SELECT host, "
+         f"CAST(list_position(ws, list_aggregate(ws, 'max')) - 1 "
+         f"AS BIGINT) AS node, "
+         f"CAST(list_position(wa, list_aggregate(wa, 'max')) - 1 "
+         f"AS BIGINT) AS node_after FROM ("
+         f"SELECT host, {w(n_nodes)} AS ws, {w(n_nodes - 1)} AS wa "
+         f"FROM hosts)"),
+    ]
+    return _with(
+        ctes,
+        "SELECT host, node, node_after, "
+        "CAST(CASE WHEN node <> node_after THEN 1 ELSE 0 END AS BIGINT) "
+        "AS moved FROM assigned",
     )
 
 

@@ -314,6 +314,15 @@ def q_bloom_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.load(spark, sf_dir, "documents"))
 
 
+def q_hrw_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash host→fetcher routing under n and n−1 nodes,
+    proving HRW's only-the-lost-node's-hosts-move guarantee
+    (crawl.hrw_sharding_demo)."""
+    from .operators import crawl
+
+    return crawl.hrw_sharding_demo(tables.load(spark, sf_dir, "documents"))
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-set max-containment |A∩B|/min(|A|,|B|) over the LSH
     candidate pairs — catches short-inside-long near-dups Jaccard
@@ -1436,6 +1445,16 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walks.negative_samples(e)
 
 
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen corpus-size estimate from two independent
+    hash-range captures of the content-fingerprint universe, judged
+    against the exact distinct count (sketch.capture_recapture)."""
+    from .operators import sketch
+
+    return sketch.capture_recapture(
+        tables.load(spark, sf_dir, "documents"))
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count–min-sketch heavy hitters over the event stream's user
     ids: d×w counter grid, min-over-rows estimate, top-k by estimate
@@ -2279,6 +2298,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "url_normalize": (q_url_normalize, oracle.sql_url_normalize()),
         "bloom_admission": (q_bloom_admission,
                             oracle.sql_bloom_admission()),
+        "hrw_sharding": (q_hrw_sharding, oracle.sql_hrw_sharding()),
         "pagerank_warm_start": _uni(
             q_pagerank_warm_start,
             oracle.sql_pagerank_warm_start(
@@ -2403,6 +2423,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                                oracle.sql_node2vec_walks(mod=m)),
         "negative_samples": _uni(q_negative_samples,
                                  oracle.sql_negative_samples(mod=m)),
+        "capture_recapture": (q_capture_recapture,
+                              oracle.sql_capture_recapture()),
         "cms_heavy_hitters": (q_cms_heavy_hitters,
                               oracle.sql_cms_heavy_hitters()),
         "hashed_features": (q_hashed_features,
