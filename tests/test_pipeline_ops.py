@@ -2207,3 +2207,39 @@ def test_capture_recapture_content_universe(spark):
     # a 30% double capture on 400 units concentrates well inside
     # these bounds (the planted corpus is fixed, so this is exact)
     assert 80 <= r["n_a"] <= 160 and 80 <= r["n_b"] <= 160
+
+
+def test_hll_registers_vs_python_replication(spark):
+    """Explicit-register HLL on a planted 1000-key universe: the
+    estimate equals an independent python replication of the same
+    md5/bucket/rho/correction pipeline bit for bit; a 3-key universe
+    takes the linear-counting branch and lands near-exact."""
+    import hashlib
+    import math
+
+    from ugfraud_spark.operators import sketch
+
+    keys = spark.range(1000).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key"))
+    r = sketch.hll_distinct(keys, "key").collect()[0]
+
+    m = sketch.HLL_M
+    regs = [0] * m
+    for i in range(1000):
+        h = int(hashlib.md5(f"k{i}".encode()).hexdigest()[:8], 16)
+        b, w = h % m, h // m
+        rho = 27 if w == 0 else 27 - len(bin(w)) + 2  # len('0b') offset
+        regs[b] = max(regs[b], rho)
+    ssum = sum(1.0 / (1 << g) for g in regs)
+    v = regs.count(0)
+    raw = sketch.HLL_ALPHA * m * m / ssum
+    exp = round(m * math.log(m / v), 6) if (raw <= 2.5 * m and v > 0) \
+        else round(raw, 6)
+    assert r["n_true"] == 1000 and r["v_zero"] == v
+    assert r["est"] == pytest.approx(exp, abs=2e-6)
+
+    tiny = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "key string")
+    t = sketch.hll_distinct(tiny, "key").collect()[0]
+    assert t["v_zero"] >= 61  # linear-counting branch engaged
+    assert abs(t["est"] - 3) < 0.2

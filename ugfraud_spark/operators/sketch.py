@@ -152,3 +152,86 @@ def capture_recapture(docs: DataFrame,
         F.round(F.abs(F.col("n_hat") - F.col("n_true").cast("double"))
                 / F.col("n_true").cast("double"), 6).alias("rel_err"),
     )
+
+
+# HyperLogLog with EXPLICIT registers (Flajolet-Fuchs-Gandouet-Meunier
+# 2007): the sketch is a 64-row (bucket, max-rho) frame — built by one
+# map-side-combined groupBy-max, mergeable across partitions/epochs by
+# the same max, which is the entire reason HLL is the distinct-counter
+# of choice for 10^12-key streams. approx_distinct_stream gates
+# Spark's built-in; this op gates the algorithm itself, register by
+# register, against DuckDB.
+HLL_M = 64  # 2^6 registers; low 6 hash bits pick the bucket
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # the paper's alpha_m
+
+
+def hll_distinct(keys: DataFrame, key_col: str, m: int = HLL_M
+                 ) -> DataFrame:
+    """keys → 1 row (m_registers, v_zero, est, n_true, rel_err):
+    HyperLogLog estimate with the exact truth alongside.
+
+    bucket = low-6 md5 bits; rho = leading-zero count of the remaining
+    26-bit word + 1, computed EXACTLY as 27 − len(bin(w)) (no float
+    log); 2^−register is the exact dyadic 1/(1<<reg). The paper's
+    small-range correction applies verbatim: if E ≤ 2.5m and empty
+    registers exist, linear counting m·ln(m/V) replaces the raw
+    harmonic estimate. One LN/division at the end, ROUND 6, rel_err
+    FROM the rounded estimate. n_true is computed for the gate's
+    verdict only — production reads the 64-row sketch, never the
+    universe."""
+    k = keys.select(F.col(key_col).alias("k")).distinct()
+    h = F.conv(F.substring(F.md5(F.col("k")), 1, 8), 16, 10).cast("long")
+    hashed = k.select(
+        (h % m).alias("bucket"),
+        F.floor(h / m).cast("long").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(27)).otherwise(
+        F.lit(27) - F.length(F.bin(F.col("w"))))
+    regs = hashed.select("bucket", rho.alias("rho")) \
+        .groupBy("bucket").agg(F.max("rho").alias("reg"))
+    spark = keys.sparkSession
+    full = (
+        spark.range(m).select(F.col("id").alias("bucket"))
+        .join(regs, "bucket", "left")
+        .select(F.coalesce(F.col("reg"), F.lit(0)).alias("reg"))
+    )
+    agg = full.agg(
+        F.sum(F.lit(1.0)
+              / F.expr("shiftleft(CAST(1 AS BIGINT), CAST(reg AS INT))")
+              .cast("double")).alias("ssum"),
+        F.sum((F.col("reg") == 0).cast("long")).alias("v_zero"),
+    )
+    truth = k.agg(F.count(F.lit(1)).alias("n_true"))
+    raw = F.lit(float(HLL_ALPHA)) * F.lit(float(m * m)) / F.col("ssum")
+    est = F.round(
+        F.when((raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0),
+               F.lit(float(m)) * F.log(F.lit(float(m))
+                                       / F.col("v_zero").cast("double")))
+        .otherwise(raw), 6)
+    return (
+        agg.crossJoin(F.broadcast(truth))
+        .select(
+            F.lit(m).cast("long").alias("m_registers"),
+            "v_zero", est.alias("est"), "n_true",
+        )
+        .select(
+            "*",
+            F.round(F.abs(F.col("est") - F.col("n_true").cast("double"))
+                    / F.col("n_true").cast("double"), 6).alias("rel_err"),
+        )
+    )
+
+
+def hll_demo(docs: DataFrame) -> DataFrame:
+    """Two universes through the same register pipeline, exercising
+    BOTH estimator branches: the trigram-shingle vocabulary (≫ 2.5m —
+    raw harmonic path) and the language set (5 keys — linear-counting
+    path). Output: (universe, m_registers, v_zero, est, n_true,
+    rel_err)."""
+    from .dedup import shingles
+
+    big = hll_distinct(shingles(docs), "sh").select(
+        F.lit("shingles").alias("universe"), "*")
+    small = hll_distinct(docs.select("lang"), "lang").select(
+        F.lit("langs").alias("universe"), "*")
+    return big.unionAll(small)

@@ -1593,6 +1593,58 @@ def sql_capture_recapture(permille: int = 300) -> str:
     )
 
 
+def sql_hll_demo(m: int = 64) -> str:
+    """Mirror of sketch.hll_demo: identical bucket/rho derivation
+    (27 − len(bin(w)), no float log), exact dyadic 2^−reg terms, the
+    same alpha_m literal imported from the operator module, and the
+    verbatim small-range-correction branch."""
+    from .operators.sketch import HLL_ALPHA
+
+    def one(universe: str, src: str):
+        return (
+            f"SELECT '{universe}' AS universe, "
+            f"CAST({m} AS BIGINT) AS m_registers, v_zero, est, n_true, "
+            f"ROUND(ABS(est - CAST(n_true AS DOUBLE)) "
+            f"/ CAST(n_true AS DOUBLE), 6) AS rel_err FROM (\n"
+            f"  SELECT v_zero, CASE WHEN raw <= {_d(2.5 * m)} "
+            f"AND v_zero > 0 THEN ROUND({_d(float(m))} * "
+            f"LN({_d(float(m))} / CAST(v_zero AS DOUBLE)), 6) "
+            f"ELSE ROUND(raw, 6) END AS est, n_true FROM (\n"
+            f"    SELECT {_d(HLL_ALPHA)} * {_d(float(m * m))} / ssum "
+            f"AS raw, v_zero, n_true FROM (\n"
+            f"      SELECT SUM(CAST(1.0 AS DOUBLE) / (1 << reg)) AS ssum, "
+            f"SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS v_zero, "
+            f"MAX(n_true) AS n_true FROM (\n"
+            f"        SELECT COALESCE(r.reg, 0) AS reg FROM "
+            f"(SELECT unnest(generate_series(0, {m - 1})) AS bucket) b "
+            f"LEFT JOIN (\n"
+            f"          SELECT bucket, MAX(rho) AS reg FROM (\n"
+            f"            SELECT h % {m} AS bucket, CASE WHEN h // {m} = 0 "
+            f"THEN 27 ELSE 27 - LENGTH(bin(h // {m})) END AS rho FROM (\n"
+            f"              SELECT ('0x' || substr(md5(k), 1, 8))::BIGINT "
+            f"AS h FROM ({src})\n"
+            f"            )\n"
+            f"          ) GROUP BY bucket\n"
+            f"        ) r USING (bucket)\n"
+            f"      ),\n"
+            f"      (SELECT CAST(COUNT(*) AS BIGINT) AS n_true "
+            f"FROM ({src}))\n"
+            f"    )\n"
+            f"  )\n"
+            f")"
+        )
+
+    shingle_src = (
+        "SELECT DISTINCT unnest(list_transform(generate_series(1, "
+        "GREATEST(len(string_split(text, ' ')) - 2, 0)), "
+        "i -> array_to_string(list_slice(string_split(text, ' '), "
+        "i, i + 2), ' '))) AS k FROM documents"
+    )
+    lang_src = "SELECT DISTINCT lang AS k FROM documents"
+    return one("shingles", shingle_src) + " UNION ALL " + one(
+        "langs", lang_src)
+
+
 def sql_cms_heavy_hitters(d: int = 4, w: int = 64, k: int = 20) -> str:
     """Mirror of sketch.cms_heavy_hitters over events.user_id: same
     scramble-hash grid, elementwise sum, min-over-rows estimate,

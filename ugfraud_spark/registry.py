@@ -1445,6 +1445,15 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walks.negative_samples(e)
 
 
+def q_hll_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-register HyperLogLog over two universes (shingle
+    vocabulary / language set), exercising the raw-harmonic AND
+    linear-counting branches against exact truth (sketch.hll_demo)."""
+    from .operators import sketch
+
+    return sketch.hll_demo(tables.load(spark, sf_dir, "documents"))
+
+
 def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lincoln-Petersen corpus-size estimate from two independent
     hash-range captures of the content-fingerprint universe, judged
@@ -2425,6 +2434,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                                  oracle.sql_negative_samples(mod=m)),
         "capture_recapture": (q_capture_recapture,
                               oracle.sql_capture_recapture()),
+        "hll_registers": (q_hll_demo, oracle.sql_hll_demo()),
         "cms_heavy_hitters": (q_cms_heavy_hitters,
                               oracle.sql_cms_heavy_hitters()),
         "hashed_features": (q_hashed_features,
