@@ -1832,3 +1832,89 @@ def test_hrw_minimal_disruption_and_balance(spark):
     load = collections.Counter(r["node"] for r in rows)
     assert set(load) == set(range(crawl.HRW_NODES))
     assert max(load.values()) <= 2 * (200 // crawl.HRW_NODES)
+
+
+def _tarjan(edges):
+    import collections
+    adj = collections.defaultdict(list)
+    verts = set()
+    for a, b in edges:
+        adj[a].append(b)
+        verts.add(a)
+        verts.add(b)
+    index, low, onstk, stk, out = {}, {}, {}, [], {}
+    ctr = [0]
+    for s in verts:
+        if s in index:
+            continue
+        work = [(s, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = ctr[0]
+                ctr[0] += 1
+                stk.append(v)
+                onstk[v] = True
+            advanced = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if onstk.get(w):
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk[w] = False
+                    comp.append(w)
+                    if w == v:
+                        break
+                rep = min(comp)
+                for w in comp:
+                    out[w] = rep
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    return out
+
+
+def test_scc_labels_match_tarjan_at_sf0001(spark, sf_small):
+    """The certified SCC labels on the sf0.001 link graph equal
+    brute-force Tarjan exactly, with ZERO uncertified residue — the
+    one-giant-SCC + acyclic-periphery regime the op targets. (The
+    giant component contains the min id, so pivot-rep == min-rep.)"""
+    from ugfraud_spark.operators import bowtie as bt
+    from ugfraud_spark.sources import tables
+
+    e = tables.uni_edges_directed(spark, sf_small)
+    got = {r["id"]: (r["scc_id"], r["certified"])
+           for r in bt.scc_labels(e).collect()}
+    truth = _tarjan([(r["src"], r["dst"]) for r in e.collect()])
+    assert all(c == 1 for _, c in got.values())
+    assert {v: s for v, (s, _) in got.items()} == truth
+
+
+def test_scc_labels_flags_offpivot_cycle(spark):
+    """An off-pivot cycle that the trim cannot peel comes back as
+    UNCERTIFIED residue — never silently mislabeled — while the pivot
+    cycle and the DAG tail certify exactly."""
+    from ugfraud_spark.operators import bowtie as bt
+
+    edges = [(0, 1), (1, 2), (2, 0),      # pivot SCC {0,1,2}
+             (2, 3), (3, 4),              # DAG tail: singletons
+             (10, 11), (11, 10)]          # off-pivot 2-cycle
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r for r in bt.scc_labels(e).collect()}
+    for v in (0, 1, 2):
+        assert got[v]["scc_id"] == 0 and got[v]["certified"] == 1
+    for v in (3, 4):
+        assert got[v]["scc_id"] == v and got[v]["certified"] == 1
+    for v in (10, 11):
+        assert got[v]["certified"] == 0

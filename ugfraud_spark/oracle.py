@@ -758,6 +758,67 @@ def sql_bowtie(iters: int = 10, mod: int = UNI_MOD) -> str:
     )
 
 
+def sql_scc_labels(iters: int = 10, trim_rounds: int = 3,
+                   mod: int = UNI_MOD) -> str:
+    """Mirror of bowtie.scc_labels: the sql_bowtie reachability chains
+    intersected into the pivot core, then the identical alternating
+    trim rounds over the remainder; survivors emit certified=0 with
+    their own id as the placeholder label."""
+    ctes = [
+        ("uni", uni_frag(mod)),
+        ("v", VERTS),
+        ("f0", "SELECT MIN(id) AS id FROM v"),
+        ("b0", "SELECT MIN(id) AS id FROM v"),
+    ]
+    for k in range(1, iters + 1):
+        ctes.append((
+            f"f{k}",
+            f"SELECT DISTINCT id FROM (SELECT id FROM f{k-1} UNION ALL "
+            f"SELECT uni.dst AS id FROM uni JOIN f{k-1} r "
+            f"ON r.id = uni.src)",
+        ))
+        ctes.append((
+            f"b{k}",
+            f"SELECT DISTINCT id FROM (SELECT id FROM b{k-1} UNION ALL "
+            f"SELECT uni.src AS id FROM uni JOIN b{k-1} r "
+            f"ON r.id = uni.dst)",
+        ))
+    ctes += [
+        ("core",
+         f"SELECT f.id FROM f{iters} f JOIN b{iters} b ON b.id = f.id"),
+        ("a0",
+         "SELECT id FROM v WHERE id NOT IN (SELECT id FROM core)"),
+        ("r0e",
+         "SELECT src, dst FROM uni WHERE src IN (SELECT id FROM a0) "
+         "AND dst IN (SELECT id FROM a0)"),
+    ]
+    for t in range(1, trim_rounds + 1):
+        ctes.append((
+            f"a{t}",
+            f"SELECT id FROM a{t-1} WHERE id IN (SELECT dst FROM r{t-1}e) "
+            f"AND id IN (SELECT src FROM r{t-1}e)",
+        ))
+        ctes.append((
+            f"r{t}e",
+            f"SELECT src, dst FROM r{t-1}e "
+            f"WHERE src IN (SELECT id FROM a{t}) "
+            f"AND dst IN (SELECT id FROM a{t})",
+        ))
+    ctes.append(("p", "SELECT MIN(id) AS pivot FROM v"))
+    last = f"a{trim_rounds}"
+    return _with(
+        ctes,
+        f"SELECT c.id, CAST(p.pivot AS BIGINT) AS scc_id, "
+        f"CAST(1 AS BIGINT) AS certified FROM core c, p "
+        f"UNION ALL "
+        f"SELECT id, CAST(id AS BIGINT) AS scc_id, CAST(1 AS BIGINT) "
+        f"AS certified FROM a0 WHERE id NOT IN (SELECT id FROM {last}) "
+        f"UNION ALL "
+        f"SELECT id, CAST(id AS BIGINT) AS scc_id, CAST(0 AS BIGINT) "
+        f"AS certified FROM {last}",
+    )
+
+
 def sql_cocitation(max_out: int | None = None,
                    mod: int = UNI_MOD) -> str:
     """Mirror of triangles.cocitation: identical out-degree cap before

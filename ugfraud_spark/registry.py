@@ -1707,6 +1707,15 @@ def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bt.bowtie(tables.uni_edges_directed(spark, sf_dir))
 
 
+def q_scc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SCC labels with a distributed certificate: pivot core by
+    FW/BW sweeps, remainder proven all-singleton by alternating trim;
+    any survivor is flagged uncertified rather than mislabeled."""
+    from .operators import bowtie as bt
+
+    return bt.scc_labels(tables.uni_edges_directed(spark, sf_dir))
+
+
 def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation similarity pairs (common in-link wedges) with the
     out-degree skew cap applied before the wedge self-join."""
@@ -2411,6 +2420,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "jaccard_inlinks": _uni(q_jaccard_inlinks,
                                 oracle.sql_jaccard_inlinks(mod=m)),
         "bowtie": _uni(q_bowtie, oracle.sql_bowtie(mod=m)),
+        "scc_labels": _uni(q_scc_labels, oracle.sql_scc_labels(mod=m)),
         "quality_filter_stream": (q_quality_filter_stream,
                                   oracle.sql_quality_filter()),
         "source_reputation": (q_source_reputation,
