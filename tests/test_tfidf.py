@@ -210,3 +210,27 @@ def test_heaps_law_hand_curve(spark):
     ln_k = round((sy - beta * sx) / n, 6)
     assert out[0]["beta"] == pytest.approx(beta, abs=2e-6)
     assert out[0]["ln_k"] == pytest.approx(ln_k, abs=2e-6)
+
+
+def test_spelling_variants_hand_corpus(spark):
+    """Deletion-neighborhood candidates find all three ed-1 classes
+    (deletion, insertion, substitution) and nothing at distance 2;
+    counts ride along so the rarer spelling is identifiable."""
+    from ugfraud_spark.operators.tfidf import spelling_variants_demo
+
+    # doc_ids chosen so NO planting mods fire (9,10,12 don't divide 1,7)
+    rows = [
+        (1, "table cable tble tablet grape"),
+        (7, "table table value"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["term_a"], r["term_b"]): r
+           for r in spelling_variants_demo(docs).collect()}
+    assert set(out) == {
+        ("cable", "table"),    # substitution c→t
+        ("table", "tble"),     # deletion of 'a'
+        ("table", "tablet"),   # insertion of 't'
+    }
+    # grape is >=2 edits from everything; value–cable etc. absent
+    r = out[("cable", "table")]
+    assert r["c_a"] == 1 and r["c_b"] == 3 and r["dist"] == 1

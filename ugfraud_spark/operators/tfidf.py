@@ -402,3 +402,86 @@ def heaps_law(docs: DataFrame, bucket_docs: int = HEAPS_BUCKET_DOCS
     )
     return xy.crossJoin(F.broadcast(fit)).select(
         "bucket", "cum_tokens", "cum_vocab", "beta", "ln_k")
+
+
+# SymSpell-style fuzzy vocabulary matching (Garbe's deletion-
+# neighborhood trick): candidates for edit-distance-1 pairs are terms
+# SHARING a single-deletion variant — |vocab|·avg_len keys instead of
+# the |vocab|² compare no 10^9-type vocabulary survives; the exact
+# Levenshtein check then runs on candidates only (both engines ship
+# levenshtein() as a builtin). Variant buckets above the cap are
+# dropped-and-logged (short common strings collapse to the same
+# deletions — the familiar quadratic-skew trade).
+SPELL_MAX_BUCKET = 64
+SPELL_MIN_LEN = 3
+
+
+def _plant_typos(docs: DataFrame) -> DataFrame:
+    """Deterministic misspelling injection (the pii_scrub pattern —
+    the synthetic corpus has no natural typos): one deletion, one
+    insertion, one substitution of real vocabulary words."""
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 9 == 0, F.lit(" tble"))
+        .otherwise(F.lit("")),                # deletion of 'a' in table
+        F.when(F.col("doc_id") % 10 == 0, F.lit(" sparkk"))
+        .otherwise(F.lit("")),                # insertion into spark
+        F.when(F.col("doc_id") % 12 == 0, F.lit(" vakue"))
+        .otherwise(F.lit("")),                # substitution in value
+    )
+    return docs.select("doc_id", t.alias("text"))
+
+
+def spelling_variants_demo(docs: DataFrame,
+                           max_bucket: int = SPELL_MAX_BUCKET,
+                           min_len: int = SPELL_MIN_LEN) -> DataFrame:
+    """(term_a, term_b, c_a, c_b, dist): vocabulary pairs at
+    Levenshtein distance exactly 1, with occurrence counts (the rarer
+    side is the typo candidate a normalization pass would fold into
+    the dominant spelling). Candidate generation is the deletion
+    neighborhood — term t emits t plus its len(t) single-deletion
+    strings; two ed-1 terms necessarily share one (substitutions
+    share the same-position deletion; insertions/deletions share the
+    shorter string itself) — followed by the exact levenshtein()==1
+    verify on candidates only."""
+    import logging
+
+    planted = _plant_typos(docs)
+    vocab = (
+        planted.select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.length("term") >= min_len)
+        .groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    )
+    t = F.col("term")
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.concat(t.substr(F.lit(1), i - 1),
+                           t.substr(i + 1, F.length(t))),
+    )
+    variants = vocab.select(
+        "term", "c",
+        F.explode(F.array_union(F.array(t), dels)).alias("v"),
+    ).distinct()
+    ok = (
+        variants.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") <= max_bucket)
+    )
+    n_over = variants.join(ok, "v", "left_anti").select("v").distinct()
+    if n_over.limit(1).count():
+        logging.getLogger(__name__).warning(
+            "spelling_variants: variant buckets above max_bucket=%d "
+            "dropped before the pair join", max_bucket)
+    pruned = variants.join(ok.select("v"), "v", "left_semi")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v"))
+               & (F.col("a.term") < F.col("b.term")))
+        .select(F.col("a.term").alias("term_a"),
+                F.col("b.term").alias("term_b"),
+                F.col("a.c").alias("c_a"), F.col("b.c").alias("c_b"))
+        .distinct()
+    )
+    return cand.where(
+        F.levenshtein("term_a", "term_b") == 1
+    ).select("term_a", "term_b", "c_a", "c_b",
+             F.lit(1).cast("long").alias("dist"))

@@ -1839,6 +1839,44 @@ def sql_heaps_law(bucket_docs: int = 50) -> str:
     )
 
 
+def sql_spelling_variants(max_bucket: int = 64, min_len: int = 3) -> str:
+    """Mirror of tfidf.spelling_variants_demo: identical typo
+    planting, deletion-neighborhood candidates (list_transform over
+    positions), same bucket cap, levenshtein() == 1 verify."""
+    plant = (
+        "text || (CASE WHEN doc_id % 9 = 0 THEN ' tble' ELSE '' END) "
+        "|| (CASE WHEN doc_id % 10 = 0 THEN ' sparkk' ELSE '' END) "
+        "|| (CASE WHEN doc_id % 12 = 0 THEN ' vakue' ELSE '' END)"
+    )
+    dels = (
+        "list_transform(generate_series(1, LENGTH(term)), "
+        "i -> substr(term, 1, i - 1) || substr(term, i + 1, LENGTH(term)))"
+    )
+    return _with(
+        [("p", f"SELECT doc_id, {plant} AS text FROM documents"),
+         ("tok",
+          "SELECT unnest(string_split(text, ' ')) AS term FROM p"),
+         ("vocab",
+          f"SELECT term, COUNT(*) AS c FROM tok "
+          f"WHERE LENGTH(term) >= {min_len} GROUP BY term"),
+         ("variants",
+          f"SELECT DISTINCT term, c, unnest(list_distinct("
+          f"list_prepend(term, {dels}))) AS v FROM vocab"),
+         ("ok",
+          f"SELECT v FROM variants GROUP BY v "
+          f"HAVING COUNT(*) <= {max_bucket}"),
+         ("pruned",
+          "SELECT variants.* FROM variants "
+          "WHERE v IN (SELECT v FROM ok)"),
+         ("cand",
+          "SELECT DISTINCT a.term AS term_a, b.term AS term_b, "
+          "a.c AS c_a, b.c AS c_b FROM pruned a JOIN pruned b "
+          "ON a.v = b.v AND a.term < b.term")],
+        "SELECT term_a, term_b, c_a, c_b, CAST(1 AS BIGINT) AS dist "
+        "FROM cand WHERE levenshtein(term_a, term_b) = 1",
+    )
+
+
 def sql_vocab_topk(k: int = 50) -> str:
     """Mirror of tfidf.vocab_topk: the (count DESC, term ASC) total
     order makes the k-cut deterministic on both engines."""

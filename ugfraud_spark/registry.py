@@ -1791,6 +1791,14 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf.vocab_topk(tables.load(spark, sf_dir, "documents"))
 
 
+def q_spelling_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell deletion-neighborhood fuzzy vocabulary match:
+    edit-distance-1 term pairs with counts, candidates via shared
+    single-deletion variants — never vocab² (tfidf.spelling_variants_demo)."""
+    return tfidf.spelling_variants_demo(
+        tables.load(spark, sf_dir, "documents"))
+
+
 def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary-growth curve V(N) ≈ K·N^β with its
     log-log OLS fit: first-bucket-per-term increments, prefix sums
@@ -2388,6 +2396,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                                  oracle.sql_ann_neardup_clusters(0.35)),
         "vocab_topk": (q_vocab_topk, oracle.sql_vocab_topk()),
         "heaps_law": (q_heaps_law, oracle.sql_heaps_law()),
+        "spelling_variants": (q_spelling_variants,
+                              oracle.sql_spelling_variants()),
         "clustering_coefficient": _uni(q_clustering,
                                        oracle.sql_clustering(mod=m)),
         "degree_assortativity": _uni(q_assortativity,
