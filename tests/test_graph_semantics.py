@@ -1918,3 +1918,40 @@ def test_scc_labels_flags_offpivot_cycle(spark):
         assert got[v]["scc_id"] == v and got[v]["certified"] == 1
     for v in (10, 11):
         assert got[v]["certified"] == 0
+
+
+def test_label_spreading_vs_numpy(spark):
+    """Clamped-harmonic spread on two bridged cliques, one seeded
+    class-0 (vertex 0) and one class-1 (vertex 13): the replication of
+    the exact iteration in numpy matches to the 6dp round, and each
+    clique's unlabeled members lean toward their seed's class."""
+    import collections
+
+    from ugfraud_spark.operators import labelprop as LP
+
+    ca = [(a, b) for a in (0, 1, 2, 3) for b in (0, 1, 2, 3) if a < b]
+    cb = [(a, b) for a in (13, 14, 15, 16) for b in (13, 14, 15, 16)
+          if a < b]
+    edges = ca + cb + [(3, 14)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = {r["id"]: r for r in LP.label_spreading(df).collect()}
+
+    adj = collections.defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    verts = sorted(adj)
+
+    def clamp(v, x):
+        return float(v % 2) if v % 13 == 0 else x
+
+    f = {v: clamp(v, 0.5) for v in verts}
+    for _ in range(LP.LS_ITERS):
+        nf = {v: clamp(v, sum(f[u] for u in adj[v]) / len(adj[v]))
+              for v in verts}
+        f = nf
+    for v in verts:
+        assert out[v]["score"] == pytest.approx(round(f[v], 6), abs=2e-6)
+        assert out[v]["is_seed"] == (1 if v % 13 == 0 else 0)
+    assert all(out[v]["score"] < 0.5 for v in (1, 2))       # clique A
+    assert all(out[v]["score"] > 0.5 for v in (15, 16))     # clique B

@@ -160,3 +160,60 @@ def lpa_conductance(edges_ab: DataFrame, iters: int = 4) -> DataFrame:
                        / denom.cast("double")).alias("conductance"),
         )
     )
+
+
+# Zhu-Ghahramani label spreading (*Semi-Supervised Learning Using
+# Gaussian Fields and Harmonic Functions*, ICML 2003): the harmonic
+# relaxation f(v) = mean of neighbor f with labeled vertices CLAMPED
+# — the lightest semi-supervised scorer in the fraud family (GANG /
+# ZooBP / SpEagle carry edge semantics; this is the pure graph-
+# smoothness baseline every comparison table includes).
+LS_SEED_MOD = 13
+LS_ITERS = 5
+
+
+def label_spreading(edges_ab: DataFrame, seed_mod: int = LS_SEED_MOD,
+                    iters: int = LS_ITERS) -> DataFrame:
+    """(id, score, is_seed): ``iters`` clamped-harmonic rounds from
+    deterministic seeds (id % seed_mod == 0, label = id % 2 — the
+    house hash-prior convention), unlabeled vertices initialized at
+    the uninformative 0.5. Per round: ONE edge⋈state join + ONE
+    map-side-combined mean per dst — the identical shuffle class as
+    the LPA/PageRank supersteps (symmetrized edges guarantee every
+    vertex receives a message, so the mean frame IS the next state);
+    the clamp is a per-row expression recomputable from the id, so no
+    seed table ever joins into the loop. Scores round to 6 dp at the
+    END only (the pagerank discipline — groupBy sum order's low bits
+    are absorbed once)."""
+    sym = colocate_edges(
+        edges_ab.select(F.col("a").alias("src"),
+                        F.col("b").alias("dst")).unionAll(
+            edges_ab.select(F.col("b").alias("src"),
+                            F.col("a").alias("dst"))
+        )
+    )
+    verts = sym.select(F.col("src").alias("id")).distinct()
+
+    def clamp(score_col):
+        return F.when(
+            F.col("id") % seed_mod == 0,
+            (F.col("id") % 2).cast("double"),
+        ).otherwise(score_col)
+
+    state0 = verts.select("id", clamp(F.lit(0.5)).alias("score"))
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        means = (
+            sym.join(
+                state.select(F.col("id").alias("src"), "score")
+                .hint("shuffle_hash"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg((F.sum("score") / F.count(F.lit(1))).alias("mean"))
+        )
+        return means.select("id", clamp(F.col("mean")).alias("score"))
+
+    res = iterate(state0, step, max_iter=iters, checkpoint_every=1)
+    return res.state.select(
+        "id", F.round("score", 6).alias("score"),
+        (F.col("id") % seed_mod == 0).cast("long").alias("is_seed"),
+    )

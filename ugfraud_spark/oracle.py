@@ -459,6 +459,38 @@ def _lpa_ctes(iters: int, mod: int) -> list[tuple[str, str]]:
     return ctes
 
 
+def sql_label_spreading(iters: int = 5, seed_mod: int = 13,
+                        mod: int = UNI_MOD) -> str:
+    """Mirror of labelprop.label_spreading: identical clamp expression
+    per round, SUM/COUNT mean over the symmetrized edges, ROUND 6 at
+    the end only."""
+    clamp = (f"CASE WHEN id % {seed_mod} = 0 "
+             f"THEN CAST(id % 2 AS DOUBLE) ELSE {{0}} END")
+    ctes = [
+        ("uni", uni_frag(mod)), ("und", UND), ("sym", SYM),
+        ("v", "SELECT DISTINCT src AS id FROM sym"),
+        ("s0",
+         f"SELECT id, {clamp.format('CAST(0.5 AS DOUBLE)')} AS score "
+         f"FROM v"),
+    ]
+    for t in range(1, iters + 1):
+        ctes.append((
+            f"m{t}",
+            f"SELECT sym.dst AS id, SUM(s.score) / COUNT(*) AS mean "
+            f"FROM sym JOIN s{t-1} s ON s.id = sym.src GROUP BY sym.dst",
+        ))
+        ctes.append((
+            f"s{t}",
+            f"SELECT id, {clamp.format('mean')} AS score FROM m{t}",
+        ))
+    return _with(
+        ctes,
+        f"SELECT id, ROUND(score, 6) AS score, "
+        f"CAST(CASE WHEN id % {seed_mod} = 0 THEN 1 ELSE 0 END AS BIGINT) "
+        f"AS is_seed FROM s{iters}",
+    )
+
+
 def sql_lpa(iters: int = 4, mod: int = UNI_MOD) -> str:
     """Synchronous label propagation, deterministic tie-break: the new
     label is the neighbor label with the highest count, ties broken by

@@ -344,6 +344,14 @@ def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labelprop.lpa(e, iters=LPA_ITERS)
 
 
+def q_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zhu-Ghahramani clamped-harmonic label spreading from hash
+    seeds — the graph-smoothness baseline beside GANG/ZooBP/SpEagle
+    (labelprop.label_spreading)."""
+    e = tables.uni_edges_undirected(spark, sf_dir)
+    return labelprop.label_spreading(e)
+
+
 PPR_SEED_MOD = 97
 
 
@@ -2476,6 +2484,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "pagerank_dangling": _uni(
             q_pagerank_dangling,
             oracle.sql_pagerank_dangling(iters=PR_ITERS, mod=m)),
+        "label_spreading": _uni(q_label_spreading,
+                                oracle.sql_label_spreading(mod=m)),
         "lpa_conductance": _uni(
             q_lpa_conductance,
             oracle.sql_lpa_conductance(iters=LPA_ITERS, mod=m)),
