@@ -2243,3 +2243,30 @@ def test_hll_registers_vs_python_replication(spark):
     t = sketch.hll_distinct(tiny, "key").collect()[0]
     assert t["v_zero"] >= 61  # linear-counting branch engaged
     assert abs(t["est"] - 3) < 0.2
+
+
+def test_mojibake_scrub_hand_cases(spark):
+    """Repair map hand check: multi-occurrence repair, repair-count
+    exactness, byte-identity of the fixed text, and clean text passing
+    through untouched."""
+    import hashlib
+
+    from ugfraud_spark.operators import quality
+
+    rows = [
+        (1, "cafÃ© cafÃ© donâ€™t"),
+        (2, "plain ascii text"),
+        (3, "naÃ¨ve Ã¼ber â€œquoteâ€™"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality.mojibake_scrub(docs).collect()}
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert out[1]["n_fixed"] == 3
+    assert out[1]["fixed_md5"] == h("café café don’t")
+    assert out[2]["n_fixed"] == 0
+    assert out[2]["fixed_md5"] == h("plain ascii text")
+    assert out[3]["n_fixed"] == 4
+    assert out[3]["fixed_md5"] == h("naève über “quote’")

@@ -224,3 +224,59 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
 def pii_scrub_demo(docs: DataFrame) -> DataFrame:
     """Gate composition: plant deterministic PII, then scrub it."""
     return pii_scrub(with_pii(docs))
+
+
+# mojibake repair (the ftfy-lite pass): UTF-8 bytes decoded as
+# Latin-1/cp1252 leave fingerprint sequences ("Ã©" where "é" was,
+# "â€™" for a right single quote) that survive into web corpora at
+# measurable rates; repairing them is a standard early normalization
+# step. The table below covers the highest-frequency two- and
+# three-codepoint fingerprints; each entry is (broken, fixed).
+MOJIBAKE_MAP = (
+    ("Ã©", "é"),          # Ã©  -> é
+    ("Ã¨", "è"),          # Ã¨  -> è
+    ("Ã¼", "ü"),          # Ã¼  -> ü
+    ("â€™", "’"),    # â€™ -> right single quote
+    ("â€œ", "“"),    # â€œ -> left double quote
+)
+
+
+def mojibake_scrub(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_fixed, fixed_md5): repair the MOJIBAKE_MAP
+    fingerprints with chained literal replaces (zero UDF, zero regex —
+    scan-fused like pii_scrub) and report the number of repairs per
+    doc via the exact length-delta count (chars removed per occurrence
+    is a constant per pattern, and no pattern overlaps another's
+    output, so the count is exact). Byte-identity gate on md5 of the
+    repaired text."""
+    fixed = F.col("text")
+    n_fixed = F.lit(0).cast("long")
+    for broken, good in MOJIBAKE_MAP:
+        occ = (
+            (F.length(fixed) - F.length(F.replace(
+                fixed, F.lit(broken), F.lit(""))))
+            / F.lit(len(broken))
+        ).cast("long")
+        n_fixed = n_fixed + occ
+        fixed = F.replace(fixed, F.lit(broken), F.lit(good))
+    return docs.select(
+        "doc_id", n_fixed.alias("n_fixed"), F.md5(fixed).alias("fixed_md5"))
+
+
+def with_mojibake(docs: DataFrame) -> DataFrame:
+    """Deterministic mojibake planting (the with_pii pattern): docs
+    % 8 == 0 gain a double-encoded 'cafÃ©', % 14 == 0 a broken
+    'donâ€™t' — one/both/neither branches all carry mass."""
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 8 == 0,
+               F.lit(" cafÃ©")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 14 == 0,
+               F.lit(" donâ€™t")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", t.alias("text"))
+
+
+def mojibake_scrub_demo(docs: DataFrame) -> DataFrame:
+    """Gate composition: plant deterministic mojibake, then repair."""
+    return mojibake_scrub(with_mojibake(docs))

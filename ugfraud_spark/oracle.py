@@ -4779,6 +4779,31 @@ def sql_lsh_recall(threshold: float = 0.2, h: int = 12, bands: int = 4,
     )
 
 
+def sql_mojibake_scrub() -> str:
+    """Mirror of quality.mojibake_scrub_demo: identical planting,
+    the same MOJIBAKE_MAP literal replaces in the same order, exact
+    length-delta occurrence counts, md5 byte-identity."""
+    from .operators.quality import MOJIBAKE_MAP
+
+    plant = (
+        "text || (CASE WHEN doc_id % 8 = 0 THEN ' cafÃ©' ELSE '' END) "
+        "|| (CASE WHEN doc_id % 14 = 0 THEN ' donâ€™t' ELSE '' END)"
+    )
+    fixed = "text"
+    counts = []
+    for broken, good in MOJIBAKE_MAP:
+        counts.append(
+            f"(LENGTH({fixed}) - LENGTH(REPLACE({fixed}, '{broken}', ''))) "
+            f"/ {len(broken)}")
+        fixed = f"REPLACE({fixed}, '{broken}', '{good}')"
+    n_fixed = " + ".join(f"({c})" for c in counts)
+    return _with(
+        [("p", f"SELECT doc_id, {plant} AS text FROM documents")],
+        f"SELECT doc_id, CAST({n_fixed} AS BIGINT) AS n_fixed, "
+        f"md5({fixed}) AS fixed_md5 FROM p",
+    )
+
+
 def sql_pii_scrub() -> str:
     """Mirror of quality.pii_scrub_demo: plant the same deterministic
     emails/phones, count with regexp_extract_all (== Spark's

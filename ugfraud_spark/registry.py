@@ -304,6 +304,16 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl.url_normalize_demo(tables.load(spark, sf_dir, "documents"))
 
 
+def q_mojibake_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-lite mojibake repair: chained literal replaces of planted
+    double-encoding fingerprints, exact repair counts, byte-identity
+    md5 gate (quality.mojibake_scrub_demo)."""
+    from .operators import quality
+
+    return quality.mojibake_scrub_demo(
+        tables.load(spark, sf_dir, "documents"))
+
+
 def q_bloom_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter frontier admission vs the exact anti-join, row by
     row: the constant-size seen-set sidecar with its one-sided false
@@ -2333,6 +2343,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "bloom_admission": (q_bloom_admission,
                             oracle.sql_bloom_admission()),
         "hrw_sharding": (q_hrw_sharding, oracle.sql_hrw_sharding()),
+        "mojibake_scrub": (q_mojibake_scrub, oracle.sql_mojibake_scrub()),
         "pagerank_warm_start": _uni(
             q_pagerank_warm_start,
             oracle.sql_pagerank_warm_start(
