@@ -2270,3 +2270,25 @@ def test_mojibake_scrub_hand_cases(spark):
     assert out[2]["fixed_md5"] == h("plain ascii text")
     assert out[3]["n_fixed"] == 4
     assert out[3]["fixed_md5"] == h("naève über “quote’")
+
+
+def test_doc_novelty_hand_corpus(spark):
+    """Novelty attribution: the first doc owns all its grams, an exact
+    copy later owns none, a half-overlap doc gets exactly the novel
+    half; within-doc repeats count once (distinct grams)."""
+    rows = [
+        (1, "a b c d e"),        # grams: abc bcd cde — all novel
+        (2, "a b c d e"),        # exact copy: 0 novel
+        (3, "c d e f g h"),      # cde(old) def efg fgh -> 3/4 novel
+        (4, "a b c a b c"),      # abc(old) bca cab + dup abc -> 2/4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.doc_novelty(docs).collect()}
+    assert (out[1]["n_grams"], out[1]["n_novel"]) == (3, 3)
+    assert out[1]["novelty"] == 1.0
+    assert (out[2]["n_grams"], out[2]["n_novel"]) == (3, 0)
+    assert (out[3]["n_grams"], out[3]["n_novel"]) == (4, 3)
+    assert out[3]["novelty"] == 0.75
+    # doc 4: distinct grams {abc, bca, cab} (the repeated abc
+    # collapses), abc already owned by doc 1 -> 2 of 3 novel
+    assert (out[4]["n_grams"], out[4]["n_novel"]) == (3, 2)

@@ -807,3 +807,36 @@ def repeated_spans(docs: DataFrame, L: int = SPAN_L,
         (F.size(toks) - F.size(kept)).cast("long").alias("tokens_removed"),
         F.md5(F.concat_ws(" ", kept)).alias("scrubbed_md5"),
     )
+
+
+def doc_novelty(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, n_novel, novelty): per-document originality
+    profile in doc_id order — the share of the doc's 3-gram shingles
+    whose FIRST corpus occurrence is this document (ties on
+    simultaneous first use resolve to the smallest doc_id, making the
+    measure exact and replayable). Low-novelty docs are template/quote
+    assemblies — the curriculum and dedup-aggressiveness signal
+    pipelines derive from exactly this ratio; it is the per-doc
+    refinement of the heaps_law curve (whose bucket increments are
+    these novel counts aggregated).
+
+    Scale shape: one min-doc-per-gram groupBy (map-side combined) +
+    one gram-keyed join back of DISTINCT per-doc grams + one per-doc
+    count — no windows, no self-joins; the gram key is md5-uniform so
+    nothing skews. One double division at the end, ROUND 6."""
+    sh = shingles(docs).select("doc_id", "sh").distinct()
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("d0"))
+    per_doc = (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("d0")).cast("long"))
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_grams", "n_novel",
+        F.round(F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double"), 6).alias("novelty"),
+    )

@@ -1817,6 +1817,31 @@ def sql_quantize_embeddings(bits: int = 8) -> str:
     )
 
 
+def sql_doc_novelty() -> str:
+    """Mirror of dedup.doc_novelty: distinct per-doc trigram shingles,
+    min-doc first occurrence, novel share with one ROUND 6 division."""
+    return _with(
+        [("t",
+          "SELECT doc_id, string_split(text, ' ') AS toks "
+          "FROM documents"),
+         ("sh",
+          "SELECT DISTINCT doc_id, unnest(list_transform("
+          "generate_series(1, GREATEST(len(toks) - 2, 0)), "
+          "i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g "
+          "FROM t"),
+         ("first",
+          "SELECT g, MIN(doc_id) AS d0 FROM sh GROUP BY g"),
+         ("per_doc",
+          "SELECT sh.doc_id, COUNT(*) AS n_grams, "
+          "CAST(SUM(CASE WHEN sh.doc_id = f.d0 THEN 1 ELSE 0 END) "
+          "AS BIGINT) AS n_novel "
+          "FROM sh JOIN first f ON f.g = sh.g GROUP BY sh.doc_id")],
+        "SELECT doc_id, n_grams, n_novel, "
+        "ROUND(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) "
+        "AS novelty FROM per_doc",
+    )
+
+
 def sql_heaps_law(bucket_docs: int = 50) -> str:
     """Mirror of tfidf.heaps_law: word-trigram types (the shingle
     stream), first-bucket-per-type vocabulary increments, bucket-level

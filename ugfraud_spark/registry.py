@@ -883,6 +883,12 @@ def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_dup_pairs(tables.load(spark, sf_dir, "documents"))
 
 
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc originality: share of the doc's distinct trigrams first
+    seen in this doc (dedup.doc_novelty)."""
+    return dedup.doc_novelty(tables.load(spark, sf_dir, "documents"))
+
+
 def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lee-et-al-style repeated-span scrub: corpus-wide duplicated
     L-gram sites merged into spans per doc, covered tokens removed,
@@ -2302,6 +2308,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "events_stream_dedup": (q_events_stream_dedup,
                                 SQL_EVENTS_STREAM_DEDUP),
         "repeated_spans": (q_repeated_spans, oracle.sql_repeated_spans()),
+        "doc_novelty": (q_doc_novelty, oracle.sql_doc_novelty()),
         "winnow_dup_pairs": (q_winnow_dup_pairs,
                              oracle.sql_winnow_dup_pairs()),
         "corpus_sample_mix": (
