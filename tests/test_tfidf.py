@@ -234,3 +234,28 @@ def test_spelling_variants_hand_corpus(spark):
     # grape is >=2 edits from everything; value–cable etc. absent
     r = out[("cable", "table")]
     assert r["c_a"] == 1 and r["c_b"] == 3 and r["dist"] == 1
+
+
+def test_postings_compression_hand_lists(spark):
+    """Varint ladder exactness: a dense list (all 1-byte gaps), a list
+    whose first sentinel gap and a 20000-wide jump cross the 1→2-byte
+    boundary, and the byte math on each."""
+    from ugfraud_spark.operators.tfidf import postings_compression
+
+    rows = [(d, "dense") for d in range(5)]            # gaps 1,1,1,1 (+1st)
+    rows += [(0, "sparse"), (200, "sparse"), (20600, "sparse")]
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in rows], "doc_id long, text string")
+    out = {r["term"]: r for r in postings_compression(docs).collect()}
+
+    d = out["dense"]
+    assert d["n_postings"] == 5 and d["bytes_raw"] == 40
+    assert d["bytes_varint"] == 5          # every gap < 128
+    assert d["ratio"] == 0.125
+
+    s = out["sparse"]
+    # gaps: 0-(-1)=1 (1B), 200-0=200 (2B), 20600-200=20400 (2B... 
+    # 20400 >= 16384 -> 3B)
+    assert s["n_postings"] == 3 and s["bytes_raw"] == 24
+    assert s["bytes_varint"] == 1 + 2 + 3
+    assert s["ratio"] == 0.25

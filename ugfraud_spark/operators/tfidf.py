@@ -485,3 +485,59 @@ def spelling_variants_demo(docs: DataFrame,
         F.levenshtein("term_a", "term_b") == 1
     ).select("term_a", "term_b", "c_a", "c_b",
              F.lit(1).cast("long").alias("dist"))
+
+
+def postings_compression(docs: DataFrame) -> DataFrame:
+    """(term, n_postings, bytes_raw, bytes_varint, ratio): the exact
+    storage profile of each term's doc_id posting list under delta +
+    LEB128-varint coding — the core index-engineering measurement
+    behind every inverted-index size budget (gaps between sorted
+    doc_ids are small for frequent terms, so varint bytes ≪ the 8-byte
+    raw encoding, and the per-term ratio tells which part of the
+    vocabulary the index spends its bytes on).
+
+    Exactness: gap(1st posting) = doc_id + 1 (delta from the implicit
+    −1 sentinel keeps every gap ≥ 1); varint size of g is the 7-bit
+    group count, computed with an integer CASE ladder (g < 128 → 1,
+    < 2¹⁴ → 2, < 2²¹ → 3, < 2²⁸ → 4, else 5) — no float log, both
+    engines exact. bytes_raw = 8·n (the uncompressed int64 list).
+
+    Scale shape: one distinct (term, doc_id) projection, a per-TERM
+    window over the posting list for gaps — the posting-list order is
+    the physical index layout, so this window IS the index build's
+    existing sort, not an extra one — and one groupBy(term) to sum
+    the byte ladder. All integer arithmetic end to end; the single
+    ratio division rounds to 6 dp."""
+    post = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .where(F.col("term") != "")
+        .select("term", "doc_id").distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gap = (
+        F.col("doc_id")
+        - F.coalesce(F.lag("doc_id").over(w), F.lit(-1))
+    ).alias("gap")
+    vb = (
+        F.when(F.col("gap") < 128, 1)
+        .when(F.col("gap") < (1 << 14), 2)
+        .when(F.col("gap") < (1 << 21), 3)
+        .when(F.col("gap") < (1 << 28), 4)
+        .otherwise(5)
+    )
+    return (
+        post.select("term", gap)
+        .select("term", vb.alias("vbytes"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            (F.count(F.lit(1)) * 8).alias("bytes_raw"),
+            F.sum("vbytes").cast("long").alias("bytes_varint"),
+        )
+        .select(
+            "term", "n_postings", "bytes_raw", "bytes_varint",
+            F.round(F.col("bytes_varint").cast("double")
+                    / F.col("bytes_raw").cast("double"), 6).alias("ratio"),
+        )
+    )

@@ -1896,6 +1896,35 @@ def sql_heaps_law(bucket_docs: int = 50) -> str:
     )
 
 
+def sql_postings_compression() -> str:
+    """Mirror of tfidf.postings_compression: distinct postings,
+    per-term lag gaps from the −1 sentinel, the identical integer
+    varint-size CASE ladder, ROUND 6 ratio."""
+    vb = (
+        "CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2 "
+        "WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4 "
+        "ELSE 5 END"
+    )
+    return _with(
+        [("tk",
+          "SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+          "FROM documents"),
+         ("post",
+          "SELECT DISTINCT term, doc_id FROM tk WHERE term <> ''"),
+         ("gaps",
+          "SELECT term, doc_id - COALESCE(LAG(doc_id) OVER "
+          "(PARTITION BY term ORDER BY doc_id), -1) AS gap FROM post"),
+         ("agg",
+          f"SELECT term, CAST(COUNT(*) AS BIGINT) AS n_postings, "
+          f"CAST(COUNT(*) * 8 AS BIGINT) AS bytes_raw, "
+          f"CAST(SUM({vb}) AS BIGINT) AS bytes_varint "
+          f"FROM gaps GROUP BY term")],
+        "SELECT term, n_postings, bytes_raw, bytes_varint, "
+        "ROUND(CAST(bytes_varint AS DOUBLE) / CAST(bytes_raw AS DOUBLE), "
+        "6) AS ratio FROM agg",
+    )
+
+
 def sql_spelling_variants(max_bucket: int = 64, min_len: int = 3) -> str:
     """Mirror of tfidf.spelling_variants_demo: identical typo
     planting, deletion-neighborhood candidates (list_transform over

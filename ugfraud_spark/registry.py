@@ -1815,6 +1815,13 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf.vocab_topk(tables.load(spark, sf_dir, "documents"))
 
 
+def q_postings_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta+varint storage profile per posting list — the index size
+    budget measurement (tfidf.postings_compression)."""
+    return tfidf.postings_compression(
+        tables.load(spark, sf_dir, "documents"))
+
+
 def q_spelling_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SymSpell deletion-neighborhood fuzzy vocabulary match:
     edit-distance-1 term pairs with counts, candidates via shared
@@ -2424,6 +2431,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "heaps_law": (q_heaps_law, oracle.sql_heaps_law()),
         "spelling_variants": (q_spelling_variants,
                               oracle.sql_spelling_variants()),
+        "postings_compression": (q_postings_compression,
+                                 oracle.sql_postings_compression()),
         "clustering_coefficient": _uni(q_clustering,
                                        oracle.sql_clustering(mod=m)),
         "degree_assortativity": _uni(q_assortativity,
