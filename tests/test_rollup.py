@@ -56,3 +56,61 @@ def test_rollup_keys_stay_separate(spark):
                               value="value", grains=("hour", "day"))
     day = {(r["k"]): r for r in out.collect() if r["grain"] == "day"}
     assert day["a"]["sum_value"] == 1.0 and day["b"]["sum_value"] == 5.0
+
+
+def test_kleinberg_bursts_vs_bruteforce(spark):
+    """Planted 3-day surge inside a flat series: the decoded path
+    equals exhaustive minimization over all 2^T state paths under the
+    exact same 6dp-decimal cost model, and the burst run covers
+    exactly the surge."""
+    import datetime
+    import itertools
+    import math
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from ugfraud_spark.operators import funnel
+
+    counts = [2, 2, 2, 20, 22, 21, 2, 2, 2, 2]
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + datetime.timedelta(days=d),
+                         1, "click", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r["day"]: r["state"]
+           for r in funnel.kleinberg_bursts(ev).collect()}
+
+    T = len(counts)
+    l0 = sum(counts) / T
+    l1 = funnel.BURST_S * l0
+
+    def q6(x):
+        return Decimal(str(round(x, 6)))
+
+    g = q6(funnel.BURST_GAMMA * math.log(T))
+    e = [[q6(l0 - n * math.log(l0)), q6(l1 - n * math.log(l1))]
+         for n in counts]
+    best, best_cost = None, None
+    for path in itertools.product((0, 1), repeat=T):
+        cost = e[0][path[0]] + (g if path[0] == 1 else Decimal(0))
+        for t in range(1, T):
+            cost += e[t][path[t]]
+            if path[t - 1] == 0 and path[t] == 1:
+                cost += g
+        # match the engine's tie-break: lexicographically-smaller
+        # (base-state-preferring) path wins on equal cost
+        if best_cost is None or cost < best_cost or (
+                cost == best_cost and path < best):
+            best, best_cost = path, cost
+    want = {datetime.date(2024, 3, 1) + datetime.timedelta(days=d): s
+            for d, s in enumerate(best)}
+    assert got == want
+    assert [got[datetime.date(2024, 3, 1) + datetime.timedelta(days=d)]
+            for d in range(T)] == [0, 0, 0, 1, 1, 1, 0, 0, 0, 0]

@@ -3508,6 +3508,89 @@ def sql_mis(rounds: int | None = None, mod: int = UNI_MOD) -> str:
     return _with(ctes, final)
 
 
+def sql_kleinberg_bursts(s: float = 2.0, gamma: float = 1.0,
+                         t_max: int = 40) -> str:
+    """Mirror of funnel.kleinberg_bursts: dense global day grid,
+    6dp-rounded emission/transition costs frozen into DECIMAL(28,6),
+    the identical forward recurrence (ties prefer base state) unrolled
+    ``t_max`` steps with pass-through beyond the actual range, then
+    the decision-table backtrack. All comparisons are exact decimal
+    arithmetic, so the decoded path equals the engine's bit for bit."""
+    ctes = [
+        ("d0",
+         "SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n "
+         "FROM events GROUP BY 1, 2"),
+        ("rng",
+         "SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM d0"),
+        ("days",
+         "SELECT CAST(unnest(generate_series(0, "
+         "CAST(dmax - dmin AS INTEGER))) AS INTEGER) AS idx, dmin "
+         "FROM rng"),
+        ("types", "SELECT DISTINCT event_type FROM d0"),
+        ("grid",
+         "SELECT t.event_type, d.idx, d.dmin + d.idx AS day, "
+         "COALESCE(d0.n, 0) AS n FROM types t CROSS JOIN days d "
+         "LEFT JOIN d0 ON d0.event_type = t.event_type "
+         "AND d0.day = d.dmin + d.idx"),
+        ("tstat",
+         "SELECT event_type, SUM(n) AS s1, COUNT(*) AS tt "
+         "FROM grid GROUP BY event_type"),
+        ("lam",
+         f"SELECT event_type, CAST(s1 AS DOUBLE) / tt AS l0, "
+         f"{_d(s)} * (CAST(s1 AS DOUBLE) / tt) AS l1, "
+         f"CAST(ROUND({_d(gamma)} * LN(CAST(tt AS DOUBLE)), 6) "
+         f"AS DECIMAL(28,6)) AS g FROM tstat"),
+        ("em",
+         "SELECT g.event_type, g.idx, g.day, g.n, "
+         "CAST(ROUND(l.l0 - g.n * LN(l.l0), 6) AS DECIMAL(28,6)) AS e0, "
+         "CAST(ROUND(l.l1 - g.n * LN(l.l1), 6) AS DECIMAL(28,6)) AS e1, "
+         "l.g FROM grid g JOIN lam l USING (event_type)"),
+        ("s0",
+         "SELECT event_type, e0 AS c0, e1 + g AS c1, g "
+         "FROM em WHERE idx = 0"),
+    ]
+    for t in range(1, t_max):
+        ctes.append((
+            f"dec{t}",
+            f"SELECT p.event_type, "
+            f"CASE WHEN p.c0 <= p.c1 THEN 0 ELSE 1 END AS p0, "
+            f"CASE WHEN p.c0 + p.g <= p.c1 THEN 0 ELSE 1 END AS p1, "
+            f"CASE WHEN e.idx IS NULL THEN 0 ELSE 1 END AS ex "
+            f"FROM s{t-1} p LEFT JOIN "
+            f"(SELECT * FROM em WHERE idx = {t}) e USING (event_type)",
+        ))
+        ctes.append((
+            f"s{t}",
+            f"SELECT p.event_type, "
+            f"CASE WHEN e.idx IS NULL THEN p.c0 "
+            f"ELSE e.e0 + LEAST(p.c0, p.c1) END AS c0, "
+            f"CASE WHEN e.idx IS NULL THEN p.c1 "
+            f"ELSE e.e1 + LEAST(p.c0 + p.g, p.c1) END AS c1, p.g "
+            f"FROM s{t-1} p LEFT JOIN "
+            f"(SELECT * FROM em WHERE idx = {t}) e USING (event_type)",
+        ))
+    ctes.append((
+        f"st{t_max-1}",
+        f"SELECT event_type, CASE WHEN c0 <= c1 THEN 0 ELSE 1 END AS st "
+        f"FROM s{t_max-1}",
+    ))
+    for t in range(t_max - 1, 0, -1):
+        ctes.append((
+            f"st{t-1}",
+            f"SELECT b.event_type, CASE WHEN d.ex = 0 THEN b.st "
+            f"ELSE (CASE WHEN b.st = 0 THEN d.p0 ELSE d.p1 END) END AS st "
+            f"FROM st{t} b JOIN dec{t} d USING (event_type)",
+        ))
+    outs = " UNION ALL ".join(
+        f"SELECT e.event_type, e.day, CAST(e.n AS BIGINT) AS n_events, "
+        f"CAST(s.st AS BIGINT) AS state FROM "
+        f"(SELECT * FROM em WHERE idx = {t}) e "
+        f"JOIN st{t} s USING (event_type)"
+        for t in range(t_max)
+    )
+    return _with(ctes, outs)
+
+
 def sql_event_rate_anomaly(z_threshold: float = 2.0) -> str:
     """Mirror of funnel.event_rate_anomaly: identical integer-sum
     rewrite, one sqrt + one division (DuckDB SUM(BIGINT) is HUGEINT —

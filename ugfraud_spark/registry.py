@@ -1488,6 +1488,14 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.load(spark, sf_dir, "documents"))
 
 
+def q_kleinberg_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg 2-state burst automaton over daily event counts:
+    Viterbi decode with exact-decimal DP (funnel.kleinberg_bursts)."""
+    from .operators import funnel
+
+    return funnel.kleinberg_bursts(tables.load(spark, sf_dir, "events"))
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count–min-sketch heavy hitters over the event stream's user
     ids: d×w counter grid, min-over-rows estimate, top-k by estimate
@@ -2490,6 +2498,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "capture_recapture": (q_capture_recapture,
                               oracle.sql_capture_recapture()),
         "hll_registers": (q_hll_demo, oracle.sql_hll_demo()),
+        "kleinberg_bursts": (q_kleinberg_bursts,
+                             oracle.sql_kleinberg_bursts()),
         "cms_heavy_hitters": (q_cms_heavy_hitters,
                               oracle.sql_cms_heavy_hitters()),
         "hashed_features": (q_hashed_features,
