@@ -1955,3 +1955,40 @@ def test_label_spreading_vs_numpy(spark):
         assert out[v]["is_seed"] == (1 if v % 13 == 0 else 0)
     assert all(out[v]["score"] < 0.5 for v in (1, 2))       # clique A
     assert all(out[v]["score"] > 0.5 for v in (15, 16))     # clique B
+
+
+def test_birank_vs_numpy(spark):
+    """BiRank on a hand bipartite graph equals the dense numpy
+    iteration of the paper's recurrence with the same hash priors and
+    final 6dp round."""
+    import numpy as np
+
+    from ugfraud_spark.operators import birank as br
+    from ugfraud_spark.sources.tables import PRIOR_MOD, PRIOR_MULT
+
+    edges = [(1, 101), (1, 102), (2, 101), (3, 102), (3, 103), (4, 103)]
+    bip = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double")
+    got = {r["id"]: r["birank"] for r in br.birank(bip).collect()}
+
+    users = sorted({s for s, _ in edges})
+    prods = sorted({d for _, d in edges})
+    W = np.zeros((len(users), len(prods)))
+    for s, d in edges:
+        W[users.index(s), prods.index(d)] = 1.0
+    du, dp = W.sum(1), W.sum(0)
+    S = W / np.sqrt(np.outer(du, dp))
+
+    def prior(ids):
+        return np.array([((i * PRIOR_MULT) % PRIOR_MOD) / PRIOR_MOD
+                         for i in ids])
+
+    u0, p0 = prior(users), prior(prods)
+    u, a = u0.copy(), br.BIRANK_ALPHA
+    for _ in range(br.BIRANK_ITERS):
+        p = a * (S.T @ u) + (1 - a) * p0
+        u = a * (S @ p) + (1 - a) * u0
+    for i, v in enumerate(users):
+        assert got[v] == pytest.approx(round(u[i], 6), abs=2e-6)
+    for j, q in enumerate(prods):
+        assert got[q] == pytest.approx(round(p[j], 6), abs=2e-6)

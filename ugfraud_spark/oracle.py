@@ -636,6 +636,52 @@ def sql_assortativity(mod: int = UNI_MOD) -> str:
     )
 
 
+def sql_birank(alpha: float = 0.85, iters: int = 5) -> str:
+    """Mirror of birank.birank: one-time symmetric normalization,
+    alternating half-steps unrolled, hash priors via prior_expr,
+    ROUND 6 at the end."""
+    a = _d(alpha)
+    b = _d(1.0 - alpha)
+    ctes = [
+        ("bip", BIP),
+        ("e",
+         "SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM bip"),
+        ("du", "SELECT src, SUM(w) AS du FROM e GROUP BY src"),
+        ("dp", "SELECT dst, SUM(w) AS dp FROM e GROUP BY dst"),
+        ("en",
+         "SELECT e.src, e.dst, e.w / SQRT(du.du * dp.dp) AS s "
+         "FROM e JOIN du USING (src) JOIN dp USING (dst)"),
+        ("u0",
+         f"SELECT id, {prior_expr('id')} AS x FROM "
+         f"(SELECT DISTINCT src AS id FROM e)"),
+        ("pp0",
+         f"SELECT id, {prior_expr('id')} AS x FROM "
+         f"(SELECT DISTINCT dst AS id FROM e)"),
+    ]
+    prev_u = "u0"
+    for t in range(1, iters + 1):
+        ctes.append((
+            f"p{t}",
+            f"SELECT m.id, {a} * m.m + {b} * pp0.x AS x FROM ("
+            f"SELECT en.dst AS id, SUM(en.s * u.x) AS m FROM en "
+            f"JOIN {prev_u} u ON u.id = en.src GROUP BY en.dst) m "
+            f"JOIN pp0 ON pp0.id = m.id",
+        ))
+        ctes.append((
+            f"u{t}",
+            f"SELECT m.id, {a} * m.m + {b} * u0.x AS x FROM ("
+            f"SELECT en.src AS id, SUM(en.s * p.x) AS m FROM en "
+            f"JOIN p{t} p ON p.id = en.dst GROUP BY en.src) m "
+            f"JOIN u0 ON u0.id = m.id",
+        ))
+        prev_u = f"u{t}"
+    return _with(
+        ctes,
+        f"SELECT id, ROUND(x, 6) AS birank FROM u{iters} "
+        f"UNION ALL SELECT id, ROUND(x, 6) AS birank FROM p{iters}",
+    )
+
+
 def sql_oddball(mod: int = UNI_MOD) -> str:
     """Mirror of triangles.oddball_egonet: egonet sizes from degree +
     per-vertex triangles, OLS fit in 6dp-rounded log-log space with

@@ -1299,6 +1299,15 @@ def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles.clustering_coefficient(e)
 
 
+def q_birank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BiRank symmetric-normalized smoothing over the user-product
+    review bipartite graph — the bipartite personalized-PageRank
+    analog from the fraud/review-ranking literature (birank.birank)."""
+    from .operators import birank as br
+
+    return br.birank(tables.bipartite_edges(spark, sf_dir))
+
+
 def q_oddball(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OddBall egonet-density anomaly score per vertex: egonet sizes
     from degree + triangles, log-log OLS fit broadcast back, score =
@@ -2446,6 +2455,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "degree_assortativity": _uni(q_assortativity,
                                      oracle.sql_assortativity(mod=m)),
         "oddball_egonet": _uni(q_oddball, oracle.sql_oddball(mod=m)),
+        "birank": (q_birank, oracle.sql_birank()),
         "ktruss_edges": _uni(q_ktruss, oracle.sql_ktruss(k=4, rounds=6,
                                                          mod=m)),
         "coreness": _uni(q_coreness, oracle.sql_coreness(mod=m)),
