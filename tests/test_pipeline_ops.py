@@ -2292,3 +2292,32 @@ def test_doc_novelty_hand_corpus(spark):
     # doc 4: distinct grams {abc, bca, cab} (the repeated abc
     # collapses), abc already owned by doc 1 -> 2 of 3 novel
     assert (out[4]["n_grams"], out[4]["n_novel"]) == (3, 2)
+
+
+def test_weighted_sample_vs_python(spark):
+    """ES sample replicated in python hash-for-hash: same keys, same
+    exact-k cut; heavier docs are sampled at a visibly higher rate
+    (the weighted-without-replacement property the Poisson sampler
+    cannot give at fixed k)."""
+    import hashlib
+    import math
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.lit("t").alias("text"),
+        # two weight strata: heavy (1000) for ids < 100, light (10)
+        F.when(F.col("id") < 100, 1000).otherwise(10).alias("n_chars"))
+    out = {r["doc_id"]: r for r in mix.weighted_sample(docs).collect()}
+
+    keys = {}
+    for i in range(400):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (h + 1) / float(1 << 32)
+        w = 1000 if i < 100 else 10
+        keys[i] = round(math.log(u) / w, 6)
+    topk = sorted(keys, key=lambda i: (-keys[i], i))[:100]
+    for i in range(400):
+        assert out[i]["key"] == pytest.approx(keys[i], abs=2e-6)
+        assert out[i]["sampled"] == (1 if i in set(topk) else 0)
+    heavy = sum(1 for i in topk if i < 100)
+    assert heavy >= 60  # heavy stratum dominates the fixed-k sample

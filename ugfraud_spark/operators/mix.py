@@ -202,3 +202,38 @@ def dsir_weights(docs: DataFrame, target_lang: str = DSIR_TARGET_LANG,
                 F.coalesce(F.col("is_sel"), F.lit(0)).cast("long")
                 .alias("selected"))
     )
+
+
+# Efraimidis-Spirakis weighted sampling without replacement (*Weighted
+# random sampling with a reservoir*, IPL 2006): give item i the key
+# u_i^(1/w_i) with u_i uniform — the k largest keys are an EXACT-size
+# weighted sample without replacement, computable as a top-k with no
+# coordination (importance_sample's Poisson filter above only controls
+# the EXPECTED size; this is the fixed-budget variant a curriculum
+# sampler wants). Deterministic here: u_i derives from the md5 hash.
+ES_SAMPLE_K = 100
+
+
+def weighted_sample(docs: DataFrame, k: int = ES_SAMPLE_K) -> DataFrame:
+    """(doc_id, w, key, sampled): ES keys over the documents table
+    with w = n_chars (any positive weight column works), sampled = 1
+    for the k largest (key DESC, doc_id ASC) — a bounded TakeOrdered,
+    never a global sort. Keys are ln(u)/w (the log-domain ES variant
+    — monotone in u^(1/w), overflow-free), u = (md5_low32+1)/2^32 ∈
+    (0,1], rounded to 6 dp with the doc_id tie-break making the k-cut
+    a total order."""
+    from .features import _md5_int
+
+    h = _md5_int(F.col("doc_id").cast("string"))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 32))
+    key = F.round(F.log(u) / F.col("n_chars").cast("double"), 6)
+    scored = docs.select("doc_id", F.col("n_chars").alias("w"),
+                         key.alias("key"))
+    top = (scored.orderBy(F.desc("key"), F.asc("doc_id")).limit(k)
+           .select("doc_id", F.lit(1).alias("is_s")))
+    return (
+        scored.join(top, "doc_id", "left")
+        .select("doc_id", "w", "key",
+                F.coalesce(F.col("is_s"), F.lit(0)).cast("long")
+                .alias("sampled"))
+    )

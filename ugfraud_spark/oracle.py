@@ -2355,6 +2355,24 @@ def sql_dsir_weights(target_lang: str = "en", n_buckets: int = 256,
     )
 
 
+def sql_weighted_sample(k: int = 100) -> str:
+    """Mirror of mix.weighted_sample: same md5-derived u, log-domain
+    ES key rounded to 6 dp, top-k by (key DESC, doc_id)."""
+    return _with(
+        [("scored",
+          f"SELECT doc_id, n_chars AS w, ROUND(LN(("
+          f"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+          f"+ 1) / {_d(float(1 << 32))}) "
+          f"/ CAST(n_chars AS DOUBLE), 6) AS key FROM documents"),
+         ("top",
+          f"SELECT doc_id FROM scored ORDER BY key DESC, doc_id "
+          f"LIMIT {k}")],
+        "SELECT s.doc_id, s.w, s.key, "
+        "CAST(CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) "
+        "AS sampled FROM scored s LEFT JOIN top t ON t.doc_id = s.doc_id",
+    )
+
+
 def sql_corpus_sample_mix(rates: dict[str, float],
                           default_rate: float) -> str:
     """Mirror of mix.corpus_sample: keep a doc iff its Knuth hash falls

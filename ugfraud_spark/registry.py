@@ -1058,6 +1058,14 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl.crawl_delta_demo(tables.load(spark, sf_dir, "documents"))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis exact-k weighted sample without replacement
+    via deterministic hash keys (mix.weighted_sample)."""
+    from .operators import mix
+
+    return mix.weighted_sample(tables.load(spark, sf_dir, "documents"))
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection: hashed unigram+bigram importance weights
     (target = English slice vs raw corpus), deterministic top-N keep
@@ -2398,6 +2406,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                              oracle.sql_robots_admission()),
         "skipgram_pairs": (q_skipgram_pairs, oracle.sql_skipgram_pairs()),
         "dsir_weights": (q_dsir_weights, oracle.sql_dsir_weights()),
+        "weighted_sample": (q_weighted_sample,
+                            oracle.sql_weighted_sample()),
         "importance_sample": _uni(q_importance_sample,
                                   oracle.sql_importance_sample(mod=m)),
         "host_churn": (q_host_churn, oracle.sql_host_churn()),
