@@ -1992,3 +1992,29 @@ def test_birank_vs_numpy(spark):
         assert got[v] == pytest.approx(round(u[i], 6), abs=2e-6)
     for j, q in enumerate(prods):
         assert got[q] == pytest.approx(round(p[j], 6), abs=2e-6)
+
+
+def test_degree_entropy_known_distributions(spark):
+    """Entropy closed forms: a regular in-degree distribution scores
+    0; a clean 50/50 split of two in-degrees scores ln 2 under the
+    6dp term rounding."""
+    import math
+
+    from ugfraud_spark.operators import degrees as D
+
+    # 4 targets each of in-degree 2: sources are fresh odd ids so they
+    # add no in-degree of their own
+    reg = [(100 + i, t) for t in (1, 2, 3, 4) for i in (0, 10)]
+    e = spark.createDataFrame(reg, "src long, dst long")
+    r = D.degree_entropy(e).collect()[0]
+    assert (r["n_vertices"], r["n_degrees"]) == (4, 1)
+    assert r["entropy"] == 0.0
+
+    # two targets of degree 1, two of degree 3 -> H = ln 2
+    mix = [(200, 1), (201, 2)] + \
+          [(210 + i, 3) for i in range(3)] + [(220 + i, 4) for i in range(3)]
+    e2 = spark.createDataFrame(mix, "src long, dst long")
+    r2 = D.degree_entropy(e2).collect()[0]
+    assert (r2["n_vertices"], r2["n_degrees"]) == (4, 2)
+    assert r2["entropy"] == pytest.approx(
+        2 * round(0.5 * math.log(2), 6), abs=2e-6)

@@ -259,3 +259,22 @@ def test_postings_compression_hand_lists(spark):
     assert s["n_postings"] == 3 and s["bytes_raw"] == 24
     assert s["bytes_varint"] == 1 + 2 + 3
     assert s["ratio"] == 0.25
+
+
+def test_zipf_alpha_known_counts(spark):
+    """CSN discrete MLE on a corpus engineered to known trigram
+    counts: within-doc repetition drives the counts, and the closed
+    form over {3,2,2} reproduces alpha exactly."""
+    import math
+
+    from ugfraud_spark.operators.tfidf import zipf_alpha
+
+    # doc engineered so gram "a b c" appears 3x, "b c a"/"c a b" 2x,
+    # and the tail grams only once (below cmin=2)
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c x y z")], "doc_id long, text string")
+    r = zipf_alpha(docs).collect()[0]
+    counts = [3, 2, 2]
+    s = sum(round(math.log(c / 1.5), 6) for c in counts)
+    assert r["n_tail"] == 3
+    assert r["alpha"] == pytest.approx(round(1.0 + 3 / s, 6), abs=2e-6)

@@ -205,3 +205,27 @@ def knn_curve(und: DataFrame) -> DataFrame:
             .alias("avg_nbr_deg"),
         )
     )
+
+
+def degree_entropy(edges_dir: DataFrame) -> DataFrame:
+    """(n_vertices, n_degrees, entropy): Shannon entropy of the
+    in-degree distribution, H = −Σ p_k·ln p_k — the heterogeneity
+    scalar web-graph releases report beside the power-law exponent
+    (H rises as the degree mix diversifies; a regular graph scores 0).
+    Float discipline: each −p·ln p term is rounded to 6 dp and summed
+    as exact DECIMAL (associative), one final round — the
+    powerlaw_alpha contract. Two map-side-combined groupBys, then a
+    |distinct degrees|-row aggregate; nothing else."""
+    deg = in_degree(edges_dir)
+    hist = deg.groupBy("in_deg").agg(F.count(F.lit(1)).alias("n_k"))
+    tot = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    p = F.col("n_k").cast("double") / F.col("n_vertices").cast("double")
+    term = F.round(-p * F.log(p), 6).cast("decimal(28,6)")
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n_vertices").alias("n_vertices"),
+            F.count(F.lit(1)).alias("n_degrees"),
+            F.round(F.sum(term).cast("double"), 6).alias("entropy"),
+        )
+    )

@@ -801,6 +801,25 @@ def sql_powerlaw_alpha(dmin: int = 2, mod: int = UNI_MOD) -> str:
     )
 
 
+def sql_degree_entropy(mod: int = UNI_MOD) -> str:
+    """Mirror of degrees.degree_entropy: in-degree histogram, exact
+    DECIMAL-summed −p·ln p terms, final ROUND 6."""
+    return _with(
+        [("uni", uni_frag(mod)),
+         ("deg",
+          "SELECT dst AS id, COUNT(*) AS d FROM uni GROUP BY dst"),
+         ("tot", "SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices FROM deg"),
+         ("hist", "SELECT d, COUNT(*) AS n_k FROM deg GROUP BY d")],
+        "SELECT MAX(t.n_vertices) AS n_vertices, "
+        "CAST(COUNT(*) AS BIGINT) AS n_degrees, "
+        "ROUND(CAST(SUM(CAST(ROUND("
+        "-(CAST(n_k AS DOUBLE) / CAST(t.n_vertices AS DOUBLE)) "
+        "* LN(CAST(n_k AS DOUBLE) / CAST(t.n_vertices AS DOUBLE)), 6) "
+        "AS DECIMAL(28,6))) AS DOUBLE), 6) AS entropy "
+        "FROM hist, tot t",
+    )
+
+
 def sql_bowtie(iters: int = 10, mod: int = UNI_MOD) -> str:
     """Mirror of bowtie.bowtie: two unrolled directed reachability
     chains from the min-id pivot (forward and reverse), identical
@@ -1939,6 +1958,29 @@ def sql_heaps_law(bucket_docs: int = 50) -> str:
           "FROM fit0")],
         "SELECT xy.bucket, xy.cum_tokens, xy.cum_vocab, f.beta, f.ln_k "
         "FROM xy, fit f",
+    )
+
+
+def sql_zipf_alpha(cmin: int = 2) -> str:
+    """Mirror of tfidf.zipf_alpha: trigram type counts, CSN discrete
+    MLE with 6dp/DECIMAL-summed log terms."""
+    return _with(
+        [("t",
+          "SELECT doc_id, string_split(text, ' ') AS toks "
+          "FROM documents"),
+         ("sh",
+          "SELECT unnest(list_transform(generate_series(1, "
+          "GREATEST(len(toks) - 2, 0)), i -> array_to_string("
+          "list_slice(toks, i, i + 2), ' '))) AS g FROM t"),
+         ("cnt",
+          f"SELECT g, COUNT(*) AS c FROM sh GROUP BY g "
+          f"HAVING COUNT(*) >= {cmin}"),
+         ("s",
+          f"SELECT CAST(COUNT(*) AS BIGINT) AS n_tail, "
+          f"CAST(SUM(CAST(ROUND(LN(CAST(c AS DOUBLE) / {_d(cmin - 0.5)}),"
+          f" 6) AS DECIMAL(28,6))) AS DOUBLE) AS s FROM cnt")],
+        "SELECT n_tail, ROUND(CAST(1.0 AS DOUBLE) "
+        "+ CAST(n_tail AS DOUBLE) / s, 6) AS alpha FROM s",
     )
 
 

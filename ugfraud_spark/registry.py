@@ -1394,6 +1394,13 @@ def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees.reciprocity(tables.uni_edges_directed(spark, sf_dir))
 
 
+def q_degree_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the in-degree distribution — the
+    heterogeneity scalar beside the power-law exponent
+    (degrees.degree_entropy)."""
+    return degrees.degree_entropy(tables.uni_edges_directed(spark, sf_dir))
+
+
 def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clauset–Shalizi–Newman discrete-data MLE approximation of the
     in-degree power-law
@@ -1838,6 +1845,12 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     count with document frequency — one groupBy(term) with map-side
     partials, top-k as TakeOrdered (no global sort)."""
     return tfidf.vocab_topk(tables.load(spark, sf_dir, "documents"))
+
+
+def q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSN discrete-MLE Zipf exponent of the trigram-type frequency
+    distribution (tfidf.zipf_alpha)."""
+    return tfidf.zipf_alpha(tables.load(spark, sf_dir, "documents"))
 
 
 def q_postings_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2460,6 +2473,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                               oracle.sql_spelling_variants()),
         "postings_compression": (q_postings_compression,
                                  oracle.sql_postings_compression()),
+        "zipf_alpha": (q_zipf_alpha, oracle.sql_zipf_alpha()),
         "clustering_coefficient": _uni(q_clustering,
                                        oracle.sql_clustering(mod=m)),
         "degree_assortativity": _uni(q_assortativity,
@@ -2475,6 +2489,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "host_rank": _uni(q_host_rank,
                           oracle.sql_host_rank(iters=PR_ITERS, mod=m)),
         "reciprocity": _uni(q_reciprocity, oracle.sql_reciprocity(mod=m)),
+        "degree_entropy": _uni(q_degree_entropy,
+                               oracle.sql_degree_entropy(mod=m)),
         "powerlaw_alpha": _uni(q_powerlaw_alpha,
                                oracle.sql_powerlaw_alpha(mod=m)),
         "lm_doc_scores": (q_lm_doc_scores, oracle.sql_lm_doc_scores()),
