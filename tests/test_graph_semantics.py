@@ -2018,3 +2018,74 @@ def test_degree_entropy_known_distributions(spark):
     assert (r2["n_vertices"], r2["n_degrees"]) == (4, 2)
     assert r2["entropy"] == pytest.approx(
         2 * round(0.5 * math.log(2), 6), abs=2e-6)
+
+
+def test_wl_refinement_collapses_symmetric_vertices(spark):
+    """1-WL invariants on a star + path + twin triangles: leaves of
+    the star are interchangeable (one class of 5), the path pairs up
+    by mirror symmetry, and the two disjoint triangles fuse into a
+    single class of 6 (the classic 1-WL blind spot, asserted as
+    such)."""
+    from ugfraud_spark.operators import labelprop as LP
+
+    star = [(0, v) for v in range(1, 6)]
+    path = [(10, 11), (11, 12), (12, 13), (13, 14)]
+    tri2 = [(20, 21), (21, 22), (20, 22), (30, 31), (31, 32), (30, 32)]
+    df = spark.createDataFrame(star + path + tri2, "a long, b long")
+    out = {r["id"]: r for r in LP.wl_refinement(df).collect()}
+
+    leaf_colors = {out[v]["wl_color"] for v in range(1, 6)}
+    assert len(leaf_colors) == 1 and out[1]["class_size"] == 5
+    assert out[0]["wl_color"] not in leaf_colors
+    assert out[10]["wl_color"] == out[14]["wl_color"]
+    assert out[11]["wl_color"] == out[13]["wl_color"]
+    assert len({out[v]["wl_color"] for v in (10, 11, 12)}) == 3
+    tri_colors = {out[v]["wl_color"] for v in (20, 21, 22, 30, 31, 32)}
+    assert len(tri_colors) == 1 and out[20]["class_size"] == 6
+
+
+def test_graphlet_orbits3_vs_bruteforce(spark):
+    """Orbit closed forms vs direct enumeration on a clique+path+star
+    composite: o0..o3 counted by brute force over all vertex triples
+    must match the degree/neighbor-degree/triangle derivation."""
+    import itertools
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    star = [(10, v) for v in (11, 12, 13)]
+    path = [(3, 10), (13, 20), (20, 21)]
+    edges = clique + star + path
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = {r["id"]: r for r in
+           triangles.graphlet_orbits3(df).collect()}
+
+    es = {tuple(sorted(e)) for e in edges}
+    verts = sorted({v for e in edges for v in e})
+    adj = {v: {b for a, b in es if a == v} | {a for a, b in es if b == v}
+           for v in verts}
+    o = {v: [0, 0, 0, 0] for v in verts}
+    for v in verts:
+        o[v][0] = len(adj[v])
+    for x, y, z in itertools.combinations(verts, 3):
+        e_xy = (min(x, y), max(x, y)) in es
+        e_xz = (min(x, z), max(x, z)) in es
+        e_yz = (min(y, z), max(y, z)) in es
+        k = e_xy + e_xz + e_yz
+        if k == 3:
+            for v in (x, y, z):
+                o[v][3] += 1
+        elif k == 2:
+            # the center is the vertex on both edges
+            if e_xy and e_xz:
+                c = x
+            elif e_xy and e_yz:
+                c = y
+            else:
+                c = z
+            for v in (x, y, z):
+                if v == c:
+                    o[v][2] += 1
+                elif (min(v, c), max(v, c)) in es:
+                    o[v][1] += 1
+    for v in verts:
+        got = (out[v]["o0"], out[v]["o1"], out[v]["o2"], out[v]["o3"])
+        assert got == tuple(o[v]), (v, got, o[v])

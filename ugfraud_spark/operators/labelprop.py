@@ -217,3 +217,56 @@ def label_spreading(edges_ab: DataFrame, seed_mod: int = LS_SEED_MOD,
         "id", F.round("score", 6).alias("score"),
         (F.col("id") % seed_mod == 0).cast("long").alias("is_seed"),
     )
+
+
+WL_ITERS = 3
+
+
+def wl_refinement(edges_ab: DataFrame, iters: int = WL_ITERS) -> DataFrame:
+    """(id, wl_color, class_size): ``iters`` rounds of 1-dimensional
+    Weisfeiler-Lehman color refinement over the undirected graph —
+    color'(v) = md5(color(v) || sorted multiset of neighbor colors) —
+    plus the size of each vertex's final color class. Two vertices
+    share a final color iff their ``iters``-hop rooted neighborhood
+    trees agree: THE structural-role signature graph kernels are built
+    on, and a fraud-relevant one (review-farm accounts are
+    structurally interchangeable, so they collapse into one class;
+    organic users spread out). Initial color = the degree (WL's
+    canonical degree-initialized form).
+
+    Determinism: the neighbor multiset is a SORTED array of color
+    strings joined with '|' before hashing — no hash-order or
+    partitioning dependence; md5 is the house portable hash. Scale
+    shape per round: one edge⋈state join + one per-vertex sorted
+    collect_list (bounded by degree — the same per-vertex state any
+    WL implementation must hold) + a narrow md5 map; class sizes are
+    one extra groupBy at the end."""
+    sym = colocate_edges(
+        edges_ab.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(edges_ab.select(F.col("b").alias("src"),
+                                  F.col("a").alias("dst")))
+    )
+    deg = (
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    state = deg.select("id", F.col("d").cast("string").alias("c"))
+    for _ in range(iters):
+        state = (
+            sym.join(state.select(F.col("id").alias("src"),
+                                  F.col("c")).hint("shuffle_hash"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.array_sort(F.collect_list("c")).alias("nc"))
+            .join(state, "id")
+            .select(
+                "id",
+                F.md5(F.concat_ws("|", F.array(F.col("c")),
+                                  F.col("nc"))).alias("c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = state.groupBy("c").agg(F.count(F.lit(1)).alias("class_size"))
+    return (
+        state.join(sizes, "c")
+        .select("id", F.col("c").alias("wl_color"), "class_size")
+    )

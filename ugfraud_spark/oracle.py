@@ -491,6 +491,35 @@ def sql_label_spreading(iters: int = 5, seed_mod: int = 13,
     )
 
 
+def sql_wl_refinement(iters: int = 3, mod: int = UNI_MOD) -> str:
+    """Mirror of labelprop.wl_refinement: degree-string init, sorted
+    neighbor-color lists (binary collation = Spark's UTF8 ordering)
+    joined with '|' and md5'd, class sizes at the end."""
+    ctes = [
+        ("uni", uni_frag(mod)), ("und", UND), ("sym", SYM),
+        ("deg", "SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY src"),
+        ("s0", "SELECT id, CAST(d AS VARCHAR) AS c FROM deg"),
+    ]
+    for t in range(1, iters + 1):
+        ctes.append((
+            f"nc{t}",
+            f"SELECT sym.dst AS id, list(s.c ORDER BY s.c) AS nc "
+            f"FROM sym JOIN s{t-1} s ON s.id = sym.src GROUP BY sym.dst",
+        ))
+        ctes.append((
+            f"s{t}",
+            f"SELECT n.id, md5(s.c || '|' || array_to_string(n.nc, '|')) "
+            f"AS c FROM nc{t} n JOIN s{t-1} s ON s.id = n.id",
+        ))
+    return _with(
+        ctes + [("sizes",
+                 f"SELECT c, CAST(COUNT(*) AS BIGINT) AS class_size "
+                 f"FROM s{iters} GROUP BY c")],
+        f"SELECT s.id, s.c AS wl_color, z.class_size "
+        f"FROM s{iters} s JOIN sizes z ON z.c = s.c",
+    )
+
+
 def sql_lpa(iters: int = 4, mod: int = UNI_MOD) -> str:
     """Synchronous label propagation, deterministic tie-break: the new
     label is the neighbor label with the highest count, ties broken by
@@ -679,6 +708,35 @@ def sql_birank(alpha: float = 0.85, iters: int = 5) -> str:
         ctes,
         f"SELECT id, ROUND(x, 6) AS birank FROM u{iters} "
         f"UNION ALL SELECT id, ROUND(x, 6) AS birank FROM p{iters}",
+    )
+
+
+def sql_graphlet_orbits3(mod: int = UNI_MOD) -> str:
+    """Mirror of triangles.graphlet_orbits3: identical closed forms
+    over degree, neighbor-degree sum, and the triangle count — all
+    integer arithmetic."""
+    tri = (
+        "SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1 "
+        "JOIN und e2 ON e2.a = e1.b "
+        "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+    return _with(
+        [("uni", uni_frag(mod)), ("und", UND), ("sym", SYM),
+         ("tri", tri),
+         ("m", "SELECT x AS id FROM tri UNION ALL SELECT y FROM tri "
+               "UNION ALL SELECT z FROM tri"),
+         ("tcnt", "SELECT id, COUNT(*) AS t FROM m GROUP BY id"),
+         ("deg",
+          "SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY src"),
+         ("nbr",
+          "SELECT sym.src AS id, SUM(dd.d - 1) AS snd FROM sym "
+          "JOIN deg dd ON dd.id = sym.dst GROUP BY sym.src")],
+        "SELECT deg.id, CAST(deg.d AS BIGINT) AS o0, "
+        "CAST(nbr.snd - 2 * COALESCE(t.t, 0) AS BIGINT) AS o1, "
+        "CAST((deg.d * (deg.d - 1)) // 2 - COALESCE(t.t, 0) AS BIGINT) "
+        "AS o2, CAST(COALESCE(t.t, 0) AS BIGINT) AS o3 "
+        "FROM deg JOIN nbr ON nbr.id = deg.id "
+        "LEFT JOIN tcnt t ON t.id = deg.id",
     )
 
 

@@ -354,6 +354,14 @@ def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labelprop.lpa(e, iters=LPA_ITERS)
 
 
+def q_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-WL color refinement: structural-role signatures whose color
+    classes collapse structurally interchangeable vertices
+    (labelprop.wl_refinement)."""
+    e = tables.uni_edges_undirected(spark, sf_dir)
+    return labelprop.wl_refinement(e)
+
+
 def q_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zhu-Ghahramani clamped-harmonic label spreading from hash
     seeds — the graph-smoothness baseline beside GANG/ZooBP/SpEagle
@@ -1305,6 +1313,13 @@ def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     link graph (degree + oriented triangle count + one left join)."""
     e = tables.uni_edges_undirected(spark, sf_dir)
     return triangles.clustering_coefficient(e)
+
+
+def q_graphlet_orbits3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-node graphlet degree vectors (orbits 0-3) from closed forms
+    over degree/neighbor-degree/triangles (triangles.graphlet_orbits3)."""
+    e = tables.uni_edges_undirected(spark, sf_dir)
+    return triangles.graphlet_orbits3(e)
 
 
 def q_birank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2480,6 +2495,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
                                      oracle.sql_assortativity(mod=m)),
         "oddball_egonet": _uni(q_oddball, oracle.sql_oddball(mod=m)),
         "birank": (q_birank, oracle.sql_birank()),
+        "graphlet_orbits3": _uni(q_graphlet_orbits3,
+                                 oracle.sql_graphlet_orbits3(mod=m)),
         "ktruss_edges": _uni(q_ktruss, oracle.sql_ktruss(k=4, rounds=6,
                                                          mod=m)),
         "coreness": _uni(q_coreness, oracle.sql_coreness(mod=m)),
@@ -2559,6 +2576,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
             oracle.sql_pagerank_dangling(iters=PR_ITERS, mod=m)),
         "label_spreading": _uni(q_label_spreading,
                                 oracle.sql_label_spreading(mod=m)),
+        "wl_refinement": _uni(q_wl_refinement,
+                              oracle.sql_wl_refinement(mod=m)),
         "lpa_conductance": _uni(
             q_lpa_conductance,
             oracle.sql_lpa_conductance(iters=LPA_ITERS, mod=m)),
