@@ -2321,3 +2321,17 @@ def test_weighted_sample_vs_python(spark):
         assert out[i]["sampled"] == (1 if i in set(topk) else 0)
     heavy = sum(1 for i in topk if i < 100)
     assert heavy >= 60  # heavy stratum dominates the fixed-k sample
+
+
+def test_quantile_transform_midrank(spark):
+    """Midrank CDF on a known multiset {1,1,2,3}: ties share one
+    value, ends stay strictly inside (0,1), and the map is monotone."""
+    from ugfraud_spark.operators import features
+
+    docs = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (4, 3)], "doc_id long, n_chars long")
+    out = {r["doc_id"]: r["cdf"]
+           for r in features.quantile_transform(docs).collect()}
+    assert out[1] == out[2] == 0.25     # (0 + 0.5*2)/4
+    assert out[3] == 0.625              # (2 + 0.5)/4
+    assert out[4] == 0.875              # (3 + 0.5)/4

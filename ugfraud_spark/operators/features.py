@@ -104,3 +104,45 @@ def quantize_embeddings(embs: DataFrame, bits: int = 8) -> DataFrame:
         "vec_id", "dim", "code",
         F.round(dequant, 6).alias("dequant"),
     )
+
+
+def quantile_transform(docs: DataFrame, value_col: str = "n_chars"
+                       ) -> DataFrame:
+    """(doc_id, v, cdf): each document's value mapped to its midrank
+    empirical CDF position, cdf = (#{v' < v} + ½·#{v = v}) / N — the
+    rank-normalization (sklearn's QuantileTransformer with the
+    midrank convention) that makes downstream thresholds
+    distribution-free. Ties share one CDF value by construction, so
+    the map is a pure function of the value — deterministic and
+    engine-exact.
+
+    Scale shape: ONE value-frequency groupBy, a prefix sum over the
+    DISTINCT-VALUE totals only (value cardinality, not corpus rows —
+    the packing.py bounded-window pattern; continuous signals are
+    6dp-quantized by the house rounding before they reach this op,
+    which bounds the cardinality), and a value-keyed join back. One
+    double division, ROUND 6."""
+    from pyspark.sql import Window
+
+    freq = (
+        docs.groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cdf = (
+        freq.select(
+            "v", "cnt",
+            F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "v",
+            F.round(
+                (F.col("below").cast("double")
+                 + F.lit(0.5) * F.col("cnt").cast("double"))
+                / F.col("n").cast("double"), 6).alias("cdf"),
+        )
+    )
+    return docs.select("doc_id", F.col(value_col).alias("v")) \
+        .join(cdf, "v").select("doc_id", "v", "cdf")

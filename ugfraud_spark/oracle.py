@@ -1892,6 +1892,24 @@ def sql_cms_heavy_hitters(d: int = 4, w: int = 64, k: int = 20) -> str:
     )
 
 
+def sql_quantile_transform(value_col: str = "n_chars") -> str:
+    """Mirror of features.quantile_transform: value-frequency table,
+    strict-below prefix sum over distinct values, midrank CDF."""
+    return _with(
+        [("freq",
+          f"SELECT {value_col} AS v, COUNT(*) AS cnt FROM documents "
+          f"GROUP BY 1"),
+         ("nn", "SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents"),
+         ("cdf",
+          "SELECT v, ROUND((CAST(COALESCE(SUM(cnt) OVER (ORDER BY v "
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+          "AS DOUBLE) + CAST(0.5 AS DOUBLE) * cnt) / nn.n, 6) AS cdf "
+          "FROM freq, nn")],
+        f"SELECT d.doc_id, d.{value_col} AS v, cdf.cdf "
+        f"FROM documents d JOIN cdf ON cdf.v = d.{value_col}",
+    )
+
+
 def sql_hashed_features(d: int = 32) -> str:
     """Mirror of features.hashed_features: same md5-slice hash
     (('0x'||substr(md5,1,8))::BIGINT == Spark's conv(substring,16,10)),

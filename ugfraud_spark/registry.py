@@ -1066,6 +1066,15 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl.crawl_delta_demo(tables.load(spark, sf_dir, "documents"))
 
 
+def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Midrank empirical-CDF rank normalization with the prefix sum
+    over distinct-value totals only (features.quantile_transform)."""
+    from .operators import features
+
+    return features.quantile_transform(
+        tables.load(spark, sf_dir, "documents"))
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis exact-k weighted sample without replacement
     via deterministic hash keys (mix.weighted_sample)."""
@@ -2436,6 +2445,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "dsir_weights": (q_dsir_weights, oracle.sql_dsir_weights()),
         "weighted_sample": (q_weighted_sample,
                             oracle.sql_weighted_sample()),
+        "quantile_transform": (q_quantile_transform,
+                               oracle.sql_quantile_transform()),
         "importance_sample": _uni(q_importance_sample,
                                   oracle.sql_importance_sample(mod=m)),
         "host_churn": (q_host_churn, oracle.sql_host_churn()),
