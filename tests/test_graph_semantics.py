@@ -2089,3 +2089,33 @@ def test_graphlet_orbits3_vs_bruteforce(spark):
     for v in verts:
         got = (out[v]["o0"], out[v]["o1"], out[v]["o2"], out[v]["o3"])
         assert got == tuple(o[v]), (v, got, o[v])
+
+
+def test_greedy_matching_equals_sequential_greedy(spark):
+    """The parallel handshake equals the sequential greedy scan in
+    (h, a, b) priority order (the dominant-edge lemma), the result is
+    a valid matching, and it is maximal: every unmatched edge touches
+    a matched endpoint."""
+    from ugfraud_spark.operators import mis as M
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),
+             (2, 7), (8, 9)]
+    und = spark.createDataFrame(edges, "a long, b long")
+    got = {(r["a"], r["b"]) for r in M.greedy_matching(und).collect()}
+
+    def h(a, b):
+        v = a * 131 + b
+        return ((v * M.MIS_A + M.MIS_C + 1) % M.MIS_P
+                * M.MIS_A + M.MIS_B) % M.MIS_P
+
+    free = {v for e in edges for v in e}
+    want = set()
+    for a, b in sorted(edges, key=lambda e: (h(*e), e[0], e[1])):
+        if a in free and b in free:
+            want.add((a, b))
+            free -= {a, b}
+    assert got == want
+    used = [v for e in got for v in e]
+    assert len(used) == len(set(used))          # valid matching
+    for a, b in edges:                           # maximality
+        assert a not in free or b not in free

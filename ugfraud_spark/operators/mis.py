@@ -155,3 +155,68 @@ def greedy_coloring(und: DataFrame, seed: int = 1,
     for p in picked[1:]:
         out = out.unionAll(p)
     return out
+
+
+MATCH_ROUNDS = 8
+
+
+def greedy_matching(und: DataFrame, seed: int = 1,
+                    max_rounds: int = MATCH_ROUNDS) -> DataFrame:
+    """und(a, b) → (a, b, match_round): deterministic parallel greedy
+    MAXIMAL MATCHING — the edge-wise sibling of the MIS above (a
+    matching is an independent set of the line graph). Every edge gets
+    a hashed priority; each round an edge matches iff it is the
+    (h, a, b)-lexicographic minimum among the incident edges of BOTH
+    its endpoints (the handshake), matched endpoints retire, and the
+    survivor edge set shrinks geometrically. The result is exactly the
+    sequential greedy matching that scans edges in priority order —
+    the classic 2-approximation to maximum matching — computed in
+    O(log n)-ish parallel rounds and replayable in (edges, seed).
+
+    Uses: one-pass dedup pairing (each near-dup pair retires both
+    docs), crawl-budget pairing of mirror hosts, and the scheduling
+    primitive the MIS docstring describes, on edges. Per round: two
+    per-endpoint windows ordered by (h, b)/(h, a) — bounded by vertex
+    degree, never global — one join to intersect the two argmins, and
+    two anti joins to retire endpoints; state localCheckpoint'ed."""
+    from pyspark.sql import Window
+
+    act = und.select(
+        "a", "b",
+        _priority(F.col("a") * F.lit(131) + F.col("b"), seed).alias("h"),
+    ).localCheckpoint(eager=True)
+    out = []
+    for r in range(1, max_rounds + 1):
+        # per-VERTEX incidence (an edge competes at both endpoints —
+        # partitioning by the raw a/b columns would never pit (2,3)
+        # against (3,4), since vertex 3 sits in different columns)
+        inc = act.select(F.col("a").alias("v"), "a", "b", "h").unionAll(
+            act.select(F.col("b").alias("v"), "a", "b", "h"))
+        wv = Window.partitionBy("v").orderBy("h", "a", "b")
+        minv = (
+            inc.withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1).select("a", "b")
+        )
+        won = (
+            minv.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nw"))
+            .where(F.col("nw") == 2).select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        if won.limit(1).count() == 0:
+            break  # fixpoint: no edge can win ⇒ matching is maximal
+        out.append(won.select("a", "b", F.lit(r).alias("match_round")))
+        mv = won.select(F.col("a").alias("v")) \
+            .unionAll(won.select(F.col("b").alias("v"))).distinct()
+        act = (
+            act.join(mv.withColumnRenamed("v", "a"), "a", "left_anti")
+            .join(mv.withColumnRenamed("v", "b"), "b", "left_anti")
+            .select("a", "b", "h")
+            .localCheckpoint(eager=True)
+        )
+    if not out:  # edgeless input: the empty matching, correctly typed
+        return und.select(
+            "a", "b", F.lit(0).alias("match_round")).where(F.lit(False))
+    res = out[0]
+    for frame in out[1:]:
+        res = res.unionAll(frame)
+    return res

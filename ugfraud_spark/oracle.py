@@ -3649,6 +3649,45 @@ def sql_graph_summary(mod: int = UNI_MOD) -> str:
     )
 
 
+def sql_greedy_matching(rounds: int | None = None, seed: int = 1,
+                        mod: int = UNI_MOD) -> str:
+    """Mirror of mis.greedy_matching: same hashed edge priority,
+    per-endpoint ROW_NUMBER argmins, handshake intersection, endpoint
+    retirement — unrolled; rounds past the empty-set fixpoint are
+    no-ops."""
+    from .operators.mis import MATCH_ROUNDS, MIS_A, MIS_B, MIS_C, MIS_P
+    if rounds is None:
+        rounds = MATCH_ROUNDS
+    pr = (f"(((a * 131 + b) * {MIS_A} + {MIS_C + seed}) % {MIS_P} "
+          f"* {MIS_A} + {MIS_B}) % {MIS_P}")
+    ctes = [
+        ("uni", uni_frag(mod)), ("und", UND),
+        ("e0", f"SELECT a, b, {pr} AS h FROM und"),
+    ]
+    outs = []
+    for r in range(1, rounds + 1):
+        prev = f"e{r-1}"
+        ctes.append((
+            f"w{r}",
+            f"SELECT a, b FROM ("
+            f"SELECT a, b, ROW_NUMBER() OVER (PARTITION BY v "
+            f"ORDER BY h, a, b) AS rn FROM ("
+            f"SELECT a AS v, a, b, h FROM {prev} "
+            f"UNION ALL SELECT b AS v, a, b, h FROM {prev})"
+            f") WHERE rn = 1 GROUP BY a, b HAVING COUNT(*) = 2",
+        ))
+        ctes.append((
+            f"e{r}",
+            f"SELECT e.a, e.b, e.h FROM {prev} e WHERE e.a NOT IN ("
+            f"SELECT a FROM w{r} UNION SELECT b FROM w{r}) "
+            f"AND e.b NOT IN ("
+            f"SELECT a FROM w{r} UNION SELECT b FROM w{r})",
+        ))
+        outs.append(
+            f"SELECT a, b, CAST({r} AS INT) AS match_round FROM w{r}")
+    return _with(ctes, " UNION ALL ".join(outs))
+
+
 def sql_mis(rounds: int | None = None, mod: int = UNI_MOD) -> str:
     """Mirror of mis.maximal_independent_set: unrolled greedy-by-hash
     rounds (select local priority minima among actives, remove winners

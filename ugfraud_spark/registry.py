@@ -1025,6 +1025,15 @@ def q_degree_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.uni_edges_undirected(spark, sf_dir))
 
 
+def q_greedy_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic parallel greedy maximal matching (handshake on
+    hashed edge priorities — the line-graph MIS; mis.greedy_matching)."""
+    from .operators import mis
+
+    return mis.greedy_matching(
+        tables.uni_edges_undirected(spark, sf_dir))
+
+
 def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Luby-style maximal independent set of the
     undirected link graph: greedy-by-hashed-priority rounds."""
@@ -2471,6 +2480,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "event_rate_anomaly": (q_event_rate_anomaly,
                                oracle.sql_event_rate_anomaly()),
         "mis": _uni(q_mis, oracle.sql_mis(mod=m)),
+        "greedy_matching": _uni(q_greedy_matching,
+                                oracle.sql_greedy_matching(mod=m)),
         "rich_club": _uni(q_rich_club, oracle.sql_rich_club(mod=m)),
         "knn_curve": _uni(q_knn_curve, oracle.sql_knn_curve(mod=m)),
         "butterflies": (q_butterflies, oracle.sql_butterflies()),
