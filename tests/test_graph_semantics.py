@@ -2119,3 +2119,28 @@ def test_greedy_matching_equals_sequential_greedy(spark):
     assert len(used) == len(set(used))          # valid matching
     for a, b in edges:                           # maximality
         assert a not in free or b not in free
+
+
+def test_scan_roles_hand_graph(spark):
+    """Two cliques bridged by one vertex: clique members are cores of
+    two distinct clusters, the bridge is a HUB (ε-attached to both),
+    and an isolated pendant pair stays outliers (ε-similarity to a
+    non-core confers nothing)."""
+    from ugfraud_spark.operators import scan as S
+
+    ka = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    kb = [(a, b) for a in (11, 12, 13, 14) for b in (11, 12, 13, 14)
+          if a < b]
+    bridge = [(1, 20), (11, 20)]
+    pendant = [(30, 31)]
+    df = spark.createDataFrame(ka + kb + bridge + pendant,
+                               "a long, b long")
+    out = {r["id"]: r for r in
+           S.scan_classify(df, eps=0.5, mu=3).collect()}
+    for v in (1, 2, 3, 4):
+        assert out[v]["role"] == "core" and out[v]["cluster"] == 1
+    for v in (11, 12, 13, 14):
+        assert out[v]["role"] == "core" and out[v]["cluster"] == 11
+    assert out[20]["role"] == "hub" and out[20]["cluster"] == -1
+    for v in (30, 31):
+        assert out[v]["role"] == "outlier" and out[v]["cluster"] == -1

@@ -3688,6 +3688,83 @@ def sql_greedy_matching(rounds: int | None = None, seed: int = 1,
     return _with(ctes, " UNION ALL ".join(outs))
 
 
+def sql_scan_classify(eps: float | None = None, mu: int | None = None,
+                      mod: int = UNI_MOD) -> str:
+    """Mirror of scan.scan_classify: per-edge triangle support from
+    the same enumeration, 6dp σ, ε-core recursive-CTE components
+    (min reachable id, isolated cores self-labeled), role CASE."""
+    from .operators.scan import SCAN_EPS, SCAN_MU
+    eps = SCAN_EPS if eps is None else eps
+    mu = SCAN_MU if mu is None else mu
+    tri = (
+        "SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1 "
+        "JOIN und e2 ON e2.a = e1.b "
+        "JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+    ctes = [
+        ("uni", uni_frag(mod)), ("und", UND), ("tri", tri),
+        ("te",
+         "SELECT a, b, COUNT(*) AS t FROM ("
+         "SELECT x AS a, y AS b FROM tri "
+         "UNION ALL SELECT x, z FROM tri "
+         "UNION ALL SELECT y, z FROM tri) GROUP BY a, b"),
+        ("deg",
+         "SELECT id, COUNT(*) AS d FROM ("
+         "SELECT a AS id FROM und UNION ALL SELECT b FROM und"
+         ") GROUP BY id"),
+        ("sig",
+         "SELECT und.a, und.b, ROUND(CAST(COALESCE(te.t, 0) + 2 "
+         "AS DOUBLE) / SQRT(CAST((da.d + 1) * (db.d + 1) AS DOUBLE)), 6) "
+         "AS sigma FROM und LEFT JOIN te USING (a, b) "
+         "JOIN deg da ON da.id = und.a JOIN deg db ON db.id = und.b"),
+        ("epse",
+         f"SELECT a, b FROM sig WHERE sigma >= {_d(eps)}"),
+        ("neps",
+         "SELECT id, COUNT(*) AS n_eps FROM ("
+         "SELECT a AS id FROM epse UNION ALL SELECT b FROM epse"
+         ") GROUP BY id"),
+        ("verts",
+         "SELECT deg.id, COALESCE(neps.n_eps, 0) AS n_eps "
+         "FROM deg LEFT JOIN neps ON neps.id = deg.id"),
+        ("cores", f"SELECT id FROM verts WHERE n_eps >= {mu}"),
+        ("cce",
+         "SELECT a, b FROM epse WHERE a IN (SELECT id FROM cores) "
+         "AND b IN (SELECT id FROM cores)"),
+        ("cc_sym",
+         "SELECT a AS u, b AS v FROM cce "
+         "UNION ALL SELECT b AS u, a AS v FROM cce"),
+    ]
+    body = ",\n".join(f"{n} AS MATERIALIZED (\n{s}\n)" for n, s in ctes)
+    return (
+        "WITH RECURSIVE " + body + ",\n"
+        "reach(u, v) AS (\n"
+        "  SELECT u, v FROM cc_sym\n"
+        "  UNION\n"
+        "  SELECT r.u, cc_sym.v FROM reach r JOIN cc_sym ON cc_sym.u = r.v\n"
+        "),\n"
+        "comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component "
+        "FROM reach GROUP BY u),\n"
+        "core_cluster AS (SELECT c.id, COALESCE(comp.component, c.id) "
+        "AS cluster FROM cores c LEFT JOIN comp ON comp.id = c.id),\n"
+        "att AS (SELECT t.id, COUNT(DISTINCT t.cluster) AS n_cl, "
+        "MIN(t.cluster) AS min_cl FROM (\n"
+        "  SELECT e.a AS id, k.cluster FROM epse e "
+        "JOIN core_cluster k ON k.id = e.b\n"
+        "  UNION ALL SELECT e.b AS id, k.cluster FROM epse e "
+        "JOIN core_cluster k ON k.id = e.a\n"
+        ") t WHERE t.id NOT IN (SELECT id FROM cores) GROUP BY t.id)\n"
+        "SELECT v.id, CAST(v.n_eps AS BIGINT) AS n_eps, "
+        "CASE WHEN k.cluster IS NOT NULL THEN 'core' "
+        "WHEN COALESCE(att.n_cl, 0) = 0 THEN 'outlier' "
+        "WHEN att.n_cl = 1 THEN 'border' ELSE 'hub' END AS role, "
+        "CAST(CASE WHEN k.cluster IS NOT NULL THEN k.cluster "
+        "WHEN COALESCE(att.n_cl, 0) = 1 THEN att.min_cl "
+        "ELSE -1 END AS BIGINT) AS cluster "
+        "FROM verts v LEFT JOIN core_cluster k ON k.id = v.id "
+        "LEFT JOIN att ON att.id = v.id"
+    )
+
+
 def sql_mis(rounds: int | None = None, mod: int = UNI_MOD) -> str:
     """Mirror of mis.maximal_independent_set: unrolled greedy-by-hash
     rounds (select local priority minima among actives, remove winners

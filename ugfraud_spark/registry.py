@@ -1025,6 +1025,15 @@ def q_degree_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.uni_edges_undirected(spark, sf_dir))
 
 
+def q_scan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCAN structural clustering: ε-core components + the
+    border/hub/outlier role taxonomy (scan.scan_classify)."""
+    from .operators import scan as scan_ops
+
+    return scan_ops.scan_classify(
+        tables.uni_edges_undirected(spark, sf_dir))
+
+
 def q_greedy_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic parallel greedy maximal matching (handshake on
     hashed edge priorities — the line-graph MIS; mis.greedy_matching)."""
@@ -2482,6 +2491,8 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "mis": _uni(q_mis, oracle.sql_mis(mod=m)),
         "greedy_matching": _uni(q_greedy_matching,
                                 oracle.sql_greedy_matching(mod=m)),
+        "scan_classify": _uni(q_scan_classify,
+                              oracle.sql_scan_classify(mod=m)),
         "rich_club": _uni(q_rich_club, oracle.sql_rich_club(mod=m)),
         "knn_curve": _uni(q_knn_curve, oracle.sql_knn_curve(mod=m)),
         "butterflies": (q_butterflies, oracle.sql_butterflies()),
