@@ -2144,3 +2144,42 @@ def test_scan_roles_hand_graph(spark):
     assert out[20]["role"] == "hub" and out[20]["cluster"] == -1
     for v in (30, 31):
         assert out[v]["role"] == "outlier" and out[v]["cluster"] == -1
+
+
+def test_trussness_vs_bruteforce(spark):
+    """Capped truss sweep vs brute-force peel on K5 + a triangle with
+    a pendant: K5 edges are 5-truss (capped contract exercised at
+    k_max=4 -> 4), the lone triangle's edges are 3, the pendant 2."""
+    import collections
+
+    from ugfraud_spark.operators import triangles as T
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    tri = [(10, 11), (11, 12), (10, 12)]
+    pend = [(12, 20)]
+    edges = k5 + tri + pend
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {(r["a"], r["b"]): r["trussness"]
+           for r in T.trussness(df, k_max=4).collect()}
+
+    es = {tuple(sorted(e)) for e in edges}
+    truth = {e: 2 for e in es}
+    cur, k = set(es), 2
+    while cur and k < 4:
+        k += 1
+        while True:
+            adj = collections.defaultdict(set)
+            for a, b in cur:
+                adj[a].add(b)
+                adj[b].add(a)
+            drop = {e for e in cur
+                    if len(adj[e[0]] & adj[e[1]]) < k - 2}
+            if not drop:
+                break
+            cur -= drop
+        for e in cur:
+            truth[e] = k
+    assert got == truth
+    assert all(got[e] == 4 for e in k5)  # true 5-truss, capped to 4
+    assert all(got[tuple(sorted(e))] == 3 for e in tri)
+    assert got[(12, 20)] == 2

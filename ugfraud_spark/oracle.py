@@ -1165,6 +1165,44 @@ def sql_ktruss(k: int = 4, rounds: int = 6, mod: int = UNI_MOD) -> str:
     return _with(ctes, f"SELECT a, b FROM t{rounds}")
 
 
+def sql_trussness(k_max: int = 5, rounds: int = 6,
+                  mod: int = UNI_MOD) -> str:
+    """Mirror of triangles.trussness: the monotone truss sweep — each
+    level's peel chain starts from the previous level's survivors;
+    trussness = MAX level containing the edge (level 2 = all)."""
+    ctes = [("uni", uni_frag(mod)), ("und", UND),
+            ("l2", "SELECT a, b FROM und")]
+    prev_level = "l2"
+    members = ["SELECT a, b, 2 AS lv FROM l2"]
+    for k in range(3, k_max + 1):
+        p = prev_level
+        for r in range(1, rounds + 1):
+            ctes += [
+                (f"tri{k}_{r}",
+                 f"SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM {p} e1 "
+                 f"JOIN {p} e2 ON e2.a = e1.b "
+                 f"JOIN {p} e3 ON e3.a = e1.a AND e3.b = e2.b"),
+                (f"sup{k}_{r}",
+                 f"SELECT a, b, COUNT(*) AS s FROM ("
+                 f"SELECT x AS a, y AS b FROM tri{k}_{r} "
+                 f"UNION ALL SELECT y, z FROM tri{k}_{r} "
+                 f"UNION ALL SELECT x, z FROM tri{k}_{r}) GROUP BY a, b"),
+                (f"l{k}_{r}",
+                 f"SELECT e.a, e.b FROM {p} e LEFT JOIN sup{k}_{r} s "
+                 f"ON s.a = e.a AND s.b = e.b "
+                 f"WHERE COALESCE(s.s, 0) >= {k - 2}"),
+            ]
+            p = f"l{k}_{r}"
+        prev_level = p
+        members.append(f"SELECT a, b, {k} AS lv FROM {prev_level}")
+    union = " UNION ALL ".join(members)
+    return _with(
+        ctes,
+        f"SELECT a, b, CAST(MAX(lv) AS INT) AS trussness FROM ({union}) "
+        f"GROUP BY a, b",
+    )
+
+
 def _d(v: float) -> str:
     """Emit a float as a DuckDB DOUBLE literal (exact repr roundtrip)."""
     return f"CAST({v!r} AS DOUBLE)"

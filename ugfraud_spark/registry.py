@@ -410,6 +410,13 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles.triangles_per_vertex(e)
 
 
+def q_trussness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge truss decomposition (capped): one monotone sweep — level
+    k+1 peels level k's survivor edges (triangles.trussness)."""
+    e = tables.uni_edges_undirected(spark, sf_dir)
+    return triangles.trussness(e)
+
+
 def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full core decomposition (capped at k_max): one monotone peel
     sweep — level k+1 peels level k's survivor edges."""
@@ -2533,6 +2540,7 @@ def build_shadow_registry(uni_mod: int = UNI_MOD_DRIVER) -> dict[
         "ktruss_edges": _uni(q_ktruss, oracle.sql_ktruss(k=4, rounds=6,
                                                          mod=m)),
         "coreness": _uni(q_coreness, oracle.sql_coreness(mod=m)),
+        "trussness": _uni(q_trussness, oracle.sql_trussness(mod=m)),
         "hyperball_nf": _uni(q_hyperball, oracle.sql_hyperball(t=3, mod=m)),
         "host_graph": _uni(q_host_graph, oracle.sql_host_graph(mod=m)),
         "host_stats": _uni(q_host_stats, oracle.sql_host_stats(mod=m)),
