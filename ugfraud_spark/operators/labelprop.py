@@ -51,7 +51,8 @@ def lpa(edges_ab: DataFrame, iters: int = 4) -> DataFrame:
             F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("w")
         ).select("id", (-F.col("w.neg")).alias("lbl"))
 
-    res = iterate(state0, step, max_iter=iters, checkpoint_every=1)
+    res = iterate(state0, step, max_iter=iters, checkpoint_every=1,
+                  fixed_plan_loop=True)
     return res.state.select("id", F.col("lbl").alias("label"))
 
 
@@ -212,7 +213,8 @@ def label_spreading(edges_ab: DataFrame, seed_mod: int = LS_SEED_MOD,
         )
         return means.select("id", clamp(F.col("mean")).alias("score"))
 
-    res = iterate(state0, step, max_iter=iters, checkpoint_every=1)
+    res = iterate(state0, step, max_iter=iters, checkpoint_every=1,
+                  fixed_plan_loop=True)
     return res.state.select(
         "id", F.round("score", 6).alias("score"),
         (F.col("id") % seed_mod == 0).cast("long").alias("is_seed"),

@@ -99,6 +99,7 @@ def pagerank(
         tol=tol or 0.0,
         checkpoint_every=checkpoint_every,
         checkpoint_dir=checkpoint_dir,
+        fixed_plan_loop=True,
     )
     res.state = res.state.select("id", "value")
     return res
@@ -166,6 +167,7 @@ def personalized_pagerank(
         residual_fn=(None if tol is None else l1_residual),
         max_iter=max_iter, tol=tol or 0.0,
         checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
+        fixed_plan_loop=True,
     )
     res.state = res.state.select("id", "value")
     return res
@@ -240,6 +242,7 @@ def teleport_pagerank(
         residual_fn=(None if tol is None else l1_residual),
         max_iter=max_iter, tol=tol or 0.0,
         checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
+        fixed_plan_loop=True,
     )
     res.state = res.state.select("id", "value")
     return res
@@ -304,6 +307,7 @@ def pagerank_from(
         residual_fn=(None if tol is None else l1_residual),
         max_iter=max_iter, tol=tol or 0.0,
         checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
+        fixed_plan_loop=True,
     )
     res.state = res.state.select("id", "value")
     return res
@@ -403,6 +407,7 @@ def topic_ppr(
         state0, step, residual_fn=None,
         max_iter=max_iter,
         checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
+        fixed_plan_loop=True,
     )
     res.state = res.state.select(
         "id", *[f"v{t}" for t in range(n_topics)])
@@ -469,6 +474,7 @@ def pagerank_dangling(
         tol=tol or 0.0,
         checkpoint_every=checkpoint_every,
         checkpoint_dir=checkpoint_dir,
+        fixed_plan_loop=True,
     )
     res.state = res.state.select("id", "value")
     return res
@@ -528,6 +534,7 @@ def katz(
         tol=tol or 0.0,
         checkpoint_every=checkpoint_every,
         checkpoint_dir=checkpoint_dir,
+        fixed_plan_loop=True,
     )
     res.state = res.state.select("id", "value")
     return res
@@ -586,6 +593,7 @@ def pagerank_blocks(
         tol=tol or 0.0,
         checkpoint_every=checkpoint_every,
         checkpoint_dir=checkpoint_dir,
+        fixed_plan_loop=True,
     )
     res.state = res.state.select("id", "value")
     return res
@@ -655,6 +663,7 @@ def pagerank_weighted(
         tol=tol or 0.0,
         checkpoint_every=checkpoint_every,
         checkpoint_dir=checkpoint_dir,
+        fixed_plan_loop=True,
     )
     res.state = res.state.select("id", "value")
     return res

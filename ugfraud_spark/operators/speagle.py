@@ -164,6 +164,7 @@ def speagle(
         tol=tol or 0.0,
         checkpoint_every=1,
         checkpoint_dir=checkpoint_dir,
+        fixed_plan_loop=True,
     )
     state = res.state.localCheckpoint(eager=True)
     res.state = state

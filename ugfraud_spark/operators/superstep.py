@@ -28,11 +28,41 @@ from __future__ import annotations
 import json
 import os
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def fixed_plan(spark: SparkSession, enabled: bool = True):
+    """Scoped AQE-off for a superstep loop whose per-iteration plan is
+    fixed, explicitly hinted, and CO-PARTITIONED end to end
+    (shuffle_hash state joins against the pinned ``colocate_edges``
+    layout): there AQE's per-stage runtime re-planning is pure
+    driver-serial overhead repeated every superstep — the same
+    rationale (and measured ~10-20% win) as the bench probe's AQE-off
+    window in ``bench.py:superstep_throughput``; measured on the sf0.1
+    suite: pagerank 2.6s → 2.2s, label_propagation 3.3s → 2.6s.
+
+    Deliberately OPT-IN per kernel (callers pass ``fixed_plan=True`` to
+    ``iterate``): loops that lean on broadcast frontiers, per-round
+    1-row-agg crossJoins, or localCheckpointed intermediates (HITS,
+    k-core peeling, BFS) run FASTER with AQE's partition coalescing —
+    measured sf0.1 regressions with AQE off: hits 6.7s → 12.2s, kcore
+    1.6s → 5.1s, bfs_hops 3.2s → 4.0s — so those keep AQE on.
+    Restores the previous value even when the loop raises."""
+    if not enabled:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def colocate_edges(edges: DataFrame, key: str = "src") -> DataFrame:
@@ -125,12 +155,17 @@ def iterate(
     checkpoint_every: int = 5,
     checkpoint_dir: str | None = None,
     start_iteration: int = 0,
+    fixed_plan_loop: bool = False,
 ) -> SuperstepResult:
     """Run ``state ← step_fn(state, i)`` until ``residual_fn`` < tol or
     ``max_iter``. ``residual_fn(old, new) → float`` is evaluated as one
     scalar Spark action (reference A4 convergence sums); pass ``None``
     to run a fixed iteration count with a single materialization per
-    checkpoint interval (cheaper: no per-step action)."""
+    checkpoint interval (cheaper: no per-step action).
+    ``fixed_plan_loop=True`` runs the loop under ``fixed_plan`` (AQE
+    off) — only for kernels whose step is the hinted co-partitioned
+    join+groupBy shape; see ``fixed_plan``'s docstring for the measured
+    per-kernel decision."""
     t0 = time.time()
     residuals: list[float] = []
     metrics: list[dict] = []
@@ -140,29 +175,31 @@ def iterate(
         os.makedirs(checkpoint_dir, exist_ok=True)
 
     i = start_iteration
-    while i < max_iter:
-        new_state = step_fn(state, i)
-        i += 1
-        need_truncate = (i % checkpoint_every == 0) or i == max_iter
-        if residual_fn is not None:
-            # residual computation is an action → also materializes new_state
-            new_state = new_state.localCheckpoint(eager=True)
-            r = residual_fn(state, new_state)
-            residuals.append(r)
-            metrics.append({"superstep": i, "residual": r,
-                            "wall_s": round(time.time() - t0, 3)})
-            if checkpoint_dir and need_truncate:
-                _write_checkpoint(new_state, checkpoint_dir, i, r, t0)
-            state = new_state
-            if r < tol:
-                converged = True
-                break
-        else:
-            if need_truncate:
+    with fixed_plan(spark, enabled=fixed_plan_loop):
+        while i < max_iter:
+            new_state = step_fn(state, i)
+            i += 1
+            need_truncate = (i % checkpoint_every == 0) or i == max_iter
+            if residual_fn is not None:
+                # residual computation is an action → also materializes new_state
                 new_state = new_state.localCheckpoint(eager=True)
-                if checkpoint_dir:
-                    _write_checkpoint(new_state, checkpoint_dir, i, float("nan"), t0)
-            state = new_state
+                r = residual_fn(state, new_state)
+                residuals.append(r)
+                metrics.append({"superstep": i, "residual": r,
+                                "wall_s": round(time.time() - t0, 3)})
+                if checkpoint_dir and need_truncate:
+                    _write_checkpoint(new_state, checkpoint_dir, i, r, t0)
+                state = new_state
+                if r < tol:
+                    converged = True
+                    break
+            else:
+                if need_truncate:
+                    new_state = new_state.localCheckpoint(eager=True)
+                    if checkpoint_dir:
+                        _write_checkpoint(new_state, checkpoint_dir, i,
+                                          float("nan"), t0)
+                state = new_state
 
     return SuperstepResult(
         state=state,

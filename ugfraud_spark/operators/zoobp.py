@@ -77,6 +77,7 @@ def zoobp(
         tol=tol or 0.0,
         checkpoint_every=1,
         checkpoint_dir=checkpoint_dir,
+        fixed_plan_loop=True,
     )
     res.state = res.state.select("id", F.col("value").alias("belief"))
     return res
