@@ -127,11 +127,20 @@ def build_adjacency_blocks(
         .persist()
     )
     blocks.count()
+    # routes pinned as an id-partitioned CACHE (was localCheckpoint —
+    # an ExistingRDD scan reports UnknownPartitioning, so the
+    # per-superstep routes⋈state join re-exchanged the routes side
+    # every iteration; InMemoryRelation keeps the HashPartitioning
+    # visible and EnsureRequirements elides it, the colocate_edges
+    # mechanism applied to the routing dim)
+    n_conf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     routes = (
         salted.select(F.col("src").alias("id"), "block_id")
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition(n_conf, "id")
+        .persist()
     )
+    routes.count()
     return AdjacencyBlocks(blocks=blocks, routes=routes, n_blocks=n_blocks)
 
 
@@ -146,9 +155,9 @@ def spmv(adj: AdjacencyBlocks, state: DataFrame) -> DataFrame:
     the per-block partials are shuffle-reduced by dst. Only state and
     partial messages move; the edge arrays stay put.
     """
-    routed = adj.routes.join(state.select("id", "c"), "id").select(
-        "block_id", "id", "c"
-    )
+    routed = adj.routes.join(
+        state.select("id", "c").hint("shuffle_hash"), "id"
+    ).select("block_id", "id", "c")
 
     def kernel(block_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
         if block_pdf.empty or state_pdf.empty:
@@ -198,9 +207,13 @@ def spmv_arrow(adj: AdjacencyBlocks, state: DataFrame) -> DataFrame:
     fixpoint-equivalent, asserted in tests)."""
     import pyarrow as pa
 
-    routed = adj.routes.join(state.select("id", "c"), "id").select(
-        "block_id", "id", "c"
-    )
+    # state side hinted shuffle_hash: the routes side arrives already
+    # hash-partitioned on id from the pinned cache (exchange elided),
+    # and a sort-merge join would re-sort both |V|-sized sides every
+    # superstep for nothing
+    routed = adj.routes.join(
+        state.select("id", "c").hint("shuffle_hash"), "id"
+    ).select("block_id", "id", "c")
 
     def kernel(block_tbl: "pa.Table", state_tbl: "pa.Table") -> "pa.Table":
         empty = pa.table(

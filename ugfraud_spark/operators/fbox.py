@@ -44,18 +44,32 @@ def fbox(
     spark = edges.sparkSession
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     cidx = dense_col_index(e).localCheckpoint(eager=True)
-    # one src-partitioned materialization feeds sketch passes + norms
-    eidx = (
-        e.join(cidx, "dst").select("src", "cidx")
-        .repartition("src").localCheckpoint(eager=True)
-    )
     n_cols = cidx.count()
     kk = min(k, n_cols - 1) if n_cols > 1 else 1
 
+    # one src-partitioned materialization feeds sketch passes + norms.
+    # Exact branch: session-default layout (fixture-pinned summation
+    # order). Sketch branch: partition count sized by the sketch's own
+    # partial-blob traffic (linalg.sketch_partitions) — at sf0.1 this is
+    # 5 partitions / ~55 MB collected per pass instead of 32 / ~350 MB,
+    # which was the dominant cost of the whole query.
     if n_cols <= EXACT_GRAM_MAX_COLS:
+        eidx = (
+            e.join(cidx, "dst").select("src", "cidx")
+            .repartition("src").localCheckpoint(eager=True)
+        )
         g = gram_matrix(eidx, n_cols)
         v, s = topk_right_factors(g, kk)
     else:  # scale path: O(E·k) sketch, no n_cols² anywhere.
+        from .linalg import sketch_partitions
+
+        n_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        m = sketch_partitions(e.count(), n_cols,
+                              min(kk + 16, n_cols), n_conf)
+        eidx = (
+            e.join(cidx, "dst").select("src", "cidx")
+            .repartition(m, "src").localCheckpoint(eager=True)
+        )
         # q=2 power iterations: on a flat-tailed spectrum (the synthetic
         # graph's worst case) q=1 misses σ₁ by ~9% and row-norm
         # correlation with the exact factors drops to 0.88; q=2 brings

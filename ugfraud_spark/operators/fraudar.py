@@ -300,7 +300,8 @@ def fraudar_scores_scale(edges: DataFrame) -> DataFrame:
     approximation of the multi-block density normalization (single best
     block, Charikar-style 2(1+ε) guarantee). All joins/aggs distributed;
     nothing O(E) or O(V) reaches the driver."""
-    detected = bulk_peel(edges).where(F.col("side") == "row").select("id")
+    detected = bulk_peel(edges, pre_deduped=True).where(
+        F.col("side") == "row").select("id")
     users = edges.select(F.col("src").alias("id")).distinct()
     return users.join(detected.withColumn("_d", F.lit(1)), "id", "left").select(
         "id",
@@ -368,7 +369,8 @@ def _peel_rounds_np(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
 def bulk_peel(edges: DataFrame, eps: float = 0.1,
               max_rounds: int | None = None,
               bcast_ids: int = BULK_PEEL_BCAST_IDS,
-              finish_max_edges: int = BULK_PEEL_FINISH_EDGES) -> DataFrame:
+              finish_max_edges: int = BULK_PEEL_FINISH_EDGES,
+              pre_deduped: bool = False) -> DataFrame:
     """Scale-mode ε-peel: per round, drop every vertex (either side) with
     weighted delta ≤ (1+ε)·g, g = total/|alive| the current average
     density. Returns the densest prefix's (id, side) vertex set.
@@ -397,13 +399,22 @@ def bulk_peel(edges: DataFrame, eps: float = 0.1,
     driver over one bounded Arrow transfer (``_peel_rounds_np``) — at
     that size each distributed round is a whole job + checkpoint for a
     frame that fits in a single task. Set ``finish_max_edges=0`` to
-    force the pure-Spark loop."""
-    cw = fraudar_col_weights(edges)
-    e = (
-        edges.select("src", "dst").distinct()
-        .join(cw.withColumnRenamed("id", "dst"), "dst")
-        .localCheckpoint(eager=True)
+    force the pure-Spark loop.
+
+    ``pre_deduped=True`` (callers that already hold a materialized
+    distinct (src, dst) frame, e.g. ``fraudar_scores_scale``) skips the
+    redundant dedup; either way the column weights are computed from
+    the ONE deduped frame instead of re-running the derivation+distinct
+    a second time inside ``fraudar_col_weights`` (same 1/log(deg+5)
+    values, one fewer full |E| shuffle + scan)."""
+    d = (edges.select("src", "dst") if pre_deduped
+         else edges.select("src", "dst").distinct()
+         .localCheckpoint(eager=True))
+    cw = (
+        d.groupBy("dst").agg(F.count(F.lit(1)).alias("_deg"))
+        .select("dst", (1.0 / F.log(F.col("_deg") + 5.0)).alias("col_weight"))
     )
+    e = d.join(cw, "dst").localCheckpoint(eager=True)
     spark = edges.sparkSession
     best_deltas = None
     prev_deltas = None

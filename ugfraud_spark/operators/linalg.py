@@ -59,8 +59,14 @@ def dense_col_index(edges: DataFrame, n_parts: int = 32,
     import pandas as pd
 
     d = edges.select("dst").distinct()
-    if d.count() <= collect_max:
-        ids = sorted(r[0] for r in d.collect())
+    # ONE distinct computation, not two: collect up to collect_max+1
+    # rows — if fewer come back we already hold the whole id set (the
+    # old count()-then-collect() ran the distinct aggregate twice,
+    # measured ~2× the phase cost at sf0.1); the +1 row proves overflow
+    # and routes to the distributed two-phase rank below.
+    head = d.limit(collect_max + 1).collect()
+    if len(head) <= collect_max:
+        ids = sorted(r[0] for r in head)
         spark = edges.sparkSession
         return spark.createDataFrame(pd.DataFrame(
             {"dst": pd.Series(ids, dtype="int64"),
@@ -250,6 +256,29 @@ def _scatter_segment_rows(acc_shape: tuple[int, int], idx: np.ndarray,
     return acc
 
 
+def sketch_partitions(n_edges: int, n_cols: int, l: int, n_conf: int,
+                      traffic_cap: int = 96 * 1024 * 1024) -> int:
+    """Partition count for the fused sketch passes, derived from the
+    pass's OWN traffic balance instead of the session constant: every
+    partition emits one dense (n_cols × l) float32 partial per pass, so
+    per-pass driver traffic is ``n_parts × n_cols × l × 4`` bytes while
+    the useful work is the O(E·l) edge scan. Sizing
+    ``n_parts = clamp(max(traffic_cap, edge_bytes) / blob_bytes, 1,
+    n_conf)`` keeps the partial collection bounded by ~max(96 MB, the
+    edge payload itself) — at bench scale (600k edges × 20k cols × 136)
+    this is 8 partitions and ~90 MB/pass instead of 32 partitions and
+    ~350 MB/pass through the driver (measured sweep at sf0.1: the
+    per-pass minimum is flat across 6-10 partitions at ~2.1 s vs
+    ~4.5-6.5 s at 32 — the collect dominated the whole sketch); at
+    cluster scale edge_bytes ≫ blob so the conf cap rules and nothing
+    changes. Callers apply it ONLY on the sketch
+    branch: the exact-Gram parity path keeps its session-default layout
+    (its fixture-pinned float summation order must not move)."""
+    blob = max(1, n_cols * l * 4)
+    edge_bytes = n_edges * 20  # (src i64, cidx i32, w f64)
+    return max(1, min(n_conf, max(traffic_cap, edge_bytes) // blob))
+
+
 def randomized_right_factors(
     edges_idx: DataFrame,
     n_cols: int,
@@ -321,11 +350,14 @@ def randomized_right_factors(
                                         w32, dtype=np.float32)
             yield pd.DataFrame({"blob": [acc.tobytes()]})
 
-        parts = e.mapInPandas(fn, schema="blob binary").collect()
+        # Arrow transfer (toPandas), not row collect: the partials are
+        # multi-MB binary cells and the py4j row path serializes them
+        # ~5× slower than one Arrow batch stream
+        parts = e.mapInPandas(fn, schema="blob binary").toPandas()
         bc.unpersist()
         z = np.zeros((nc, mat.shape[1]))
-        for r in parts:
-            z += np.frombuffer(r["blob"], dtype=np.float32).reshape(z.shape)
+        for blob in parts["blob"]:
+            z += np.frombuffer(blob, dtype=np.float32).reshape(z.shape)
         return z
 
     def _pass_final(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -349,13 +381,13 @@ def randomized_right_factors(
             g = (ys.T @ ys).astype(np.float32)
             yield pd.DataFrame({"g": [g.tobytes()], "yta": [yta.tobytes()]})
 
-        parts = e.mapInPandas(fn, schema="g binary, yta binary").collect()
+        parts = e.mapInPandas(fn, schema="g binary, yta binary").toPandas()
         bc.unpersist()
         g = np.zeros((ll, ll))
         yta = np.zeros((nc, ll))
-        for r in parts:
-            g += np.frombuffer(r["g"], dtype=np.float32).reshape(ll, ll)
-            yta += np.frombuffer(r["yta"], dtype=np.float32).reshape(nc, ll)
+        for gb, yb in zip(parts["g"], parts["yta"]):
+            g += np.frombuffer(gb, dtype=np.float32).reshape(ll, ll)
+            yta += np.frombuffer(yb, dtype=np.float32).reshape(nc, ll)
         return g, yta
 
     cur = omega

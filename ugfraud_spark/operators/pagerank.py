@@ -577,7 +577,9 @@ def pagerank_blocks(
                 "id", (F.col("value") / F.col("out_deg")).alias("c")
             ),
         )
-        return base.join(contribs, "id", "left").select(
+        # shuffle_hash like the join kernel's step: unhinted this was a
+        # SortMergeJoin re-sorting base AND the contribs every superstep
+        return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
             "id",
             "out_deg",
             (F.lit(teleport) + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias(

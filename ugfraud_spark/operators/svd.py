@@ -81,21 +81,35 @@ def svd_user_norms(edges: DataFrame, *, percent: float = 0.9,
         .localCheckpoint(eager=True)
     )
     cidx = dense_col_index(e)
-    # ONE src-partitioned materialization feeds the sketch passes AND the
-    # final norms kernel (the old plan re-ran the dim join + shuffle per
-    # consumer)
-    eidx = (
-        e.join(cidx, "dst").select("src", "cidx", "w")
-        .repartition("src").localCheckpoint(eager=True)
-    )
     n_cols = cidx.count()
     n_rows = e.select("src").distinct().count()
     k = int(max(round(min(n_rows, n_cols) * percent), 1))
 
+    # ONE src-partitioned materialization feeds the sketch passes AND the
+    # final norms kernel (the old plan re-ran the dim join + shuffle per
+    # consumer). Exact branch keeps the session-default layout (fixture-
+    # pinned float summation order); the sketch branch sizes its
+    # partition count from the pass's own partial-blob traffic
+    # (linalg.sketch_partitions — sf0.1: 5 partitions / ~55 MB per pass
+    # collected instead of 32 / ~350 MB, previously the dominant cost).
     if n_cols <= EXACT_GRAM_MAX_COLS:
+        eidx = (
+            e.join(cidx, "dst").select("src", "cidx", "w")
+            .repartition("src").localCheckpoint(eager=True)
+        )
         g = gram_matrix(eidx, n_cols, weight_col="w")
         v, _s = topk_right_factors(g, k)
     else:
+        from .linalg import sketch_partitions
+
+        n_conf = int(edges.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+        m = sketch_partitions(
+            e.count(), n_cols, min(min(k, scale_k_cap) + 8, n_cols), n_conf)
+        eidx = (
+            e.join(cidx, "dst").select("src", "cidx", "w")
+            .repartition(m, "src").localCheckpoint(eager=True)
+        )
         # lighter sketch than fBox's: this consumer only needs stable
         # aggregate norms, not per-factor resolution
         v, _s = randomized_right_factors(
