@@ -120,7 +120,12 @@ def personalized_pagerank(
     web graphs (e.g. trust propagation from known-good hosts). Same
     superstep plan as ``pagerank``; only the teleport column differs."""
     edges = colocate_edges(edges.select("src", "dst"))
-    vb = _vertex_base(edges).localCheckpoint(eager=True)
+    # persist (not localCheckpoint): keeps the groupBy's hash(id)
+    # partitioning visible, so the base build below needs NO re-exchange
+    # of the vertex side and no explicit repartition (was: eager
+    # checkpoint → UnknownPartitioning → repartition("id") + an extra
+    # materialization job)
+    vb = _vertex_base(edges).persist()
     # seeds outside the graph's vertex set get no state row — their teleport
     # mass would silently vanish; normalize by the *effective* seed count
     seeds = seeds.select("id").join(vb.select("id"), "id", "left_semi")
@@ -137,10 +142,10 @@ def personalized_pagerank(
                    (1.0 - damping) / n_seeds).otherwise(F.lit(0.0)),
         )
         .drop("_seed")
-        .repartition("id")
         .persist()
     )
     base.count()
+    vb.unpersist()
     state0 = base.withColumn("value", F.col("tp") / F.lit(1.0 - damping))
 
     def step(state: DataFrame, _i: int) -> DataFrame:
@@ -201,7 +206,10 @@ def teleport_pagerank(
     normalizer Σw rides a broadcast 1-row crossJoin — no driver-side
     float re-enters the plan."""
     edges = colocate_edges(edges.select("src", "dst"))
-    vb = _vertex_base(edges).localCheckpoint(eager=True)
+    # persist, not localCheckpoint: keeps hash(id) visible so the base
+    # build skips the repartition + extra materialization (see
+    # personalized_pagerank)
+    vb = _vertex_base(edges).persist()
     w = (weights.select("id", F.col("w").cast("double").alias("w"))
          .join(vb.select("id"), "id", "left_semi"))
     if w.where(F.col("w") > 0).limit(1).count() == 0:
@@ -213,10 +221,10 @@ def teleport_pagerank(
         .crossJoin(F.broadcast(tot))
         .withColumn("wn", F.coalesce(F.col("w"), F.lit(0.0)) / F.col("_tot"))
         .drop("w", "_tot")
-        .repartition("id")
         .persist()
     )
     base.count()
+    vb.unpersist()
     state0 = base.withColumn("value", F.col("wn"))
 
     def step(state: DataFrame, _i: int) -> DataFrame:
@@ -348,7 +356,9 @@ def topic_ppr(
     (its column would be identically zero — a silent config error).
     """
     edges = colocate_edges(edges.select("src", "dst"))
-    vb = _vertex_base(edges).localCheckpoint(eager=True)
+    # persist, not localCheckpoint — same partitioning rationale as
+    # personalized_pagerank
+    vb = _vertex_base(edges).persist()
     topics = topics.select("id", "topic").join(
         vb.select("id"), "id", "left_semi")
     # K-row driver transfer (bounded by n_topics), mirrors the scalar
@@ -370,8 +380,9 @@ def topic_ppr(
             F.when(F.col("topic") == t,
                    F.lit((1.0 - damping) / counts[t])).otherwise(F.lit(0.0)),
         )
-    base = base.drop("topic").repartition("id").persist()
+    base = base.drop("topic").persist()
     base.count()
+    vb.unpersist()
     # same init as personalized_pagerank: v = tp / (1-d) → 1/n_t on
     # topic-t seeds, 0 elsewhere (division mirrored in the oracle SQL so
     # both engines run the identical IEEE op sequence)

@@ -427,7 +427,9 @@ def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_gang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = tables.bipartite_edges(spark, sf_dir)
+    # one materialization feeds the colocated symmetric edge set AND the
+    # priors subtree (was: two independent derivations from parquet)
+    e = tables.bipartite_edges(spark, sf_dir).localCheckpoint(eager=True)
     pri = tables.vertex_priors(tables.vertices_of(e))
     res = gang.gang(e, pri, max_iter=GANG_ITERS)
     return _round6(res.state, "belief")
@@ -458,7 +460,7 @@ def q_gang_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_zoobp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = tables.bipartite_edges(spark, sf_dir)
+    e = tables.bipartite_edges(spark, sf_dir).localCheckpoint(eager=True)
     pri = tables.vertex_priors(tables.vertices_of(e))
     res = zoobp.zoobp(e, pri, max_iter=ZOOBP_ITERS)
     return _round6(res.state, "belief")
