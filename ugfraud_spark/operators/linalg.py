@@ -276,7 +276,14 @@ def sketch_partitions(n_edges: int, n_cols: int, l: int, n_conf: int,
     (its fixture-pinned float summation order must not move)."""
     blob = max(1, n_cols * l * 4)
     edge_bytes = n_edges * 20  # (src i64, cidx i32, w f64)
-    return max(1, min(n_conf, max(traffic_cap, edge_bytes) // blob))
+    by_traffic = max(traffic_cap, edge_bytes) // blob
+    # second constraint, also measured: below ~64k edge rows per
+    # partition the per-task fixed costs (batch concat, segment sort,
+    # scheduling) outweigh extra parallelism — the fbox sweep (l=66,
+    # blob 5.3 MB, traffic rule alone → 19 parts) still bottomed at
+    # 6-10 partitions (1.72-1.98 s vs 2.1-3.1 s at 19)
+    by_rows = -(-n_edges // 64_000)
+    return max(1, min(n_conf, by_traffic, by_rows))
 
 
 def randomized_right_factors(

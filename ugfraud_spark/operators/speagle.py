@@ -164,7 +164,11 @@ def speagle(
         tol=tol or 0.0,
         checkpoint_every=1,
         checkpoint_dir=checkpoint_dir,
-        fixed_plan_loop=True,
+        # AQE stays ON here (unlike the |V|-message kernels): the state
+        # is |E|-sized with 16 columns and both per-superstep belief
+        # joins re-exchange it, so AQE's runtime coalescing of those
+        # wide shuffles wins — measured sf0.1 A/B: 3.70s (AQE) vs
+        # 4.10s (fixed plan)
     )
     state = res.state.localCheckpoint(eager=True)
     res.state = state
