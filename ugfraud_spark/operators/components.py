@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .superstep import colocate_edges, iterate
+from .superstep import colocate_edges_sized, iterate, sized_plan
 
 
 def _sym(edges_ab: DataFrame) -> DataFrame:
@@ -55,35 +55,36 @@ def cc_minprop(edges_ab: DataFrame, iters: int = 30) -> DataFrame:
     join."""
     sym_raw = _sym(edges_ab)
     verts_raw = sym_raw.select(F.col("src").alias("id")).distinct()
-    sym = colocate_edges(
+    sym, m = colocate_edges_sized(
         sym_raw.unionAll(verts_raw.select(F.col("id").alias("src"),
                                           F.col("id").alias("dst")))
     )
-    state0 = sym.select(F.col("src").alias("id")).distinct().withColumn(
-        "lbl", F.col("id"))
+    with sized_plan(sym.sparkSession, m):
+        state0 = sym.select(F.col("src").alias("id")).distinct().withColumn(
+            "lbl", F.col("id"))
 
-    def step(state: DataFrame, _i: int) -> DataFrame:
-        return (
-            sym.join(
-                state.select(F.col("id").alias("src"), "lbl").hint("shuffle_hash"),
-                "src",
+        def step(state: DataFrame, _i: int) -> DataFrame:
+            return (
+                sym.join(
+                    state.select(F.col("id").alias("src"), "lbl").hint("shuffle_hash"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("lbl").alias("lbl"))
             )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("lbl").alias("lbl"))
-        )
 
-    prev_sum = [None]
+        prev_sum = [None]
 
-    def residual(_old: DataFrame, new: DataFrame) -> float:
-        cur = new.agg(F.sum("lbl")).collect()[0][0] or 0
-        r = float("inf") if prev_sum[0] is None else float(prev_sum[0] - cur)
-        prev_sum[0] = cur
-        return r
+        def residual(_old: DataFrame, new: DataFrame) -> float:
+            cur = new.agg(F.sum("lbl")).collect()[0][0] or 0
+            r = float("inf") if prev_sum[0] is None else float(prev_sum[0] - cur)
+            prev_sum[0] = cur
+            return r
 
-    # checkpoint_every=1: constant-depth plans — measured 2.6x faster than
-    # every-4 chaining at sf0.1 (Catalyst re-analysis of deep trees dominates)
-    res = iterate(state0, step, residual, max_iter=iters, tol=0.5,
-                  checkpoint_every=1, fixed_plan_loop=True)
+        # checkpoint_every=1: constant-depth plans — measured 2.6x faster than
+        # every-4 chaining at sf0.1 (Catalyst re-analysis of deep trees dominates)
+        res = iterate(state0, step, residual, max_iter=iters, tol=0.5,
+                      checkpoint_every=1, fixed_plan_loop=True)
     return res.state.select("id", F.col("lbl").alias("component"))
 
 
@@ -154,10 +155,15 @@ def connected_components(edges_ab: DataFrame, max_iter: int = 100,
       agg per round, no old⋈new join."""
     sym_raw = _sym(edges_ab)
     verts_raw = sym_raw.select(F.col("src").alias("id")).distinct()
-    sym = colocate_edges(
+    sym, m = colocate_edges_sized(
         sym_raw.unionAll(verts_raw.select(F.col("id").alias("src"),
                                           F.col("id").alias("dst")))
     )
+    return _cc_doubling_loop(sym, m, max_iter, info)
+
+
+def _cc_doubling_loop(sym: DataFrame, m: int, max_iter: int,
+                      info: dict | None) -> DataFrame:
     state0 = sym.select(F.col("src").alias("id")).distinct().withColumn(
         "lbl", F.col("id"))
 
@@ -221,9 +227,10 @@ def connected_components(edges_ab: DataFrame, max_iter: int = 100,
         prev_sum[0] = sums[-1]
         return 0.0 if converged_inside else float("inf")
 
-    res = iterate(state0, step, residual,
-                  max_iter=-(-max_iter // ROUNDS_PER_STEP), tol=0.5,
-                  checkpoint_every=1, fixed_plan_loop=True)
+    with sized_plan(sym.sparkSession, m):
+        res = iterate(state0, step, residual,
+                      max_iter=-(-max_iter // ROUNDS_PER_STEP), tol=0.5,
+                      checkpoint_every=1, fixed_plan_loop=True)
     if info is not None:
         info["iterations"] = res.iterations * ROUNDS_PER_STEP
         info["converged"] = res.converged

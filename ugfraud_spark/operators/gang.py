@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .superstep import SuperstepResult, colocate_edges, iterate
+from .superstep import (SuperstepResult, colocate_edges_sized,
+                        iterate, sized_plan)
 
 
 def gang(
@@ -33,18 +34,23 @@ def gang(
     """edges(src, dst) bipartite + priors(id, prior in [0,1]) →
     state(id, belief). ``tol=None`` → fixed iterations (oracle parity);
     float → run until |Σ|ΔB|| < tol like ``GANG.py:136``."""
-    sym = colocate_edges(
+    sym, m = colocate_edges_sized(
         edges.select("src", "dst").unionAll(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     )
+    with sized_plan(sym.sparkSession, m):
+        return _gang_loop(sym, priors, w2=2.0 * weight, max_iter=max_iter,
+                          tol=tol, checkpoint_dir=checkpoint_dir)
+
+
+def _gang_loop(sym, priors, *, w2, max_iter, tol, checkpoint_dir):
     pri = priors.select(
         "id", (F.col("prior") - F.lit(0.5)).alias("p")
     ).repartition("id").persist()
     pri.count()
 
     state0 = pri.select("id", F.col("p").alias("value"))
-    w2 = 2.0 * weight
 
     def step(state: DataFrame, _i: int) -> DataFrame:
         msg = (

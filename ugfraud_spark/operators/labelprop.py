@@ -23,36 +23,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .superstep import colocate_edges, iterate
+from .superstep import colocate_edges, colocate_edges_sized, iterate, sized_plan
 
 
 def lpa(edges_ab: DataFrame, iters: int = 4) -> DataFrame:
-    sym = colocate_edges(
+    sym, m = colocate_edges_sized(
         edges_ab.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
             edges_ab.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
     )
-    verts = sym.select(F.col("src").alias("id")).distinct()
-    state0 = verts.withColumn("lbl", F.col("id"))
+    with sized_plan(sym.sparkSession, m):
+        verts = sym.select(F.col("src").alias("id")).distinct()
+        state0 = verts.withColumn("lbl", F.col("id"))
 
-    def step(state: DataFrame, _i: int) -> DataFrame:
-        counts = (
-            sym.join(
-                state.select(F.col("id").alias("src"), "lbl").hint("shuffle_hash"),
-                "src",
+        def step(state: DataFrame, _i: int) -> DataFrame:
+            counts = (
+                sym.join(
+                    state.select(F.col("id").alias("src"), "lbl").hint("shuffle_hash"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"), "lbl")
+                .agg(F.count(F.lit(1)).alias("c"))
             )
-            .groupBy(F.col("dst").alias("id"), "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        # argmax by (c desc, lbl asc) == max of struct(c, -lbl); every
-        # vertex gets >=1 message (symmetrized edges), so this IS the
-        # full next state — no join back to `state` needed
-        return counts.groupBy("id").agg(
-            F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("w")
-        ).select("id", (-F.col("w.neg")).alias("lbl"))
+            # argmax by (c desc, lbl asc) == max of struct(c, -lbl); every
+            # vertex gets >=1 message (symmetrized edges), so this IS the
+            # full next state — no join back to `state` needed
+            return counts.groupBy("id").agg(
+                F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("w")
+            ).select("id", (-F.col("w.neg")).alias("lbl"))
 
-    res = iterate(state0, step, max_iter=iters, checkpoint_every=1,
-                  fixed_plan_loop=True)
+        res = iterate(state0, step, max_iter=iters, checkpoint_every=1,
+                      fixed_plan_loop=True)
     return res.state.select("id", F.col("lbl").alias("label"))
 
 

@@ -23,7 +23,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .superstep import SuperstepResult, colocate_edges, iterate, l1_residual
+from .superstep import (
+    SuperstepResult,
+    colocate_edges,
+    colocate_edges_sized,
+    iterate,
+    l1_residual,
+    sized_plan,
+)
 
 
 def _vertex_base(edges: DataFrame) -> DataFrame:
@@ -55,52 +62,56 @@ def pagerank(
     ``tol=None`` runs exactly ``max_iter`` supersteps (oracle-parity
     mode); a float runs to L1 residual < tol (convergence mode).
     """
-    edges = colocate_edges(edges.select("src", "dst"))
+    edges, m = colocate_edges_sized(edges.select("src", "dst"))
 
-    # vertex set + out-degree in ONE 2|E|-row shuffle with map-side
-    # combine (was: distinct over the union + a second groupBy + a join
-    # + an id-repartition — three full shuffles; measured as the bulk of
-    # the probe's one-time build at 64M edges). Dangling nodes get
-    # out_deg = NULL. persist (not checkpoint) so the id-partitioning
-    # stays visible to the per-superstep left join against contribs.
-    base = _vertex_base(edges).persist()
-    n = base.count()
-    teleport = (1.0 - damping) / n
+    # the whole kernel (vertex base, state init, loop) plans under the
+    # size-derived partition count + AQE off — see sized_plan
+    with sized_plan(edges.sparkSession, m):
+        # vertex set + out-degree in ONE 2|E|-row shuffle with map-side
+        # combine (was: distinct over the union + a second groupBy + a join
+        # + an id-repartition — three full shuffles; measured as the bulk of
+        # the probe's one-time build at 64M edges). Dangling nodes get
+        # out_deg = NULL. persist (not checkpoint) so the id-partitioning
+        # stays visible to the per-superstep left join against contribs.
+        base = _vertex_base(edges).persist()
+        n = base.count()
+        teleport = (1.0 - damping) / n
 
-    state0 = base.withColumn("value", F.lit(1.0 / n))
+        state0 = base.withColumn("value", F.lit(1.0 / n))
 
-    def step(state: DataFrame, _i: int) -> DataFrame:
-        contribs = (
-            edges.join(
-                state.where(F.col("out_deg").isNotNull())
-                .select(
-                    F.col("id").alias("src"),
-                    (F.col("value") / F.col("out_deg")).alias("c"),
+        def step(state: DataFrame, _i: int) -> DataFrame:
+            contribs = (
+                edges.join(
+                    state.where(F.col("out_deg").isNotNull())
+                    .select(
+                        F.col("id").alias("src"),
+                        (F.col("value") / F.col("out_deg")).alias("c"),
+                    )
+                    .hint("shuffle_hash"),
+                    "src",
                 )
-                .hint("shuffle_hash"),
-                "src",
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("c").alias("mass"))
             )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("c").alias("mass"))
-        )
-        return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
-            "id",
-            "out_deg",
-            (F.lit(teleport) + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias(
-                "value"
-            ),
-        )
+            return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
+                "id",
+                "out_deg",
+                (F.lit(teleport)
+                 + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias(
+                    "value"
+                ),
+            )
 
-    res = iterate(
-        state0,
-        step,
-        residual_fn=(None if tol is None else l1_residual),
-        max_iter=max_iter,
-        tol=tol or 0.0,
-        checkpoint_every=checkpoint_every,
-        checkpoint_dir=checkpoint_dir,
-        fixed_plan_loop=True,
-    )
+        res = iterate(
+            state0,
+            step,
+            residual_fn=(None if tol is None else l1_residual),
+            max_iter=max_iter,
+            tol=tol or 0.0,
+            checkpoint_every=checkpoint_every,
+            checkpoint_dir=checkpoint_dir,
+            fixed_plan_loop=True,
+        )
     res.state = res.state.select("id", "value")
     return res
 
@@ -119,61 +130,62 @@ def personalized_pagerank(
     to every vertex — the standard seed-conditioned relevance score for
     web graphs (e.g. trust propagation from known-good hosts). Same
     superstep plan as ``pagerank``; only the teleport column differs."""
-    edges = colocate_edges(edges.select("src", "dst"))
-    # persist (not localCheckpoint): keeps the groupBy's hash(id)
-    # partitioning visible, so the base build below needs NO re-exchange
-    # of the vertex side and no explicit repartition (was: eager
-    # checkpoint → UnknownPartitioning → repartition("id") + an extra
-    # materialization job)
-    vb = _vertex_base(edges).persist()
-    # seeds outside the graph's vertex set get no state row — their teleport
-    # mass would silently vanish; normalize by the *effective* seed count
-    seeds = seeds.select("id").join(vb.select("id"), "id", "left_semi")
-    n_seeds = seeds.count()
-    if n_seeds == 0:
-        raise ValueError("personalized_pagerank: no seed intersects the "
-                         "graph's vertex set")
-    base = (
-        vb
-        .join(seeds.select("id").withColumn("_seed", F.lit(1)), "id", "left")
-        .withColumn(
-            "tp",
-            F.when(F.col("_seed").isNotNull(),
-                   (1.0 - damping) / n_seeds).otherwise(F.lit(0.0)),
-        )
-        .drop("_seed")
-        .persist()
-    )
-    base.count()
-    vb.unpersist()
-    state0 = base.withColumn("value", F.col("tp") / F.lit(1.0 - damping))
-
-    def step(state: DataFrame, _i: int) -> DataFrame:
-        contribs = (
-            edges.join(
-                state.where(F.col("out_deg").isNotNull())
-                .select(F.col("id").alias("src"),
-                        (F.col("value") / F.col("out_deg")).alias("c"))
-                .hint("shuffle_hash"),
-                "src",
+    edges, m = colocate_edges_sized(edges.select("src", "dst"))
+    with sized_plan(edges.sparkSession, m):
+        # persist (not localCheckpoint): keeps the groupBy's hash(id)
+        # partitioning visible, so the base build below needs NO re-exchange
+        # of the vertex side and no explicit repartition (was: eager
+        # checkpoint → UnknownPartitioning → repartition("id") + an extra
+        # materialization job)
+        vb = _vertex_base(edges).persist()
+        # seeds outside the graph's vertex set get no state row — their teleport
+        # mass would silently vanish; normalize by the *effective* seed count
+        seeds = seeds.select("id").join(vb.select("id"), "id", "left_semi")
+        n_seeds = seeds.count()
+        if n_seeds == 0:
+            raise ValueError("personalized_pagerank: no seed intersects the "
+                             "graph's vertex set")
+        base = (
+            vb
+            .join(seeds.select("id").withColumn("_seed", F.lit(1)), "id", "left")
+            .withColumn(
+                "tp",
+                F.when(F.col("_seed").isNotNull(),
+                       (1.0 - damping) / n_seeds).otherwise(F.lit(0.0)),
             )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("c").alias("mass"))
+            .drop("_seed")
+            .persist()
         )
-        return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
-            "id", "out_deg", "tp",
-            (F.col("tp") + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias(
-                "value"
-            ),
-        )
+        base.count()
+        vb.unpersist()
+        state0 = base.withColumn("value", F.col("tp") / F.lit(1.0 - damping))
 
-    res = iterate(
-        state0, step,
-        residual_fn=(None if tol is None else l1_residual),
-        max_iter=max_iter, tol=tol or 0.0,
-        checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
-        fixed_plan_loop=True,
-    )
+        def step(state: DataFrame, _i: int) -> DataFrame:
+            contribs = (
+                edges.join(
+                    state.where(F.col("out_deg").isNotNull())
+                    .select(F.col("id").alias("src"),
+                            (F.col("value") / F.col("out_deg")).alias("c"))
+                    .hint("shuffle_hash"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("c").alias("mass"))
+            )
+            return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
+                "id", "out_deg", "tp",
+                (F.col("tp") + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias(
+                    "value"
+                ),
+            )
+
+        res = iterate(
+            state0, step,
+            residual_fn=(None if tol is None else l1_residual),
+            max_iter=max_iter, tol=tol or 0.0,
+            checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
+            fixed_plan_loop=True,
+        )
     res.state = res.state.select("id", "value")
     return res
 
@@ -205,53 +217,54 @@ def teleport_pagerank(
     mass would vanish); vertices with no weight row get τ = 0. The
     normalizer Σw rides a broadcast 1-row crossJoin — no driver-side
     float re-enters the plan."""
-    edges = colocate_edges(edges.select("src", "dst"))
-    # persist, not localCheckpoint: keeps hash(id) visible so the base
-    # build skips the repartition + extra materialization (see
-    # personalized_pagerank)
-    vb = _vertex_base(edges).persist()
-    w = (weights.select("id", F.col("w").cast("double").alias("w"))
-         .join(vb.select("id"), "id", "left_semi"))
-    if w.where(F.col("w") > 0).limit(1).count() == 0:
-        raise ValueError("teleport_pagerank: no positive weight "
-                         "intersects the graph's vertex set")
-    tot = w.agg(F.sum("w").alias("_tot"))
-    base = (
-        vb.join(w, "id", "left")
-        .crossJoin(F.broadcast(tot))
-        .withColumn("wn", F.coalesce(F.col("w"), F.lit(0.0)) / F.col("_tot"))
-        .drop("w", "_tot")
-        .persist()
-    )
-    base.count()
-    vb.unpersist()
-    state0 = base.withColumn("value", F.col("wn"))
+    edges, m = colocate_edges_sized(edges.select("src", "dst"))
+    with sized_plan(edges.sparkSession, m):
+        # persist, not localCheckpoint: keeps hash(id) visible so the base
+        # build skips the repartition + extra materialization (see
+        # personalized_pagerank)
+        vb = _vertex_base(edges).persist()
+        w = (weights.select("id", F.col("w").cast("double").alias("w"))
+             .join(vb.select("id"), "id", "left_semi"))
+        if w.where(F.col("w") > 0).limit(1).count() == 0:
+            raise ValueError("teleport_pagerank: no positive weight "
+                             "intersects the graph's vertex set")
+        tot = w.agg(F.sum("w").alias("_tot"))
+        base = (
+            vb.join(w, "id", "left")
+            .crossJoin(F.broadcast(tot))
+            .withColumn("wn", F.coalesce(F.col("w"), F.lit(0.0)) / F.col("_tot"))
+            .drop("w", "_tot")
+            .persist()
+        )
+        base.count()
+        vb.unpersist()
+        state0 = base.withColumn("value", F.col("wn"))
 
-    def step(state: DataFrame, _i: int) -> DataFrame:
-        contribs = (
-            edges.join(
-                state.where(F.col("out_deg").isNotNull())
-                .select(F.col("id").alias("src"),
-                        (F.col("value") / F.col("out_deg")).alias("c"))
-                .hint("shuffle_hash"),
-                "src",
+        def step(state: DataFrame, _i: int) -> DataFrame:
+            contribs = (
+                edges.join(
+                    state.where(F.col("out_deg").isNotNull())
+                    .select(F.col("id").alias("src"),
+                            (F.col("value") / F.col("out_deg")).alias("c"))
+                    .hint("shuffle_hash"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("c").alias("mass"))
             )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("c").alias("mass"))
-        )
-        return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
-            "id", "out_deg", "wn",
-            (F.lit(1.0 - damping) * F.col("wn")
-             + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias("value"),
-        )
+            return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
+                "id", "out_deg", "wn",
+                (F.lit(1.0 - damping) * F.col("wn")
+                 + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias("value"),
+            )
 
-    res = iterate(
-        state0, step,
-        residual_fn=(None if tol is None else l1_residual),
-        max_iter=max_iter, tol=tol or 0.0,
-        checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
-        fixed_plan_loop=True,
-    )
+        res = iterate(
+            state0, step,
+            residual_fn=(None if tol is None else l1_residual),
+            max_iter=max_iter, tol=tol or 0.0,
+            checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
+            fixed_plan_loop=True,
+        )
     res.state = res.state.select("id", "value")
     return res
 
@@ -281,42 +294,43 @@ def pagerank_from(
     and physical plan are ``pagerank``'s verbatim — one edges⋈state join
     + one groupBy(dst) shuffle per superstep over the colocated edge
     frame; the init join happens ONCE, outside the loop."""
-    edges = colocate_edges(edges.select("src", "dst"))
-    base = _vertex_base(edges).persist()
-    n = base.count()
-    teleport = (1.0 - damping) / n
+    edges, m = colocate_edges_sized(edges.select("src", "dst"))
+    with sized_plan(edges.sparkSession, m):
+        base = _vertex_base(edges).persist()
+        n = base.count()
+        teleport = (1.0 - damping) / n
 
-    state0 = (
-        base.join(init.select("id", F.col("value").cast("double")
-                              .alias("value")), "id", "left")
-        .withColumn("value", F.coalesce(F.col("value"), F.lit(1.0 / n)))
-    )
+        state0 = (
+            base.join(init.select("id", F.col("value").cast("double")
+                                  .alias("value")), "id", "left")
+            .withColumn("value", F.coalesce(F.col("value"), F.lit(1.0 / n)))
+        )
 
-    def step(state: DataFrame, _i: int) -> DataFrame:
-        contribs = (
-            edges.join(
-                state.where(F.col("out_deg").isNotNull())
-                .select(F.col("id").alias("src"),
-                        (F.col("value") / F.col("out_deg")).alias("c"))
-                .hint("shuffle_hash"),
-                "src",
+        def step(state: DataFrame, _i: int) -> DataFrame:
+            contribs = (
+                edges.join(
+                    state.where(F.col("out_deg").isNotNull())
+                    .select(F.col("id").alias("src"),
+                            (F.col("value") / F.col("out_deg")).alias("c"))
+                    .hint("shuffle_hash"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("c").alias("mass"))
             )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("c").alias("mass"))
-        )
-        return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
-            "id", "out_deg",
-            (F.lit(teleport)
-             + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias("value"),
-        )
+            return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
+                "id", "out_deg",
+                (F.lit(teleport)
+                 + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias("value"),
+            )
 
-    res = iterate(
-        state0, step,
-        residual_fn=(None if tol is None else l1_residual),
-        max_iter=max_iter, tol=tol or 0.0,
-        checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
-        fixed_plan_loop=True,
-    )
+        res = iterate(
+            state0, step,
+            residual_fn=(None if tol is None else l1_residual),
+            max_iter=max_iter, tol=tol or 0.0,
+            checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
+            fixed_plan_loop=True,
+        )
     res.state = res.state.select("id", "value")
     return res
 
@@ -355,71 +369,72 @@ def topic_ppr(
     its surviving seeds. Raises when any topic ends up with zero seeds
     (its column would be identically zero — a silent config error).
     """
-    edges = colocate_edges(edges.select("src", "dst"))
-    # persist, not localCheckpoint — same partitioning rationale as
-    # personalized_pagerank
-    vb = _vertex_base(edges).persist()
-    topics = topics.select("id", "topic").join(
-        vb.select("id"), "id", "left_semi")
-    # K-row driver transfer (bounded by n_topics), mirrors the scalar
-    # seed count personalized_pagerank already collects
-    counts = {r["topic"]: r["n"] for r in
-              topics.groupBy("topic").agg(F.count(F.lit(1)).alias("n"))
-              .collect()}
-    missing = [t for t in range(n_topics) if not counts.get(t)]
-    if missing:
-        raise ValueError(
-            f"topic_ppr: topics {missing} have no seed inside the "
-            "graph's vertex set — their PPR columns would be "
-            "identically zero")
+    edges, m = colocate_edges_sized(edges.select("src", "dst"))
+    with sized_plan(edges.sparkSession, m):
+        # persist, not localCheckpoint — same partitioning rationale as
+        # personalized_pagerank
+        vb = _vertex_base(edges).persist()
+        topics = topics.select("id", "topic").join(
+            vb.select("id"), "id", "left_semi")
+        # K-row driver transfer (bounded by n_topics), mirrors the scalar
+        # seed count personalized_pagerank already collects
+        counts = {r["topic"]: r["n"] for r in
+                  topics.groupBy("topic").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        missing = [t for t in range(n_topics) if not counts.get(t)]
+        if missing:
+            raise ValueError(
+                f"topic_ppr: topics {missing} have no seed inside the "
+                "graph's vertex set — their PPR columns would be "
+                "identically zero")
 
-    base = vb.join(topics, "id", "left")
-    for t in range(n_topics):
-        base = base.withColumn(
-            f"tp{t}",
-            F.when(F.col("topic") == t,
-                   F.lit((1.0 - damping) / counts[t])).otherwise(F.lit(0.0)),
-        )
-    base = base.drop("topic").persist()
-    base.count()
-    vb.unpersist()
-    # same init as personalized_pagerank: v = tp / (1-d) → 1/n_t on
-    # topic-t seeds, 0 elsewhere (division mirrored in the oracle SQL so
-    # both engines run the identical IEEE op sequence)
-    state0 = base.select(
-        "id", "out_deg",
-        *[f"tp{t}" for t in range(n_topics)],
-        *[(F.col(f"tp{t}") / F.lit(1.0 - damping)).alias(f"v{t}")
-          for t in range(n_topics)],
-    )
-
-    def step(state: DataFrame, _i: int) -> DataFrame:
-        contribs = (
-            edges.join(
-                state.where(F.col("out_deg").isNotNull())
-                .select(F.col("id").alias("src"),
-                        *[(F.col(f"v{t}") / F.col("out_deg")).alias(f"c{t}")
-                          for t in range(n_topics)])
-                .hint("shuffle_hash"),
-                "src",
+        base = vb.join(topics, "id", "left")
+        for t in range(n_topics):
+            base = base.withColumn(
+                f"tp{t}",
+                F.when(F.col("topic") == t,
+                       F.lit((1.0 - damping) / counts[t])).otherwise(F.lit(0.0)),
             )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(*[F.sum(f"c{t}").alias(f"m{t}") for t in range(n_topics)])
-        )
-        return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
+        base = base.drop("topic").persist()
+        base.count()
+        vb.unpersist()
+        # same init as personalized_pagerank: v = tp / (1-d) → 1/n_t on
+        # topic-t seeds, 0 elsewhere (division mirrored in the oracle SQL so
+        # both engines run the identical IEEE op sequence)
+        state0 = base.select(
             "id", "out_deg",
             *[f"tp{t}" for t in range(n_topics)],
-            *[(F.col(f"tp{t}")
-               + F.lit(damping) * F.coalesce(f"m{t}", F.lit(0.0))
-               ).alias(f"v{t}") for t in range(n_topics)],
+            *[(F.col(f"tp{t}") / F.lit(1.0 - damping)).alias(f"v{t}")
+              for t in range(n_topics)],
         )
 
-    res = iterate(
-        state0, step, residual_fn=None,
-        max_iter=max_iter,
-        checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
-        fixed_plan_loop=True,
-    )
+        def step(state: DataFrame, _i: int) -> DataFrame:
+            contribs = (
+                edges.join(
+                    state.where(F.col("out_deg").isNotNull())
+                    .select(F.col("id").alias("src"),
+                            *[(F.col(f"v{t}") / F.col("out_deg")).alias(f"c{t}")
+                              for t in range(n_topics)])
+                    .hint("shuffle_hash"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(*[F.sum(f"c{t}").alias(f"m{t}") for t in range(n_topics)])
+            )
+            return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
+                "id", "out_deg",
+                *[f"tp{t}" for t in range(n_topics)],
+                *[(F.col(f"tp{t}")
+                   + F.lit(damping) * F.coalesce(f"m{t}", F.lit(0.0))
+                   ).alias(f"v{t}") for t in range(n_topics)],
+            )
+
+        res = iterate(
+            state0, step, residual_fn=None,
+            max_iter=max_iter,
+            checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
+            fixed_plan_loop=True,
+        )
     res.state = res.state.select(
         "id", *[f"v{t}" for t in range(n_topics)])
     return res
@@ -445,48 +460,49 @@ def pagerank_dangling(
     variant). One extra scalar aggregation per superstep (the dangling
     mass), carried as a crossJoin'd 1-row frame so the superstep stays
     lazy — the same trick as the HITS norms."""
-    edges = colocate_edges(edges.select("src", "dst"))
-    base = _vertex_base(edges).persist()
-    n = base.count()
-    teleport = (1.0 - damping) / n
-    state0 = base.withColumn("value", F.lit(1.0 / n))
+    edges, m = colocate_edges_sized(edges.select("src", "dst"))
+    with sized_plan(edges.sparkSession, m):
+        base = _vertex_base(edges).persist()
+        n = base.count()
+        teleport = (1.0 - damping) / n
+        state0 = base.withColumn("value", F.lit(1.0 / n))
 
-    def step(state: DataFrame, _i: int) -> DataFrame:
-        contribs = (
-            edges.join(
-                state.where(F.col("out_deg").isNotNull())
-                .select(F.col("id").alias("src"),
-                        (F.col("value") / F.col("out_deg")).alias("c"))
-                .hint("shuffle_hash"),
-                "src",
+        def step(state: DataFrame, _i: int) -> DataFrame:
+            contribs = (
+                edges.join(
+                    state.where(F.col("out_deg").isNotNull())
+                    .select(F.col("id").alias("src"),
+                            (F.col("value") / F.col("out_deg")).alias("c"))
+                    .hint("shuffle_hash"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("c").alias("mass"))
             )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("c").alias("mass"))
-        )
-        dang = state.where(F.col("out_deg").isNull()).agg(
-            F.coalesce(F.sum("value"), F.lit(0.0)).alias("dm"))
-        return (
-            base.join(contribs.hint("shuffle_hash"), "id", "left")
-            .crossJoin(dang)
-            .select(
-                "id",
-                "out_deg",
-                (F.lit(teleport) + F.lit(damping)
-                 * (F.coalesce("mass", F.lit(0.0))
-                    + F.col("dm") / F.lit(float(n)))).alias("value"),
+            dang = state.where(F.col("out_deg").isNull()).agg(
+                F.coalesce(F.sum("value"), F.lit(0.0)).alias("dm"))
+            return (
+                base.join(contribs.hint("shuffle_hash"), "id", "left")
+                .crossJoin(dang)
+                .select(
+                    "id",
+                    "out_deg",
+                    (F.lit(teleport) + F.lit(damping)
+                     * (F.coalesce("mass", F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n)))).alias("value"),
+                )
             )
-        )
 
-    res = iterate(
-        state0,
-        step,
-        residual_fn=(None if tol is None else l1_residual),
-        max_iter=max_iter,
-        tol=tol or 0.0,
-        checkpoint_every=checkpoint_every,
-        checkpoint_dir=checkpoint_dir,
-        fixed_plan_loop=True,
-    )
+        res = iterate(
+            state0,
+            step,
+            residual_fn=(None if tol is None else l1_residual),
+            max_iter=max_iter,
+            tol=tol or 0.0,
+            checkpoint_every=checkpoint_every,
+            checkpoint_dir=checkpoint_dir,
+            fixed_plan_loop=True,
+        )
     res.state = res.state.select("id", "value")
     return res
 
@@ -511,42 +527,43 @@ def katz(
     Fixed ``max_iter`` is the truncated-series semantics the oracle
     unrolls; convergence of the infinite series needs α < 1/λ_max,
     irrelevant at fixed iterations."""
-    edges = colocate_edges(edges.select("src", "dst"))
-    base = _vertex_base(edges).persist()
-    base.count()
-    state0 = base.withColumn("value", F.lit(beta))
+    edges, m = colocate_edges_sized(edges.select("src", "dst"))
+    with sized_plan(edges.sparkSession, m):
+        base = _vertex_base(edges).persist()
+        base.count()
+        state0 = base.withColumn("value", F.lit(beta))
 
-    def step(state: DataFrame, _i: int) -> DataFrame:
-        contribs = (
-            edges.join(
-                # dangling vertices have no out-edges — pruning them from
-                # the probe side is plan-only (the join would drop them)
-                state.where(F.col("out_deg").isNotNull())
-                .select(F.col("id").alias("src"), F.col("value").alias("c"))
-                .hint("shuffle_hash"),
-                "src",
+        def step(state: DataFrame, _i: int) -> DataFrame:
+            contribs = (
+                edges.join(
+                    # dangling vertices have no out-edges — pruning them from
+                    # the probe side is plan-only (the join would drop them)
+                    state.where(F.col("out_deg").isNotNull())
+                    .select(F.col("id").alias("src"), F.col("value").alias("c"))
+                    .hint("shuffle_hash"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("c").alias("mass"))
             )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("c").alias("mass"))
-        )
-        return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
-            "id",
-            "out_deg",
-            (F.lit(beta) + F.lit(alpha) * F.coalesce("mass", F.lit(0.0))).alias(
-                "value"
-            ),
-        )
+            return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
+                "id",
+                "out_deg",
+                (F.lit(beta) + F.lit(alpha) * F.coalesce("mass", F.lit(0.0))).alias(
+                    "value"
+                ),
+            )
 
-    res = iterate(
-        state0,
-        step,
-        residual_fn=(None if tol is None else l1_residual),
-        max_iter=max_iter,
-        tol=tol or 0.0,
-        checkpoint_every=checkpoint_every,
-        checkpoint_dir=checkpoint_dir,
-        fixed_plan_loop=True,
-    )
+        res = iterate(
+            state0,
+            step,
+            residual_fn=(None if tol is None else l1_residual),
+            max_iter=max_iter,
+            tol=tol or 0.0,
+            checkpoint_every=checkpoint_every,
+            checkpoint_dir=checkpoint_dir,
+            fixed_plan_loop=True,
+        )
     res.state = res.state.select("id", "value")
     return res
 
@@ -630,54 +647,55 @@ def pagerank_weighted(
     colocated once, W_out fused into the state, one state-side shuffle
     + one map-side-combined groupBy per round; dangling mass dropped
     (same documented simplification as the unweighted kernel)."""
-    edges = colocate_edges(
+    edges, m = colocate_edges_sized(
         edges_w.select("src", "dst", F.col(weight).cast("double").alias("w"))
     )
-    marked = edges.select(
-        F.col("src").alias("id"), F.col("w").alias("ow")
-    ).unionAll(
-        edges.select(F.col("dst").alias("id"), F.lit(0.0).alias("ow"))
-    )
-    base = (
-        marked.groupBy("id").agg(F.sum("ow").alias("_ow"))
-        .select("id", F.when(F.col("_ow") > 0, F.col("_ow")).alias("out_w"))
-        .persist()
-    )
-    n = base.count()
-    teleport = (1.0 - damping) / n
-    state0 = base.withColumn("value", F.lit(1.0 / n))
+    with sized_plan(edges.sparkSession, m):
+        marked = edges.select(
+            F.col("src").alias("id"), F.col("w").alias("ow")
+        ).unionAll(
+            edges.select(F.col("dst").alias("id"), F.lit(0.0).alias("ow"))
+        )
+        base = (
+            marked.groupBy("id").agg(F.sum("ow").alias("_ow"))
+            .select("id", F.when(F.col("_ow") > 0, F.col("_ow")).alias("out_w"))
+            .persist()
+        )
+        n = base.count()
+        teleport = (1.0 - damping) / n
+        state0 = base.withColumn("value", F.lit(1.0 / n))
 
-    def step(state: DataFrame, _i: int) -> DataFrame:
-        contribs = (
-            edges.join(
-                state.where(F.col("out_w").isNotNull())
-                .select(
-                    F.col("id").alias("src"),
-                    (F.col("value") / F.col("out_w")).alias("c"),
+        def step(state: DataFrame, _i: int) -> DataFrame:
+            contribs = (
+                edges.join(
+                    state.where(F.col("out_w").isNotNull())
+                    .select(
+                        F.col("id").alias("src"),
+                        (F.col("value") / F.col("out_w")).alias("c"),
+                    )
+                    .hint("shuffle_hash"),
+                    "src",
                 )
-                .hint("shuffle_hash"),
-                "src",
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("c") * F.col("w")).alias("mass"))
             )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("c") * F.col("w")).alias("mass"))
-        )
-        return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
-            "id",
-            "out_w",
-            (F.lit(teleport)
-             + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias("value"),
-        )
+            return base.join(contribs.hint("shuffle_hash"), "id", "left").select(
+                "id",
+                "out_w",
+                (F.lit(teleport)
+                 + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias("value"),
+            )
 
-    res = iterate(
-        state0,
-        step,
-        residual_fn=(None if tol is None else l1_residual),
-        max_iter=max_iter,
-        tol=tol or 0.0,
-        checkpoint_every=checkpoint_every,
-        checkpoint_dir=checkpoint_dir,
-        fixed_plan_loop=True,
-    )
+        res = iterate(
+            state0,
+            step,
+            residual_fn=(None if tol is None else l1_residual),
+            max_iter=max_iter,
+            tol=tol or 0.0,
+            checkpoint_every=checkpoint_every,
+            checkpoint_dir=checkpoint_dir,
+            fixed_plan_loop=True,
+        )
     res.state = res.state.select("id", "value")
     return res
 

@@ -65,6 +65,34 @@ def fixed_plan(spark: SparkSession, enabled: bool = True):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+# Target edge rows per partition for the size-derived superstep layout
+# (guide §2: derive partitioning from input size instead of a constant
+# tuned for either local mode or the cluster). Measured at sf0.1
+# (600k edges, AQE-off loop): 8 partitions → 1.34 s pagerank, 16 →
+# 1.51 s, 32 (the local conf default) → 2.04 s; the bench probe's 64M
+# edges sit at 2M rows/partition under the conf cap, far above this
+# floor, so the probe layout and any real-cluster layout (conf sized
+# to the executor fleet) are unchanged — the rule only shrinks layouts
+# whose per-partition slice would be tiny next to per-task fixed costs.
+LAYOUT_ROWS_PER_PARTITION = 64_000
+
+
+@contextmanager
+def sized_plan(spark: SparkSession, shuffle_partitions: int):
+    """``fixed_plan`` plus a scoped ``spark.sql.shuffle.partitions``:
+    the whole kernel body (vertex base, state init, superstep loop)
+    plans against the SAME partition count as the sized edge layout, so
+    every state⋈edges join stays exchange-elided end to end. Restores
+    both conf values even when the body raises."""
+    prev_n = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        with fixed_plan(spark):
+            yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_n)
+
+
 def colocate_edges(edges: DataFrame, key: str = "src") -> DataFrame:
     """Shuffle the edge table ONCE onto the per-superstep join key and pin
     it with persist(). Every subsequent ``edges ⋈ state`` then shuffles
@@ -87,6 +115,30 @@ def colocate_edges(edges: DataFrame, key: str = "src") -> DataFrame:
     out = edges.repartition(n, key).persist()
     out.count()  # materialize now so every superstep reuses the layout
     return out
+
+
+def colocate_edges_sized(edges: DataFrame,
+                         key: str = "src") -> tuple[DataFrame, int]:
+    """``colocate_edges`` that additionally derives the layout's
+    partition count from the MEASURED row count (the count it takes
+    anyway): ``m = clamp(ceil(rows / LAYOUT_ROWS_PER_PARTITION), 1,
+    conf)``. When m < conf the materialized frame is re-laid-out from
+    cache (one cheap cache-read shuffle, ~0.1 s at bench scale) so the
+    caller can run its whole kernel under ``sized_plan(spark, m)`` with
+    every shuffle at m partitions. Returns ``(edges, m)``. At conf-
+    saturating sizes (the bench probe's 64M edges, any real-cluster
+    run) m == conf and this is exactly ``colocate_edges``."""
+    spark = edges.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    out = edges.repartition(n, key).persist()
+    rows = out.count()
+    m = max(1, min(n, -(-rows // LAYOUT_ROWS_PER_PARTITION)))
+    if m == n:
+        return out, n
+    resized = out.repartition(m, key).persist()
+    resized.count()
+    out.unpersist()
+    return resized, m
 
 
 @dataclass

@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .superstep import SuperstepResult, colocate_edges, iterate
+from .superstep import (SuperstepResult, colocate_edges_sized,
+                        iterate, sized_plan)
 
 
 def zoobp(
@@ -33,13 +34,19 @@ def zoobp(
 ) -> SuperstepResult:
     """edges(src, dst, sign 1|2) + priors(id, prior) → state(id, belief)."""
     s_col = F.when(F.col("sign") == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
-    sym = colocate_edges(
+    sym, m = colocate_edges_sized(
         edges.select("src", "dst", s_col.alias("s")).unionAll(
             edges.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), s_col.alias("s")
             )
         )
     )
+    with sized_plan(sym.sparkSession, m):
+        return _zoobp_loop(sym, priors, ep=ep, max_iter=max_iter, tol=tol,
+                           checkpoint_dir=checkpoint_dir)
+
+
+def _zoobp_loop(sym, priors, *, ep, max_iter, tol, checkpoint_dir):
     pri = priors.select(
         "id", (F.col("prior") - F.lit(0.5)).alias("p")
     ).repartition("id").persist()
