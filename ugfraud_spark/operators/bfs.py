@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .superstep import SuperstepResult, colocate_edges, iterate
+from .superstep import (SuperstepResult, colocate_edges_sized,
+                        iterate, sized_plan)
 
 
 def bfs_hops(edges_sym: DataFrame, seeds: DataFrame, *,
@@ -30,7 +31,7 @@ def bfs_hops(edges_sym: DataFrame, seeds: DataFrame, *,
     unrolls the same recurrence); dist is exact for every vertex within
     ``iters`` hops of a seed.
     """
-    edges_sym = colocate_edges(edges_sym.select("src", "dst"))
+    edges_sym, m = colocate_edges_sized(edges_sym.select("src", "dst"))
     state0 = seeds.select("id", F.lit(0).alias("dist"))
 
     def step(state: DataFrame, i: int) -> DataFrame:
@@ -56,10 +57,11 @@ def bfs_hops(edges_sym: DataFrame, seeds: DataFrame, *,
             .agg(F.min("dist").alias("dist"))
         )
 
-    res: SuperstepResult = iterate(
-        state0, step, max_iter=iters,
-        checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
-    )
+    with sized_plan(edges_sym.sparkSession, m, adaptive_off=False):
+        res: SuperstepResult = iterate(
+            state0, step, max_iter=iters,
+            checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
+        )
     return res.state
 
 
@@ -90,7 +92,7 @@ def sssp_weighted(edges_w: DataFrame, seeds: DataFrame, *,
     |frontier|⋈|E| shuffle-hash gather + one groupBy min — the edge
     payload is colocated once and never moves again.
     """
-    edges_w = colocate_edges(edges_w.select("src", "dst", "w"))
+    edges_w, m = colocate_edges_sized(edges_w.select("src", "dst", "w"))
     state0 = seeds.select(
         "id", F.lit(0).cast("long").alias("dist"), F.lit(0).alias("upd"))
 
@@ -113,8 +115,9 @@ def sssp_weighted(edges_w: DataFrame, seeds: DataFrame, *,
                     F.col("s.upd").alias("upd"))
         )
 
-    res: SuperstepResult = iterate(
-        state0, step, max_iter=iters,
-        checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
-    )
+    with sized_plan(edges_w.sparkSession, m, adaptive_off=False):
+        res: SuperstepResult = iterate(
+            state0, step, max_iter=iters,
+            checkpoint_every=checkpoint_every, checkpoint_dir=checkpoint_dir,
+        )
     return res.state.select("id", "dist")

@@ -18,12 +18,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .superstep import colocate_edges
+from .superstep import colocate_edges, colocate_edges_sized, sized_plan
 
 
 def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
     """edges(src, dst) directed → (id, hub, authority), L2-normalized."""
-    fwd = colocate_edges(edges.select("src", "dst"))
+    fwd, m = colocate_edges_sized(edges.select("src", "dst"))
+    with sized_plan(fwd.sparkSession, m, adaptive_off=False):
+        return _hits_body(fwd, edges, iters)
+
+
+def _hits_body(fwd: DataFrame, edges: DataFrame, iters: int) -> DataFrame:
     rev = colocate_edges(edges.select(F.col("dst").alias("src"),
                                       F.col("src").alias("dst")))
     verts = (
@@ -120,7 +125,12 @@ def eigenvector_centrality(edges: DataFrame, iters: int = 5) -> DataFrame:
     exact 0 contributing nothing to the norm or the next step — the
     |V| zero-fill join happens ONCE at the end), one co-partitioned
     SpMV + one scalar norm agg per iteration."""
-    fwd = colocate_edges(edges.select("src", "dst"))
+    fwd, m = colocate_edges_sized(edges.select("src", "dst"))
+    with sized_plan(fwd.sparkSession, m, adaptive_off=False):
+        return _eigenvector_body(fwd, iters)
+
+
+def _eigenvector_body(fwd: DataFrame, iters: int) -> DataFrame:
     verts = (
         fwd.select(F.col("src").alias("id"))
         .unionAll(fwd.select(F.col("dst").alias("id")))
@@ -174,9 +184,10 @@ def kcore(edges_sym: DataFrame, k: int, iters: int = 10) -> DataFrame:
     the cached symmetric edge set; the shrinking edge frame is
     re-checkpointed per round to keep lineage flat.
     """
-    e = colocate_edges(edges_sym.select("src", "dst"))
-    return _peel_edges(e, k, iters).select(
-        F.col("src").alias("id")).distinct()
+    e, m = colocate_edges_sized(edges_sym.select("src", "dst"))
+    with sized_plan(e.sparkSession, m, adaptive_off=False):
+        return _peel_edges(e, k, iters).select(
+            F.col("src").alias("id")).distinct()
 
 
 def _peel_edges(e: DataFrame, k: int, iters: int) -> DataFrame:
@@ -242,7 +253,12 @@ def coreness(edges_sym: DataFrame, k_max: int = CORENESS_K_MAX,
     asserted against a brute-force oracle in pytest. The cap is the
     documented contract: vertices at coreness k_max may sit in deeper
     cores (the capped sweep is what bounded-budget pipelines run)."""
-    e = colocate_edges(edges_sym.select("src", "dst"))
+    e, m = colocate_edges_sized(edges_sym.select("src", "dst"))
+    with sized_plan(e.sparkSession, m, adaptive_off=False):
+        return _coreness_sweep(e, k_max, iters)
+
+
+def _coreness_sweep(e: DataFrame, k_max: int, iters: int) -> DataFrame:
     levels = [
         e.select(F.col("src").alias("id")).distinct()
         .select("id", F.lit(1).alias("c"))

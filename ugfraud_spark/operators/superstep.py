@@ -78,16 +78,23 @@ LAYOUT_ROWS_PER_PARTITION = 64_000
 
 
 @contextmanager
-def sized_plan(spark: SparkSession, shuffle_partitions: int):
+def sized_plan(spark: SparkSession, shuffle_partitions: int,
+               adaptive_off: bool = True):
     """``fixed_plan`` plus a scoped ``spark.sql.shuffle.partitions``:
     the whole kernel body (vertex base, state init, superstep loop)
     plans against the SAME partition count as the sized edge layout, so
     every state⋈edges join stays exchange-elided end to end. Restores
-    both conf values even when the body raises."""
+    both conf values even when the body raises.
+
+    ``adaptive_off=False`` scopes only the partition count and keeps
+    AQE — for the broadcast-frontier loops (HITS, k-core, BFS) where
+    AQE coalescing wins but the layout/shuffle width should still track
+    the measured data size (A/B at sf0.1, AQE on: hits 6.1-7.6 s at 32
+    partitions vs 4.1-5.1 s at 10)."""
     prev_n = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        with fixed_plan(spark):
+        with fixed_plan(spark, enabled=adaptive_off):
             yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_n)
