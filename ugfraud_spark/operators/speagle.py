@@ -106,7 +106,11 @@ def speagle(
         .withColumnRenamed("lp1", "r1")
         .select("src", "dst", *static_cols,
                 *[F.lit(0.0).alias(c) for c in msg_cols])
-        .repartition("src")
+        # no explicit repartition: the derivation already arrives
+        # hash(src)-partitioned (sources.tables._part_first) and the
+        # eager checkpoint discards partitioning info regardless — the
+        # old repartition("src") was a full 16-column |E| exchange that
+        # reproduced the layout the frame already had
         .localCheckpoint(eager=True)
     )
     # loop shuffle width from the measured state size (the count reads
